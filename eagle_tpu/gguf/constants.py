@@ -1,0 +1,192 @@
+"""GGUF/GGML constants: tensor dtypes, value types, standard metadata keys.
+
+Layout facts mirror the reference implementation (ggml/include/ggml.h:351-391 for
+the type enum, ggml/src/ggml-common.h:160-340 for block layouts, gguf spec for
+the container) — implementation here is original.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+GGUF_MAGIC = 0x46554747  # "GGUF" little-endian
+GGUF_VERSION = 3
+GGUF_DEFAULT_ALIGNMENT = 32
+
+QK_K = 256  # super-block size for K-quants
+K_SCALE_SIZE = 12
+
+
+class GGMLType(enum.IntEnum):
+    """ggml tensor data types (ggml/include/ggml.h:351-391)."""
+
+    F32 = 0
+    F16 = 1
+    Q4_0 = 2
+    Q4_1 = 3
+    # 4, 5: removed (Q4_2/Q4_3)
+    Q5_0 = 6
+    Q5_1 = 7
+    Q8_0 = 8
+    Q8_1 = 9
+    Q2_K = 10
+    Q3_K = 11
+    Q4_K = 12
+    Q5_K = 13
+    Q6_K = 14
+    Q8_K = 15
+    IQ2_XXS = 16
+    IQ2_XS = 17
+    IQ3_XXS = 18
+    IQ1_S = 19
+    IQ4_NL = 20
+    IQ3_S = 21
+    IQ2_S = 22
+    IQ4_XS = 23
+    I8 = 24
+    I16 = 25
+    I32 = 26
+    I64 = 27
+    F64 = 28
+    IQ1_M = 29
+    BF16 = 30
+
+
+@dataclass(frozen=True)
+class TypeTraits:
+    block_size: int  # number of weights per block
+    type_size: int  # bytes per block
+
+
+# block_size/type_size per type (ggml-common.h block structs)
+GGML_TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
+    GGMLType.F32: TypeTraits(1, 4),
+    GGMLType.F16: TypeTraits(1, 2),
+    GGMLType.BF16: TypeTraits(1, 2),
+    GGMLType.F64: TypeTraits(1, 8),
+    GGMLType.I8: TypeTraits(1, 1),
+    GGMLType.I16: TypeTraits(1, 2),
+    GGMLType.I32: TypeTraits(1, 4),
+    GGMLType.I64: TypeTraits(1, 8),
+    GGMLType.Q4_0: TypeTraits(32, 2 + 16),
+    GGMLType.Q4_1: TypeTraits(32, 4 + 16),
+    GGMLType.Q5_0: TypeTraits(32, 2 + 4 + 16),
+    GGMLType.Q5_1: TypeTraits(32, 4 + 4 + 16),
+    GGMLType.Q8_0: TypeTraits(32, 2 + 32),
+    GGMLType.Q8_1: TypeTraits(32, 4 + 32),
+    GGMLType.Q2_K: TypeTraits(QK_K, 4 + QK_K // 16 + QK_K // 4),
+    GGMLType.Q3_K: TypeTraits(QK_K, 2 + QK_K // 4 + QK_K // 8 + 12),
+    GGMLType.Q4_K: TypeTraits(QK_K, 4 + K_SCALE_SIZE + QK_K // 2),
+    GGMLType.Q5_K: TypeTraits(QK_K, 4 + K_SCALE_SIZE + QK_K // 2 + QK_K // 8),
+    GGMLType.Q6_K: TypeTraits(QK_K, 2 + QK_K // 16 + 3 * QK_K // 4),
+    GGMLType.Q8_K: TypeTraits(QK_K, 4 + QK_K + QK_K // 16 * 2),
+}
+
+
+class GGUFValueType(enum.IntEnum):
+    """Metadata value types in the GGUF container."""
+
+    UINT8 = 0
+    INT8 = 1
+    UINT16 = 2
+    INT16 = 3
+    UINT32 = 4
+    INT32 = 5
+    FLOAT32 = 6
+    BOOL = 7
+    STRING = 8
+    ARRAY = 9
+    UINT64 = 10
+    INT64 = 11
+    FLOAT64 = 12
+
+
+# ---------------------------------------------------------------------------
+# Standard metadata keys (subset used by the llama/eagle model families;
+# mirrors gguf-py/gguf/constants.py naming, values are the on-disk strings).
+# ---------------------------------------------------------------------------
+
+
+class Keys:
+    class General:
+        ARCHITECTURE = "general.architecture"
+        NAME = "general.name"
+        ALIGNMENT = "general.alignment"
+        FILE_TYPE = "general.file_type"
+        QUANTIZATION_VERSION = "general.quantization_version"
+
+    class LLM:  # formatted with arch prefix
+        CONTEXT_LENGTH = "{arch}.context_length"
+        EMBEDDING_LENGTH = "{arch}.embedding_length"
+        BLOCK_COUNT = "{arch}.block_count"
+        FEED_FORWARD_LENGTH = "{arch}.feed_forward_length"
+        EXPERT_COUNT = "{arch}.expert_count"
+        EXPERT_USED_COUNT = "{arch}.expert_used_count"
+        VOCAB_SIZE = "{arch}.vocab_size"
+
+    class Attention:
+        HEAD_COUNT = "{arch}.attention.head_count"
+        HEAD_COUNT_KV = "{arch}.attention.head_count_kv"
+        LAYERNORM_RMS_EPS = "{arch}.attention.layer_norm_rms_epsilon"
+        KEY_LENGTH = "{arch}.attention.key_length"
+        VALUE_LENGTH = "{arch}.attention.value_length"
+
+    class Rope:
+        DIMENSION_COUNT = "{arch}.rope.dimension_count"
+        FREQ_BASE = "{arch}.rope.freq_base"
+        SCALING_TYPE = "{arch}.rope.scaling.type"
+        SCALING_FACTOR = "{arch}.rope.scaling.factor"
+        SCALING_ORIG_CTX = "{arch}.rope.scaling.original_context_length"
+        SCALING_ATTN_FACTOR = "{arch}.rope.scaling.attn_factor"
+
+    class Tokenizer:
+        MODEL = "tokenizer.ggml.model"
+        PRE = "tokenizer.ggml.pre"
+        LIST = "tokenizer.ggml.tokens"
+        TOKEN_TYPE = "tokenizer.ggml.token_type"
+        SCORES = "tokenizer.ggml.scores"
+        MERGES = "tokenizer.ggml.merges"
+        BOS_ID = "tokenizer.ggml.bos_token_id"
+        EOS_ID = "tokenizer.ggml.eos_token_id"
+        UNK_ID = "tokenizer.ggml.unknown_token_id"
+        PAD_ID = "tokenizer.ggml.padding_token_id"
+        ADD_BOS = "tokenizer.ggml.add_bos_token"
+        ADD_EOS = "tokenizer.ggml.add_eos_token"
+        ADD_SPACE_PREFIX = "tokenizer.ggml.add_space_prefix"
+
+
+class TokenType(enum.IntEnum):
+    """Token classes stored in tokenizer.ggml.token_type."""
+
+    UNDEFINED = 0
+    NORMAL = 1
+    UNKNOWN = 2
+    CONTROL = 3
+    USER_DEFINED = 4
+    UNUSED = 5
+    BYTE = 6
+
+
+# llama.cpp file-type ids (include/llama.h:143-183), used for general.file_type
+class LlamaFtype(enum.IntEnum):
+    ALL_F32 = 0
+    MOSTLY_F16 = 1
+    MOSTLY_Q4_0 = 2
+    MOSTLY_Q8_0 = 7
+    MOSTLY_Q4_K_S = 14
+    MOSTLY_Q4_K_M = 15
+    MOSTLY_Q5_K_S = 16
+    MOSTLY_Q5_K_M = 17
+    MOSTLY_Q6_K = 18
+    MOSTLY_BF16 = 32
+
+
+def ggml_row_bytes(ggml_type: GGMLType, n_elements: int) -> int:
+    """Bytes needed to store `n_elements` contiguous values of `ggml_type`."""
+    tr = GGML_TYPE_TRAITS[ggml_type]
+    if n_elements % tr.block_size != 0:
+        raise ValueError(
+            f"{ggml_type.name}: {n_elements} not a multiple of block size {tr.block_size}"
+        )
+    return n_elements // tr.block_size * tr.type_size

@@ -1,0 +1,104 @@
+"""Quant format tests: round-trip error bounds + bit-exact decode parity against
+the reference's gguf-py numpy implementation (independent oracle, mirrors the
+reference's quantize round-trip tests tests/test-quantize-fns.cpp)."""
+
+import numpy as np
+import pytest
+
+from eagle_tpu.gguf.constants import GGML_TYPE_TRAITS, GGMLType
+from eagle_tpu.quant import blocks
+
+QTYPES = [
+    GGMLType.Q4_0,
+    GGMLType.Q8_0,
+    GGMLType.Q4_K,
+    GGMLType.Q5_K,
+    GGMLType.Q6_K,
+]
+
+# max acceptable round-trip RMSE relative to data std (thresholds in the spirit
+# of tests/test-quantize-fns.cpp MAX_QUANTIZATION_TOTAL_ERROR)
+# NOTE: bounds sized for the simple min/max encoder in quant/blocks.py; the
+# iterative-search encoder (kquant_search) is held to tighter bounds.
+# (the synthetic data's 8x outliers inflate per-block absmax, so these are far
+# above the pure-gaussian floor for every format — including in ggml itself)
+RTOL = {
+    GGMLType.Q4_0: 0.15,
+    GGMLType.Q8_0: 0.03,
+    GGMLType.Q4_K: 0.11,
+    GGMLType.Q5_K: 0.06,
+    GGMLType.Q6_K: 0.09,
+}
+
+
+def synthetic(rng, n):
+    # mixture resembling weight distributions: mostly gaussian + outliers
+    x = rng.standard_normal(n).astype(np.float32)
+    x[rng.integers(0, n, size=n // 100)] *= 8.0
+    return x
+
+
+@pytest.mark.parametrize("qtype", QTYPES)
+def test_round_trip_error(rng, qtype):
+    n = 256 * 16
+    x = synthetic(rng, n)
+    packed = blocks.quantize(x, qtype)
+    tr = GGML_TYPE_TRAITS[qtype]
+    assert packed.nbytes == n // tr.block_size * tr.type_size
+    y = blocks.dequantize(packed, qtype, (n,))
+    rmse = np.sqrt(np.mean((x - y) ** 2)) / np.std(x)
+    assert rmse < RTOL[qtype], f"{qtype.name}: rmse {rmse}"
+
+
+@pytest.mark.parametrize("qtype", QTYPES)
+def test_decode_matches_oracle_on_our_encoding(rng, qtype, reference_gguf_py):
+    """Our packed bytes must decode identically under gguf-py (same bit layout)."""
+    n = 256 * 8
+    x = synthetic(rng, n)
+    packed = blocks.quantize(x, qtype)
+    ours = blocks.dequantize(packed, qtype, (n,))
+    oracle = reference_gguf_py.quants.dequantize(
+        packed.reshape(1, -1), reference_gguf_py.GGMLQuantizationType(int(qtype))
+    ).reshape(-1)
+    np.testing.assert_array_equal(ours, oracle)
+
+
+@pytest.mark.parametrize("qtype", QTYPES)
+def test_decode_oracle_encoding(rng, qtype, reference_gguf_py):
+    """Bytes produced by gguf-py's (ggml-equivalent) encoder must decode
+    identically under our decoder."""
+    n = 256 * 8
+    x = synthetic(rng, n).reshape(8, -1)
+    try:
+        packed = reference_gguf_py.quants.quantize(
+            x, reference_gguf_py.GGMLQuantizationType(int(qtype))
+        )
+    except NotImplementedError:
+        pytest.skip(f"oracle has no {qtype.name} encoder")
+    ours = blocks.dequantize(packed.reshape(-1), qtype, x.shape)
+    oracle = reference_gguf_py.quants.dequantize(
+        packed, reference_gguf_py.GGMLQuantizationType(int(qtype))
+    )
+    np.testing.assert_array_equal(ours, oracle)
+
+
+@pytest.mark.parametrize("ftype", [GGMLType.F32, GGMLType.F16, GGMLType.BF16])
+def test_float_passthrough(rng, ftype):
+    x = rng.standard_normal(512).astype(np.float32)
+    packed = blocks.quantize(x, ftype)
+    y = blocks.dequantize(packed, ftype, (512,))
+    if ftype == GGMLType.F32:
+        np.testing.assert_array_equal(x, y)
+    elif ftype == GGMLType.F16:
+        np.testing.assert_array_equal(x.astype(np.float16).astype(np.float32), y)
+    else:
+        assert np.abs(x - y).max() < 0.02
+
+
+def test_q8_0_exact_small_ints():
+    x = np.arange(-16, 16, dtype=np.float32)
+    packed = blocks.quantize(x, GGMLType.Q8_0)
+    y = blocks.dequantize(packed, GGMLType.Q8_0, (32,))
+    # max error: half a quantization step (d/2 = 16/127/2) plus the f16
+    # rounding of the stored scale amplified by |q| <= 127
+    assert np.abs(x - y).max() <= 16.0 / 127.0 / 2.0 + 0.01
