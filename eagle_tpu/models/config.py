@@ -1,0 +1,77 @@
+"""Model hyperparameters, populated from GGUF metadata.
+
+Mirrors the fields llama.cpp reads in llama_model::load_hparams
+(src/llama-model.cpp) for the llama/eagle families."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from ..gguf.constants import Keys
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "llama"
+    vocab_size: int = 32000
+    n_embd: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 32
+    head_dim: int = 128
+    n_ff: int = 11008
+    rms_eps: float = 1e-5
+    rope_base: float = 10000.0
+    rope_dim: int = 128  # rotary dims per head
+    n_ctx_train: int = 2048
+    rope_scaling: str | None = None
+    rope_scale_factor: float = 1.0
+    # EAGLE draft head (LLM_ARCH_EAGLE, src/llama-arch.h:69): single decoder
+    # layer fed by ReLU(FC([embed; hidden])), no attn_norm / output_norm weight,
+    # lm_head borrowed from the target model.
+    is_eagle: bool = False
+
+    @property
+    def n_q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def n_kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    @staticmethod
+    def from_gguf_metadata(md: dict[str, Any]) -> "ModelConfig":
+        arch = md[Keys.General.ARCHITECTURE]
+
+        def k(pattern: str, default=None):
+            v = md.get(pattern.format(arch=arch), default)
+            if v is None:
+                raise KeyError(f"missing GGUF key {pattern.format(arch=arch)}")
+            return v
+
+        n_embd = int(k(Keys.LLM.EMBEDDING_LENGTH))
+        n_heads = int(k(Keys.Attention.HEAD_COUNT))
+        n_kv_heads = int(k(Keys.Attention.HEAD_COUNT_KV, n_heads))
+        head_dim = int(k(Keys.Attention.KEY_LENGTH, n_embd // n_heads))
+        vocab_size = md.get(Keys.LLM.VOCAB_SIZE.format(arch=arch))
+        if vocab_size is None:
+            vocab_size = len(md[Keys.Tokenizer.LIST])
+        n_layers = int(k(Keys.LLM.BLOCK_COUNT))
+        return ModelConfig(
+            arch=arch,
+            vocab_size=int(vocab_size),
+            n_embd=n_embd,
+            n_layers=n_layers,
+            n_heads=n_heads,
+            n_kv_heads=n_kv_heads,
+            head_dim=head_dim,
+            n_ff=int(k(Keys.LLM.FEED_FORWARD_LENGTH)),
+            rms_eps=float(k(Keys.Attention.LAYERNORM_RMS_EPS, 1e-5)),
+            rope_base=float(md.get(Keys.Rope.FREQ_BASE.format(arch=arch), 10000.0)),
+            rope_dim=int(md.get(Keys.Rope.DIMENSION_COUNT.format(arch=arch), head_dim)),
+            n_ctx_train=int(k(Keys.LLM.CONTEXT_LENGTH, 2048)),
+            rope_scaling=md.get(Keys.Rope.SCALING_TYPE.format(arch=arch)),
+            rope_scale_factor=float(md.get(Keys.Rope.SCALING_FACTOR.format(arch=arch), 1.0)),
+            is_eagle=(arch == "eagle"),
+        )

@@ -1,0 +1,194 @@
+"""HuggingFace <-> eagle_tpu conversion.
+
+Two jobs:
+1. `params_from_hf_llama` — map a transformers Llama state_dict straight into
+   the runtime params pytree (used by parity tests: transformers CPU f32 is our
+   golden model, standing in for the reference's CPU backend in its
+   test-backend-ops dual-execution pattern).
+2. `convert_hf_to_gguf` — write a GGUF file (with the reference converter's q/k
+   row permutation, convert_hf_to_gguf.py:1596, so files interchange with
+   llama.cpp), the functional replacement for the reference's
+   convert_hf_to_gguf.py for the llama + eagle families.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, Keys
+from ..gguf.writer import GGUFWriter
+from ..quant.qtensor import quantize_array
+from .config import ModelConfig
+from .loader import _stack, unpermute_rows
+
+
+def permute_rows(n_rows: int, n_heads: int) -> np.ndarray:
+    """Forward permutation (HF row order -> GGUF row order)."""
+    inv = unpermute_rows(n_rows, n_heads)
+    out = np.empty_like(inv)
+    out[inv] = np.arange(len(inv))
+    return out
+
+
+_HF_LAYER_MAP = {
+    "attn_norm": "input_layernorm.weight",
+    "wq": "self_attn.q_proj.weight",
+    "wk": "self_attn.k_proj.weight",
+    "wv": "self_attn.v_proj.weight",
+    "wo": "self_attn.o_proj.weight",
+    "ffn_norm": "post_attention_layernorm.weight",
+    "w_gate": "mlp.gate_proj.weight",
+    "w_up": "mlp.up_proj.weight",
+    "w_down": "mlp.down_proj.weight",
+}
+
+
+def _to_np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().float().numpy() if hasattr(t, "detach") else t, np.float32)
+
+
+def fallback_qtype(qtype: GGMLType, row_len: int) -> GGMLType:
+    """K-quants need rows divisible by 256; fall back to Q8_0 (block 32) then
+    F16 otherwise — same policy shape as llama_model_quantize's per-tensor
+    fallbacks (src/llama-quant.cpp)."""
+    from ..gguf.constants import GGML_TYPE_TRAITS
+
+    if row_len % GGML_TYPE_TRAITS[qtype].block_size == 0:
+        return qtype
+    if row_len % 32 == 0:
+        return GGMLType.Q8_0
+    return GGMLType.F16
+
+
+def config_from_hf(hf_config) -> ModelConfig:
+    return ModelConfig(
+        arch="llama",
+        vocab_size=hf_config.vocab_size,
+        n_embd=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=getattr(hf_config, "num_key_value_heads", hf_config.num_attention_heads),
+        head_dim=getattr(hf_config, "head_dim", None)
+        or hf_config.hidden_size // hf_config.num_attention_heads,
+        n_ff=hf_config.intermediate_size,
+        rms_eps=hf_config.rms_norm_eps,
+        rope_base=getattr(hf_config, "rope_theta", 10000.0),
+        rope_dim=getattr(hf_config, "head_dim", None)
+        or hf_config.hidden_size // hf_config.num_attention_heads,
+        n_ctx_train=getattr(hf_config, "max_position_embeddings", 2048),
+    )
+
+
+def params_from_hf_llama(model, quant_type: GGMLType | None = None) -> tuple[dict, ModelConfig]:
+    """transformers LlamaForCausalLM -> runtime params pytree.
+
+    With quant_type set, 2-D projection weights are quantized through the GGUF
+    block format (quantize -> repack), exercising the full quant pipeline."""
+    import jax.numpy as jnp
+
+    cfg = config_from_hf(model.config)
+    sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+
+    def wrap(w):
+        if quant_type is None:
+            return w
+        return quantize_array(w, fallback_qtype(quant_type, w.shape[-1]), layout="kn")
+
+    layers = {k: [] for k in _HF_LAYER_MAP}
+    for i in range(cfg.n_layers):
+        for ours, suffix in _HF_LAYER_MAP.items():
+            w = sd[f"model.layers.{i}.{suffix}"]
+            layers[ours].append(wrap(w) if w.ndim == 2 else w)
+
+    params = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "layers": {k: _stack(v) for k, v in layers.items()},
+        "output_norm": sd["model.norm.weight"],
+        "output": sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+    }
+    import jax
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# HF -> GGUF conversion (tool path)
+# ---------------------------------------------------------------------------
+
+
+def _default_qtype_for(name: str, w: np.ndarray, qtype: GGMLType) -> GGMLType:
+    # 1-D tensors and norms stay f32 (same policy as llama_model_quantize's
+    # default rules, src/llama-quant.cpp)
+    if w.ndim != 2:
+        return GGMLType.F32
+    if qtype in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+        return qtype
+    return fallback_qtype(qtype, w.shape[-1])
+
+
+def convert_hf_to_gguf(
+    state_dict: dict[str, Any],
+    cfg: ModelConfig,
+    path: str | Path,
+    qtype: GGMLType = GGMLType.F16,
+    metadata: dict[str, Any] | None = None,
+    arch: str | None = None,
+):
+    """Write a llama/eagle-architecture GGUF from an HF-layout state_dict."""
+    arch = arch or cfg.arch
+    w = GGUFWriter(path)
+    w.add(Keys.General.ARCHITECTURE, arch)
+    w.add(Keys.General.NAME, metadata.get("name", "converted") if metadata else "converted")
+    w.add(Keys.LLM.CONTEXT_LENGTH.format(arch=arch), cfg.n_ctx_train)
+    w.add(Keys.LLM.EMBEDDING_LENGTH.format(arch=arch), cfg.n_embd)
+    w.add(Keys.LLM.BLOCK_COUNT.format(arch=arch), cfg.n_layers)
+    w.add(Keys.LLM.FEED_FORWARD_LENGTH.format(arch=arch), cfg.n_ff)
+    w.add(Keys.LLM.VOCAB_SIZE.format(arch=arch), cfg.vocab_size)
+    w.add(Keys.Attention.HEAD_COUNT.format(arch=arch), cfg.n_heads)
+    w.add(Keys.Attention.HEAD_COUNT_KV.format(arch=arch), cfg.n_kv_heads)
+    w.add(Keys.Attention.KEY_LENGTH.format(arch=arch), cfg.head_dim)
+    w.add(Keys.Attention.VALUE_LENGTH.format(arch=arch), cfg.head_dim)
+    w.add(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=arch), cfg.rms_eps)
+    w.add(Keys.Rope.DIMENSION_COUNT.format(arch=arch), cfg.rope_dim)
+    w.add(Keys.Rope.FREQ_BASE.format(arch=arch), cfg.rope_base)
+    if metadata:
+        for key, val in metadata.items():
+            if key.startswith(("tokenizer.", "general.")) and key != "general.name":
+                w.add(key, val)
+
+    sd = {k: _to_np(v) for k, v in state_dict.items()}
+    q_perm = permute_rows(cfg.n_q_dim, cfg.n_heads)
+    k_perm = permute_rows(cfg.n_kv_dim, cfg.n_kv_heads)
+
+    def put(gguf_name: str, hf_name: str, perm: np.ndarray | None = None):
+        if hf_name not in sd:
+            return False
+        t = sd[hf_name]
+        if perm is not None:
+            t = t[perm]
+        w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
+        return True
+
+    is_eagle = arch == "eagle"
+    emb_key = "embed_tokens.weight" if is_eagle else "model.embed_tokens.weight"
+    lp = "layers" if is_eagle else "model.layers"
+    put("token_embd.weight", emb_key)
+    if is_eagle:
+        put("fc.weight", "fc.weight")
+        put("fc.bias", "fc.bias")
+    for i in range(cfg.n_layers):
+        for ours, suffix in _HF_LAYER_MAP.items():
+            if is_eagle and ours == "attn_norm":
+                continue
+            from .loader import LayerKeyMap
+
+            perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
+            put(f"blk.{i}.{LayerKeyMap[ours]}", f"{lp}.{i}.{suffix}", perm)
+    if not is_eagle:
+        put("output_norm.weight", "model.norm.weight")
+        put("output.weight", "lm_head.weight")
+    w.write()

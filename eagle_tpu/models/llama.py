@@ -1,0 +1,125 @@
+"""Functional llama-family forward pass.
+
+Graph semantics mirror llm_build_context::build_llama (src/llama.cpp:1647):
+pre-norm RMSNorm, rotary GQA attention, SiLU-gated FFN — but expressed as pure
+JAX functions over a pytree of (quantized) weights, traced once under jit, with
+the KV cache threaded functionally. One function serves prefill, decode, and
+speculative verify (the mask and positions make the difference) — llama.cpp
+needs five decode variants for this (src/llama.cpp:9486-10757).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import gqa_attention
+from ..ops.matmul import qmatmul
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_freqs
+from ..quant.qtensor import QTensor
+from ..runtime.kvcache import KVCache
+from .config import ModelConfig
+
+
+class ForwardOutput(NamedTuple):
+    logits: jax.Array | None  # [B, T, V]
+    hidden: jax.Array  # [B, T, D] post-final-norm (the reference's result_norm)
+    hidden_pre: jax.Array  # [B, T, D] last-layer output before the final norm
+    kv: KVCache
+
+
+def embed_lookup(tok_embd: QTensor | jax.Array, tokens: jax.Array) -> jax.Array:
+    """Gather embedding rows; quantized tables are dequantized row-wise after
+    the gather (keeps HBM traffic at quantized width)."""
+    if isinstance(tok_embd, QTensor):
+        g = tok_embd.group
+        q = tok_embd.q[tokens].astype(jnp.float32)  # [..., D]
+        scale = tok_embd.scale[tokens].astype(jnp.float32)  # [..., D/g]
+        d = q.shape[-1]
+        out = q.reshape(*q.shape[:-1], d // g, g) * scale[..., None]
+        if tok_embd.bias is not None:
+            out = out + tok_embd.bias[tokens].astype(jnp.float32)[..., None]
+        return out.reshape(*q.shape)
+    return tok_embd[tokens].astype(jnp.float32)
+
+
+def _layer_step(
+    cfg: ModelConfig,
+    inv_freq: jax.Array,
+    positions: jax.Array,  # [B, T]
+    slots: jax.Array,  # [B, T] cache slots to write
+    mask: jax.Array,  # [B, T, S]
+    compute_dtype,
+    backend: str | None,
+    x: jax.Array,  # [B, T, D] f32
+    layer: dict[str, Any],
+    k_cache: jax.Array,  # [B, S, H_kv, Dh]
+    v_cache: jax.Array,
+):
+    b, t, _ = x.shape
+    h, h_kv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    attn_in = rms_norm(x, layer.get("attn_norm"), cfg.rms_eps) if "attn_norm" in layer else x
+
+    q = qmatmul(attn_in, layer["wq"], backend, compute_dtype).reshape(b, t, h, dh)
+    k = qmatmul(attn_in, layer["wk"], backend, compute_dtype).reshape(b, t, h_kv, dh)
+    v = qmatmul(attn_in, layer["wv"], backend, compute_dtype).reshape(b, t, h_kv, dh)
+
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+
+    b_idx = jnp.arange(b)[:, None]
+    k_cache = k_cache.at[b_idx, slots].set(k.astype(k_cache.dtype))
+    v_cache = v_cache.at[b_idx, slots].set(v.astype(v_cache.dtype))
+
+    attn = gqa_attention(q, k_cache, v_cache, mask)
+    x = x + qmatmul(attn.reshape(b, t, h * dh), layer["wo"], backend, compute_dtype)
+
+    ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+    gate = qmatmul(ffn_in, layer["w_gate"], backend, compute_dtype)
+    up = qmatmul(ffn_in, layer["w_up"], backend, compute_dtype)
+    x = x + qmatmul(jax.nn.silu(gate) * up, layer["w_down"], backend, compute_dtype)
+    return x, k_cache, v_cache
+
+
+def llama_forward(
+    params: dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, T] int32
+    positions: jax.Array,  # [B, T] int32 rope/logical positions
+    kv: KVCache,
+    slots: jax.Array,  # [B, T] cache slot indices to write k/v into
+    mask: jax.Array,  # [B, T, S] bool — visibility of each cache slot
+    *,
+    backend: str | None = None,
+    compute_dtype=jnp.bfloat16,
+    return_logits: bool = True,
+) -> ForwardOutput:
+    """Run the transformer.
+
+    `hidden` is the post-final-norm hidden state (the reference's `result_norm`
+    tensor — what the fork hands to EAGLE, src/llama.cpp:10426); `hidden_pre`
+    is the raw last-layer output (what official EAGLE checkpoints were trained
+    on as the feature)."""
+    x = embed_lookup(params["tok_embd"], tokens)
+    inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+
+    def scan_body(x, layer_and_cache):
+        layer, k_c, v_c = layer_and_cache
+        x, k_c, v_c = _layer_step(
+            cfg, inv_freq, positions, slots, mask, compute_dtype, backend, x, layer, k_c, v_c
+        )
+        return x, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(scan_body, x, (params["layers"], kv.k, kv.v))
+
+    kv = dataclasses.replace(kv, k=new_k, v=new_v)
+    hidden = rms_norm(x, params.get("output_norm"), cfg.rms_eps)
+    logits = None
+    if return_logits:
+        logits = qmatmul(hidden, params["output"], backend, compute_dtype)
+    return ForwardOutput(logits=logits, hidden=hidden, hidden_pre=x, kv=kv)

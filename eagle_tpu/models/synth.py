@@ -1,0 +1,121 @@
+"""Synthetic model construction: random weights in real layouts/shapes.
+
+Benchmarks and compile checks need checkpoint-shaped models without any
+checkpoint on disk (throughput doesn't depend on weight values). QTensors are
+synthesized directly (random int codes + scales) — no quantization pass, so a
+7B materializes in seconds."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..models.config import ModelConfig
+from ..quant.qtensor import QTensor
+
+VICUNA_7B = ModelConfig(
+    arch="llama", vocab_size=32000, n_embd=4096, n_layers=32, n_heads=32,
+    n_kv_heads=32, head_dim=128, n_ff=11008, rms_eps=1e-6, rope_base=10000.0,
+    rope_dim=128, n_ctx_train=2048,
+)
+
+
+def synth_qtensor(
+    rng: np.random.Generator,
+    n: int,
+    k: int,
+    qtype: GGMLType = GGMLType.Q4_K,
+    layout: str = "kn",
+    stack: int | None = None,
+) -> QTensor:
+    group = 16 if qtype == GGMLType.Q6_K else 32
+    lo, hi = {
+        GGMLType.Q4_K: (0, 16),
+        GGMLType.Q4_0: (0, 16),
+        GGMLType.Q5_K: (0, 32),
+        GGMLType.Q6_K: (-32, 32),
+        GGMLType.Q8_0: (-127, 128),
+    }[qtype]
+    has_bias = qtype in (GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q4_0)
+    lead = () if stack is None else (stack,)
+    if layout == "kn":
+        qshape, sshape = lead + (k, n), lead + (k // group, n)
+    else:
+        qshape, sshape = lead + (n, k), lead + (n, k // group)
+    scale_mag = 0.02 / max(1, (hi - 1))
+    return QTensor(
+        q=jnp.asarray(rng.integers(lo, hi, size=qshape, dtype=np.int8)),
+        scale=jnp.asarray(rng.uniform(0.5, 1.5, size=sshape).astype(np.float32) * scale_mag),
+        bias=jnp.asarray(rng.normal(0, scale_mag, size=sshape).astype(np.float32))
+        if has_bias
+        else None,
+        group=group,
+        ggml_type=int(qtype),
+        layout=layout,
+    )
+
+
+def synth_llama_params(
+    cfg: ModelConfig,
+    qtype: GGMLType = GGMLType.Q4_K,
+    seed: int = 0,
+    embed_dtype=jnp.bfloat16,
+) -> dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    L, d, dh, h, hkv, f, v = (
+        cfg.n_layers, cfg.n_embd, cfg.head_dim, cfg.n_heads, cfg.n_kv_heads,
+        cfg.n_ff, cfg.vocab_size,
+    )
+    layers = {
+        "attn_norm": jnp.ones((L, d), jnp.float32),
+        "wq": synth_qtensor(rng, h * dh, d, qtype, stack=L),
+        "wk": synth_qtensor(rng, hkv * dh, d, qtype, stack=L),
+        "wv": synth_qtensor(rng, hkv * dh, d, qtype, stack=L),
+        "wo": synth_qtensor(rng, d, h * dh, qtype, stack=L),
+        "ffn_norm": jnp.ones((L, d), jnp.float32),
+        "w_gate": synth_qtensor(rng, f, d, qtype, stack=L),
+        "w_up": synth_qtensor(rng, f, d, qtype, stack=L),
+        "w_down": synth_qtensor(rng, d, f, qtype, stack=L),
+    }
+    return {
+        "tok_embd": jnp.asarray(
+            rng.normal(0, 0.02, size=(v, d)).astype(np.float32), dtype=embed_dtype
+        ),
+        "layers": layers,
+        "output_norm": jnp.ones((d,), jnp.float32),
+        "output": synth_qtensor(rng, v, d, qtype),
+    }
+
+
+def synth_eagle_params(
+    cfg: ModelConfig,
+    qtype: GGMLType = GGMLType.Q4_K,
+    seed: int = 1,
+    embed_dtype=jnp.bfloat16,
+) -> dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    d, dh, h, hkv, f, v = (
+        cfg.n_embd, cfg.head_dim, cfg.n_heads, cfg.n_kv_heads, cfg.n_ff, cfg.vocab_size
+    )
+    layers = {
+        "wq": synth_qtensor(rng, h * dh, d, qtype, stack=1),
+        "wk": synth_qtensor(rng, hkv * dh, d, qtype, stack=1),
+        "wv": synth_qtensor(rng, hkv * dh, d, qtype, stack=1),
+        "wo": synth_qtensor(rng, d, h * dh, qtype, stack=1),
+        "ffn_norm": jnp.ones((1, d), jnp.float32),
+        "w_gate": synth_qtensor(rng, f, d, qtype, stack=1),
+        "w_up": synth_qtensor(rng, f, d, qtype, stack=1),
+        "w_down": synth_qtensor(rng, d, f, qtype, stack=1),
+    }
+    return {
+        "tok_embd": jnp.asarray(
+            rng.normal(0, 0.02, size=(v, d)).astype(np.float32), dtype=embed_dtype
+        ),
+        "fc_w": synth_qtensor(rng, d, 2 * d, qtype),
+        "fc_b": jnp.zeros((d,), jnp.float32),
+        "layers": layers,
+    }

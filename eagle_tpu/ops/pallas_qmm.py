@@ -1,0 +1,132 @@
+"""Fused dequant + matmul Pallas kernels.
+
+The TPU replacement for ggml's fused quant vec_dot kernels
+(ggml-cpu-quants.c:6266 ggml_vec_dot_q4_K_q8_K and the CUDA mmq/mmvq family):
+weights stream HBM->VMEM in quantized form, dequantize on the VPU inside the
+kernel (never materialized in HBM), and feed the MXU.
+
+Layout: QTensor "kn" — q [K, N] int8, scale/bias [K/G, N] f32. The group
+broadcast then splits the sublane (K) axis by G (free when G % 8 == 0), and
+the MXU contracts K directly: no transposes, no lane shuffles.
+
+Decode (small B) is HBM-bandwidth-bound: the roofline is set by bytes of q +
+scale streamed per token. Grid is (N tiles, K tiles); K tiles accumulate into
+the f32 output block (revisited output, Pallas keeps it in VMEM across the
+inner grid dimension)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.qtensor import QTensor
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype):
+    """One (TILE_K, TILE_N) weight tile: dequant on VPU, matmul on MXU.
+
+    x: [B, TILE_K]; q: [TILE_K, TILE_N] int8; s, b: [TILE_K/G, TILE_N] f32;
+    o: [B, TILE_N] f32 (accumulated across the K grid dim)."""
+    tk, tn = q_ref.shape
+    w = q_ref[:].astype(jnp.float32).reshape(tk // group, group, tn)
+    w = w * s_ref[:][:, None, :]
+    if b_ref is not None:
+        w = w + b_ref[:][:, None, :]
+    w = w.reshape(tk, tn).astype(compute_dtype)
+    acc = jax.lax.dot_general(
+        x_ref[:].astype(compute_dtype),
+        w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k")
+)
+def qmatmul_pallas_2d(
+    x: jax.Array,  # [B, K]
+    w: QTensor,  # layout "kn"
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    tile_n: int = 256,
+    tile_k: int = 2048,
+) -> jax.Array:
+    assert w.layout == "kn", "pallas qmatmul requires K-major layout"
+    k, n = w.q.shape
+    g = w.group
+    b = x.shape[0]
+
+    tile_n = min(tile_n, n)
+    tile_k = min(tile_k, k)
+    assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0, (n, k, tile_n, tile_k, g)
+
+    grid = (n // tile_n, k // tile_k)
+
+    in_specs = [
+        pl.BlockSpec((b, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w.q, w.scale.astype(jnp.float32)]
+    if w.bias is not None:
+        in_specs.append(
+            pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w.bias.astype(jnp.float32))
+        kernel = functools.partial(_qmm_kernel, group=g, compute_dtype=compute_dtype)
+    else:
+        kernel = functools.partial(
+            lambda xr, qr, sr, orf, **kw: _qmm_kernel(xr, qr, sr, None, orf, **kw),
+            group=g,
+            compute_dtype=compute_dtype,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n + (k // g) * n * 4 * (2 if w.bias is not None else 1) + b * k * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+    return out
+
+
+def qmatmul_pallas(
+    x: jax.Array, w: QTensor, compute_dtype=jnp.bfloat16, interpret: bool = False
+) -> jax.Array:
+    """x [..., K] @ dequant(w)[N, K]^T -> [..., N]; flattens leading dims."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    xb = x.reshape(-1, k)
+    b = xb.shape[0]
+    # pad batch to the f32 sublane tile
+    bp = _round_up(max(b, 8), 8)
+    if bp != b:
+        xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
+    out = qmatmul_pallas_2d(xb, w, compute_dtype=compute_dtype, interpret=interpret)
+    if bp != b:
+        out = out[:b]
+    return out.reshape(*lead, -1)

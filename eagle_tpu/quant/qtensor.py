@@ -1,0 +1,213 @@
+"""QTensor — the device-side representation of group-quantized weights.
+
+Every supported GGUF block format repacks *exactly* onto the uniform affine
+model
+
+    w[n, k] = scale[n, k // G] * q[n, k] + bias[n, k // G]
+
+with q a small integer. This is the TPU-friendly layout: `q` feeds the MXU as
+(packed) integers, `scale`/`bias` are per-group epilogue constants living in
+VMEM. The repacking replaces ggml's byte-interleaved block structs
+(ggml/src/ggml-common.h) whose layout only makes sense for CPU SIMD; the
+numerical reconstruction is bit-identical to ggml's dequant (see
+tests/test_repack.py).
+
+Format mapping (dequant semantics from ggml/src/ggml-quants.c):
+    Q4_0:  G=32,  q in [0,15],   scale=d,      bias=-8*d
+    Q8_0:  G=32,  q in [-127,127], scale=d,    bias=0
+    Q4_K:  G=32,  q in [0,15],   scale=d*sc6,  bias=-dmin*m6
+    Q5_K:  G=32,  q in [0,31],   scale=d*sc6,  bias=-dmin*m6
+    Q6_K:  G=16,  q in [-32,31], scale=d*sc8,  bias=0
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType, QK_K
+from . import blocks as _b
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QTensor:
+    """Group-quantized 2-D weight, logically [N, K] (out-features, in-features).
+
+    Two physical layouts:
+      - "nk": q [N, K], scale/bias [N, K/G] — gather-friendly (embedding tables)
+      - "kn": q [K, N], scale/bias [K/G, N] — matmul-friendly on TPU: the MXU
+        contracts the sublane (K) axis directly and the per-group scale
+        broadcast splits sublanes by G (a free relayout since G % 8 == 0),
+        never the 128-lane axis.
+    """
+
+    q: jax.Array
+    scale: jax.Array
+    bias: jax.Array | None
+    group: int = dataclasses.field(metadata=dict(static=True), default=32)
+    ggml_type: int = dataclasses.field(metadata=dict(static=True), default=int(GGMLType.Q8_0))
+    layout: str = dataclasses.field(metadata=dict(static=True), default="nk")
+
+    @property
+    def shape(self):
+        """Logical (N, K) shape regardless of layout."""
+        return self.q.shape if self.layout == "nk" else self.q.shape[::-1]
+
+    def transpose(self) -> "QTensor":
+        """Switch physical layout (host-side, one-time at load)."""
+        return dataclasses.replace(
+            self,
+            q=self.q.T,
+            scale=self.scale.T,
+            bias=None if self.bias is None else self.bias.T,
+            layout="kn" if self.layout == "nk" else "nk",
+        )
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        """Materialize dense [N, K] weights (reference path; fused kernels avoid this)."""
+        g = self.group
+        if self.layout == "nk":
+            n, k = self.q.shape
+            w = self.q.astype(jnp.float32).reshape(n, k // g, g)
+            w = w * self.scale.astype(jnp.float32)[:, :, None]
+            if self.bias is not None:
+                w = w + self.bias.astype(jnp.float32)[:, :, None]
+            return w.reshape(n, k).astype(dtype)
+        k, n = self.q.shape
+        w = self.q.astype(jnp.float32).reshape(k // g, g, n)
+        w = w * self.scale.astype(jnp.float32)[:, None, :]
+        if self.bias is not None:
+            w = w + self.bias.astype(jnp.float32)[:, None, :]
+        return w.reshape(k, n).T.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# numpy repacking: GGUF packed block bytes -> (q, scale, bias, group)
+# ---------------------------------------------------------------------------
+
+
+def _repack_q8_0(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 34)
+    d = _b._f16_bytes_to_f32(bl[:, :2])
+    q = bl[:, 2:].view(np.int8)
+    return q.reshape(n, k), d.reshape(n, k // 32), None, 32
+
+
+def _repack_q4_0(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 18)
+    d = _b._f16_bytes_to_f32(bl[:, :2])
+    qs = bl[:, 2:]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.int8)  # block order lo|hi
+    return (
+        q.reshape(n, k),
+        d.reshape(n, k // 32),
+        (-8.0 * d).reshape(n, k // 32).astype(np.float32),
+        32,
+    )
+
+
+def _repack_q4_k(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 144)
+    nb = bl.shape[0]
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    dmin = _b._f16_bytes_to_f32(bl[:, 2:4])
+    sc, m = _b._unpack_scale_min_k4(bl[:, 4:16])
+    qs = bl[:, 16:].reshape(nb, 4, 32)
+    q = np.stack([qs & 0xF, qs >> 4], axis=2).reshape(nb, 256).astype(np.int8)
+    scale = (d[:, None] * sc.astype(np.float32)).astype(np.float32)
+    bias = (-(dmin[:, None] * m.astype(np.float32))).astype(np.float32)
+    return q.reshape(n, k), scale.reshape(n, k // 32), bias.reshape(n, k // 32), 32
+
+
+def _repack_q5_k(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 176)
+    nb = bl.shape[0]
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    dmin = _b._f16_bytes_to_f32(bl[:, 2:4])
+    sc, m = _b._unpack_scale_min_k4(bl[:, 4:16])
+    qh = bl[:, 16:48]
+    ql = bl[:, 48:].reshape(nb, 4, 32)
+    groups = []
+    for c in range(4):
+        groups.append((ql[:, c] & 0xF) + (((qh >> (2 * c)) & 1) << 4))
+        groups.append((ql[:, c] >> 4) + (((qh >> (2 * c + 1)) & 1) << 4))
+    q = np.stack(groups, axis=1).reshape(nb, 256).astype(np.int8)
+    scale = (d[:, None] * sc.astype(np.float32)).astype(np.float32)
+    bias = (-(dmin[:, None] * m.astype(np.float32))).astype(np.float32)
+    return q.reshape(n, k), scale.reshape(n, k // 32), bias.reshape(n, k // 32), 32
+
+
+def _repack_q6_k(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 210)
+    nb = bl.shape[0]
+    ql = bl[:, 0:128].reshape(nb, 2, 64)
+    qh = bl[:, 128:192].reshape(nb, 2, 32)
+    sc = bl[:, 192:208].view(np.int8)
+    d = _b._f16_bytes_to_f32(bl[:, 208:210])
+    q1 = (ql[:, :, :32] & 0xF) | ((qh & 0x3) << 4)
+    q2 = (ql[:, :, 32:] & 0xF) | (((qh >> 2) & 0x3) << 4)
+    q3 = (ql[:, :, :32] >> 4) | (((qh >> 4) & 0x3) << 4)
+    q4 = (ql[:, :, 32:] >> 4) | (((qh >> 6) & 0x3) << 4)
+    q = (np.concatenate([q1, q2, q3, q4], axis=2).astype(np.int16) - 32).astype(np.int8)
+    scale = (d[:, None] * sc.astype(np.float32)).astype(np.float32)  # (nb, 16)
+    return q.reshape(n, k), scale.reshape(n, k // 16), None, 16
+
+
+_REPACKERS = {
+    GGMLType.Q8_0: _repack_q8_0,
+    GGMLType.Q4_0: _repack_q4_0,
+    GGMLType.Q4_K: _repack_q4_k,
+    GGMLType.Q5_K: _repack_q5_k,
+    GGMLType.Q6_K: _repack_q6_k,
+}
+
+REPACKABLE_TYPES = tuple(sorted(_REPACKERS, key=int))
+
+
+def repack_numpy(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]):
+    """GGUF packed bytes -> (q int8 [N,K], scale f32 [N,K/G], bias|None, G).
+
+    `shape` is numpy-convention (N, K) with K contiguous.
+    """
+    ggml_type = GGMLType(ggml_type)
+    if len(shape) != 2:
+        n, k = int(np.prod(shape[:-1])), shape[-1]
+    else:
+        n, k = shape
+    return _REPACKERS[ggml_type](np.ascontiguousarray(data, dtype=np.uint8), n, k)
+
+
+def qtensor_from_gguf(
+    data: np.ndarray,
+    ggml_type: GGMLType,
+    shape: tuple[int, ...],
+    scale_dtype=jnp.float32,
+    device_put=jnp.asarray,
+    layout: str = "nk",
+) -> QTensor:
+    q, scale, bias, group = repack_numpy(data, ggml_type, shape)
+    if layout == "kn":
+        q, scale = np.ascontiguousarray(q.T), np.ascontiguousarray(scale.T)
+        bias = None if bias is None else np.ascontiguousarray(bias.T)
+    if scale_dtype != jnp.float32:
+        scale = scale.astype(np.dtype(scale_dtype))
+    return QTensor(
+        q=device_put(q),
+        scale=device_put(scale),
+        bias=None if bias is None else device_put(bias),
+        group=group,
+        ggml_type=int(ggml_type),
+        layout=layout,
+    )
+
+
+def quantize_array(w: np.ndarray, ggml_type: GGMLType, layout: str = "nk") -> QTensor:
+    """Quantize a dense float [N, K] array straight to a QTensor (tests, on-the-fly
+    quantization of HF checkpoints)."""
+    packed = _b.quantize(np.asarray(w, dtype=np.float32), ggml_type)
+    return qtensor_from_gguf(packed, ggml_type, tuple(w.shape), layout=layout)

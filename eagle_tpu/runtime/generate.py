@@ -1,0 +1,139 @@
+"""Autoregressive generation engine (non-speculative path).
+
+The whole decode loop — forward, sample, KV append, EOS tracking — runs inside
+one compiled program per chunk (lax.scan), eliminating the per-token
+host<->device round-trips the reference pays in its C++ driver loop
+(examples/main, stack SURVEY.md §3.2). Prompt lengths are bucketed to powers of
+two to bound recompilation."""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import llama_forward
+from ..runtime.kvcache import KVCache, causal_mask_from_tags
+from .sampling import SamplerConfig, sample
+
+
+def pad_bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class Generator:
+    params: Any
+    cfg: ModelConfig
+    max_seq: int = 2048
+    batch: int = 1
+    kv_dtype: Any = jnp.bfloat16
+    compute_dtype: Any = jnp.bfloat16
+    backend: str | None = None
+    eos_id: int = 2
+
+    def __post_init__(self):
+        self.kv = KVCache.create(
+            self.cfg.n_layers, self.batch, self.max_seq, self.cfg.n_kv_heads,
+            self.cfg.head_dim, dtype=self.kv_dtype,
+        )
+        self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",), donate_argnames=("kv",))
+        self._decode_jit = jax.jit(
+            self._decode_chunk, static_argnames=("n_steps", "scfg"), donate_argnames=("kv",)
+        )
+
+    # ---- compiled bodies --------------------------------------------------
+
+    def _prefill(self, params, kv: KVCache, tokens, n_valid, t: int):
+        """tokens [B, t] padded; n_valid [B] actual lengths. Returns
+        (last_logits [B, V], hidden [B, D], kv)."""
+        b = tokens.shape[0]
+        positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+        valid = positions < n_valid[:, None]
+        kv = kv.with_tags(positions, positions, valid=valid)
+        mask = causal_mask_from_tags(kv.slot_pos, positions)
+        out = llama_forward(
+            self.params, self.cfg, tokens, positions, kv, positions, mask,
+            backend=self.backend, compute_dtype=self.compute_dtype,
+        )
+        last = n_valid - 1
+        b_idx = jnp.arange(b)
+        return out.logits[b_idx, last], out.hidden[b_idx, last], out.kv
+
+    def _decode_chunk(self, params, kv: KVCache, first_token, start_pos, key, scfg: SamplerConfig, n_steps: int):
+        """Greedy/sampled decode of n_steps tokens inside one scan.
+
+        first_token [B], start_pos [B]. Returns (tokens [B, n_steps], kv)."""
+
+        def step(carry, _):
+            kv, tok, pos, key = carry
+            p = pos[:, None]
+            kv = kv.with_tags(p, p)
+            mask = causal_mask_from_tags(kv.slot_pos, p)
+            fo = llama_forward(
+                self.params, self.cfg, tok[:, None], p, kv, p, mask,
+                backend=self.backend, compute_dtype=self.compute_dtype,
+            )
+            kv = fo.kv
+            key, sub = jax.random.split(key)
+            nxt = sample(fo.logits[:, 0], sub, scfg)
+            return (kv, nxt, pos + 1, key), nxt
+
+        (kv, _, _, _), toks = jax.lax.scan(
+            step, (kv, first_token, start_pos, key), None, length=n_steps
+        )
+        return toks.T, kv  # [B, n_steps]
+
+    # ---- host API ---------------------------------------------------------
+
+    def generate(
+        self,
+        prompt_tokens: list[int] | np.ndarray,
+        max_new_tokens: int = 128,
+        sampler: SamplerConfig | None = None,
+        seed: int = 0,
+        chunk: int = 32,
+        stop_at_eos: bool = True,
+    ) -> list[int]:
+        """Single-sequence generation. Returns generated token ids."""
+        scfg = sampler or SamplerConfig(greedy=True)
+        prompt = np.asarray(prompt_tokens, dtype=np.int32)
+        n = len(prompt)
+        t = pad_bucket(n)
+        padded = np.zeros((self.batch, t), np.int32)
+        padded[0, :n] = prompt
+        logits, _, self.kv = self._prefill_jit(
+            self.params, self.kv, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t
+        )
+        key = jax.random.PRNGKey(seed)
+        key, sub = jax.random.split(key)
+        first = sample(logits, sub, scfg)
+
+        out = [int(first[0])]
+        if stop_at_eos and out[-1] == self.eos_id:
+            return out
+        pos = n
+        tok = first
+        while len(out) < max_new_tokens:
+            steps = min(chunk, max_new_tokens - len(out))
+            key, sub = jax.random.split(key)
+            toks, self.kv = self._decode_jit(
+                self.params, self.kv, tok, jnp.full((self.batch,), pos, jnp.int32),
+                sub, scfg, n_steps=steps,
+            )
+            chunk_toks = np.asarray(toks)[0].tolist()
+            for tk in chunk_toks:
+                out.append(int(tk))
+                if stop_at_eos and tk == self.eos_id:
+                    return out
+            pos += steps
+            tok = jnp.asarray(np.asarray(toks)[:, -1])
+        return out

@@ -1,0 +1,67 @@
+"""KV cache — static-shape, position-tagged.
+
+Design notes (vs the reference): llama.cpp keeps a host-side ring of cells with
+{pos, seq_id} per slot and rebuilds an attention mask per ubatch on the host
+(src/llama-kv-cache.h:10-78, mask build src/llama-context.cpp:136-200). On TPU
+everything must be static-shaped and device-resident, so the cache is a dense
+[L, B, S, H_kv, D] buffer plus a per-slot *position tag* array `slot_pos`
+[B, S] (-1 = empty). Masks are computed on device from the tags; sequence
+trimming/rollback (speculation rejects, context shift) is O(1): overwrite the
+tags, never move K/V data. This subsumes llama.cpp's seq_rm/seq_add cell
+machinery for the single-sequence-per-slot case; multi-sequence batching gives
+each batch row its own cache rows (continuous batching assigns requests to
+rows)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KVCache:
+    k: jax.Array  # [L, B, S, H_kv, D]
+    v: jax.Array  # [L, B, S, H_kv, D]
+    slot_pos: jax.Array  # [B, S] int32, position tag per slot, -1 = empty
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+    @staticmethod
+    def create(n_layers, batch, max_seq, n_kv_heads, head_dim, dtype=jnp.bfloat16):
+        return KVCache(
+            k=jnp.zeros((n_layers, batch, max_seq, n_kv_heads, head_dim), dtype),
+            v=jnp.zeros((n_layers, batch, max_seq, n_kv_heads, head_dim), dtype),
+            slot_pos=jnp.full((batch, max_seq), -1, jnp.int32),
+        )
+
+    def with_tags(self, slots: jax.Array, positions: jax.Array, valid=None) -> "KVCache":
+        """Tag `slots` [B,T] with `positions` [B,T] (write happens in the model
+        forward; tags define visibility). `valid` [B,T] bool masks out padding
+        writes (their tag is set to -1 only if the slot was previously empty —
+        padded writes always target a dedicated scratch slot by convention)."""
+        pos = positions if valid is None else jnp.where(valid, positions, -1)
+        b_idx = jnp.arange(self.slot_pos.shape[0])[:, None]
+        return dataclasses.replace(
+            self, slot_pos=self.slot_pos.at[b_idx, slots].set(pos.astype(jnp.int32))
+        )
+
+    def rollback(self, keep_below: jax.Array) -> "KVCache":
+        """Invalidate every slot whose position >= keep_below [B] (the KV
+        rollback after speculative verification — functional equivalent of
+        llama_kv_cache_seq_rm(ctx, 0, n_past, -1), llama-kv-cache.cpp:368)."""
+        new_tags = jnp.where(self.slot_pos >= keep_below[:, None], -1, self.slot_pos)
+        return dataclasses.replace(self, slot_pos=new_tags)
+
+
+def causal_mask_from_tags(slot_pos: jax.Array, q_positions: jax.Array) -> jax.Array:
+    """Boolean attention mask [B, T, S]: slot visible iff non-empty and its
+    position <= the query token's position (mirrors the reference's
+    cell-position mask, llama-context.cpp:136-200)."""
+    return (slot_pos[:, None, :] >= 0) & (
+        slot_pos[:, None, :] <= q_positions[:, :, None]
+    )

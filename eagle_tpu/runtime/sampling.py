@@ -1,0 +1,136 @@
+"""On-device sampler chain.
+
+Functional counterpart of llama.cpp's sampler chain (src/llama-sampling.cpp,
+common/sampling.cpp): a fixed pipeline of logit transforms followed by
+greedy/categorical selection, entirely jittable (no host round-trip per token).
+Chain order mirrors common_sampler's default: penalties -> top-k -> typical ->
+top-p -> min-p -> temperature -> dist.
+
+Penalty state is carried as a dense per-vocab count tensor (static shape)
+rather than llama.cpp's ring buffer of recent tokens."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    temperature: float = 0.8
+    top_k: int = 40  # <= 0: disabled
+    top_p: float = 0.95  # >= 1: disabled
+    min_p: float = 0.05  # <= 0: disabled
+    typical_p: float = 1.0  # >= 1: disabled
+    penalty_repeat: float = 1.0  # 1.0: disabled
+    penalty_freq: float = 0.0
+    penalty_present: float = 0.0
+    greedy: bool = False
+
+    @property
+    def needs_penalties(self) -> bool:
+        return (
+            self.penalty_repeat != 1.0
+            or self.penalty_freq != 0.0
+            or self.penalty_present != 0.0
+        )
+
+
+def apply_penalties(
+    logits: jax.Array, counts: jax.Array, cfg: SamplerConfig
+) -> jax.Array:
+    """llama_sampler_penalties semantics (src/llama-sampling.cpp): repeat
+    penalty divides positive logits / multiplies negative ones; freq/present
+    subtract linearly in count. `counts` [V] = occurrences within the penalty
+    window."""
+    seen = counts > 0
+    l = logits
+    if cfg.penalty_repeat != 1.0:
+        l = jnp.where(
+            seen, jnp.where(l > 0, l / cfg.penalty_repeat, l * cfg.penalty_repeat), l
+        )
+    if cfg.penalty_freq != 0.0 or cfg.penalty_present != 0.0:
+        l = l - counts * cfg.penalty_freq - seen.astype(l.dtype) * cfg.penalty_present
+    return l
+
+
+def top_k_mask(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, _NEG_INF, logits)
+
+
+def top_p_mask(logits: jax.Array, p: float) -> jax.Array:
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens until cumulative prob exceeds p (always keep the top token)
+    keep_sorted = cum - probs < p
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < threshold, _NEG_INF, logits)
+
+
+def min_p_mask(logits: jax.Array, p: float) -> jax.Array:
+    if p <= 0.0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    cutoff = probs.max(axis=-1, keepdims=True) * p
+    return jnp.where(probs < cutoff, _NEG_INF, logits)
+
+
+def typical_mask(logits: jax.Array, p: float) -> jax.Array:
+    """Locally-typical sampling (llama_sampler_typical)."""
+    if p >= 1.0:
+        return logits
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(log_probs)
+    entropy = -jnp.sum(probs * log_probs, axis=-1, keepdims=True)
+    shifted = jnp.abs(-log_probs - entropy)
+    order = jnp.argsort(shifted, axis=-1)
+    probs_sorted = jnp.take_along_axis(probs, order, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    keep_sorted = (cum - probs_sorted) < p
+    keep = jnp.put_along_axis(
+        jnp.zeros_like(keep_sorted), order, keep_sorted, axis=-1, inplace=False
+    )
+    return jnp.where(keep, logits, _NEG_INF)
+
+
+def transform_logits(
+    logits: jax.Array, cfg: SamplerConfig, penalty_counts: jax.Array | None = None
+) -> jax.Array:
+    """Apply the chain's logit transforms (everything except the final draw)."""
+    l = logits.astype(jnp.float32)
+    if cfg.needs_penalties and penalty_counts is not None:
+        l = apply_penalties(l, penalty_counts, cfg)
+    if cfg.greedy:
+        return l
+    l = top_k_mask(l, cfg.top_k)
+    l = typical_mask(l, cfg.typical_p)
+    l = top_p_mask(l, cfg.top_p)
+    l = min_p_mask(l, cfg.min_p)
+    if cfg.temperature > 0:
+        l = l / cfg.temperature
+    return l
+
+
+def sample(
+    logits: jax.Array,
+    key: jax.Array,
+    cfg: SamplerConfig,
+    penalty_counts: jax.Array | None = None,
+) -> jax.Array:
+    """Draw token ids from [..., V] logits. Greedy if cfg.greedy or temp<=0."""
+    l = transform_logits(logits, cfg, penalty_counts)
+    if cfg.greedy or cfg.temperature <= 0:
+        return jnp.argmax(l, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)

@@ -1,0 +1,268 @@
+"""EAGLE chain speculative decoding engine.
+
+One *fully-jitted* cycle does: K-step draft scan (feature autoregression) ->
+single verify forward over [input token + K drafts] -> greedy/sampled
+exact-prefix acceptance -> KV rollback by tag invalidation -> feature handoff.
+The reference pays ~8 host<->device round-trips per cycle (hidden-state
+download/upload at src/llama.cpp:10426 / llama-context.cpp:83-88, per-token
+draft sampling on host, KV ops on host cells); here the entire cycle is one
+XLA program and the hidden state never leaves the device — the design fix
+called out in SURVEY.md §7 stage 5.
+
+Indexing model (matches EAGLE training's shifted sequence):
+  target token x_i lives at target position i;
+  draft *pair* (x_i, f_{i-1}) lives at draft position i-1, where f_j is the
+  target hidden state at position j (post- or pre-final-norm per
+  `feature_source`; the fork uses post — result_norm — while official EAGLE
+  checkpoints are trained on pre-norm features).
+
+Acceptance matches common_sampler_sample_and_accept_n
+(common/sampling.cpp:423-460): sample the target at every draft position,
+accept the longest exact-match prefix, and always emit one bonus/correction
+token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.eagle import eagle_forward
+from ..models.llama import llama_forward
+from .generate import pad_bucket
+from .kvcache import KVCache, causal_mask_from_tags
+from .sampling import SamplerConfig, sample
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpecState:
+    tgt_kv: KVCache
+    dft_kv: KVCache
+    last_token: jax.Array  # [B] sampled but not yet decoded by the target
+    feature: jax.Array  # [B, D] target feature at position n_past-1
+    n_past: jax.Array  # [B] committed target tokens (m)
+    key: jax.Array
+
+
+class CycleOutput(NamedTuple):
+    state: SpecState
+    tokens: jax.Array  # [B, K+1] candidate output tokens (t_true)
+    n_out: jax.Array  # [B] how many of `tokens` are real output (n_acc + 1)
+    n_accepted: jax.Array  # [B] accepted draft tokens this cycle
+
+
+class EagleChainEngine:
+    """Single-sequence (B=1-oriented, but batch-shaped) chain speculation."""
+
+    def __init__(
+        self,
+        target_params: dict[str, Any],
+        draft_params: dict[str, Any],
+        target_cfg: ModelConfig,
+        draft_cfg: ModelConfig | None = None,
+        *,
+        n_draft: int = 5,
+        max_seq: int = 2048,
+        batch: int = 1,
+        kv_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16,
+        backend: str | None = None,
+        feature_source: str = "post_norm",  # "post_norm" (fork) | "pre_norm" (official)
+        sampler: SamplerConfig | None = None,
+        eos_id: int = 2,
+    ):
+        self.tp, self.dp = target_params, draft_params
+        self.tcfg = target_cfg
+        self.dcfg = draft_cfg or dataclasses.replace(target_cfg, n_layers=1, is_eagle=True)
+        self.K = n_draft
+        self.max_seq = max_seq
+        self.batch = batch
+        self.compute_dtype = compute_dtype
+        self.backend = backend
+        self.feature_source = feature_source
+        self.scfg = sampler or SamplerConfig(greedy=True)
+        self.eos_id = eos_id
+        self.kv_dtype = kv_dtype
+
+        self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",))
+        self._cycle_jit = jax.jit(self._cycle, donate_argnames=("state",))
+
+    # ------------------------------------------------------------------
+
+    def _pick_feature(self, post: jax.Array, pre: jax.Array) -> jax.Array:
+        return post if self.feature_source == "post_norm" else pre
+
+    def fresh_state(self) -> SpecState:
+        b = self.batch
+        return SpecState(
+            tgt_kv=KVCache.create(
+                self.tcfg.n_layers, b, self.max_seq, self.tcfg.n_kv_heads,
+                self.tcfg.head_dim, self.kv_dtype,
+            ),
+            dft_kv=KVCache.create(
+                1, b, self.max_seq, self.dcfg.n_kv_heads, self.dcfg.head_dim, self.kv_dtype
+            ),
+            last_token=jnp.zeros((b,), jnp.int32),
+            feature=jnp.zeros((b, self.tcfg.n_embd), jnp.float32),
+            n_past=jnp.zeros((b,), jnp.int32),
+            key=jax.random.PRNGKey(0),
+        )
+
+    def _prefill(self, state: SpecState, tokens, n_valid, t: int):
+        """Target prefill over the padded prompt + draft prefill over the
+        shifted (token, feature) pairs. Samples the first output token."""
+        b = tokens.shape[0]
+        positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+        valid = positions < n_valid[:, None]
+
+        tgt_kv = state.tgt_kv.with_tags(positions, positions, valid=valid)
+        mask = causal_mask_from_tags(tgt_kv.slot_pos, positions)
+        tout = llama_forward(
+            self.tp, self.tcfg, tokens, positions, tgt_kv, positions, mask,
+            backend=self.backend, compute_dtype=self.compute_dtype,
+        )
+        feats = self._pick_feature(tout.hidden, tout.hidden_pre)
+
+        # draft pairs: (x_i, f_{i-1}) for i = 1..n-1 at draft positions 0..n-2
+        d_tokens = jnp.roll(tokens, -1, axis=1)  # x_{i+1} at index i
+        d_feats = feats
+        d_valid = positions < (n_valid[:, None] - 1)
+        dft_kv = state.dft_kv.with_tags(positions, positions, valid=d_valid)
+        d_mask = causal_mask_from_tags(dft_kv.slot_pos, positions)
+        dout = eagle_forward(
+            self.dp, self.tp, self.dcfg, d_tokens, d_feats, positions, dft_kv,
+            positions, d_mask, backend=self.backend, compute_dtype=self.compute_dtype,
+            return_logits=False,
+        )
+
+        b_idx = jnp.arange(b)
+        last = n_valid - 1
+        key, sub = jax.random.split(state.key)
+        first_tok = sample(tout.logits[b_idx, last], sub, self.scfg)
+        return dataclasses.replace(
+            state,
+            tgt_kv=tout.kv,
+            dft_kv=dout.kv,
+            last_token=first_tok,
+            feature=feats[b_idx, last],
+            n_past=n_valid,
+            key=key,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _cycle(self, state: SpecState) -> CycleOutput:
+        b, K = self.batch, self.K
+        b_idx = jnp.arange(b)
+        m = state.n_past  # [B]
+
+        # ---- 1. draft K tokens (feature autoregression) ----
+        def draft_step(carry, k):
+            tok, feat, dkv = carry
+            pos = (m - 1 + k)[:, None]  # [B,1] draft position of this pair
+            dkv = dkv.with_tags(pos, pos)
+            mask = causal_mask_from_tags(dkv.slot_pos, pos)
+            out = eagle_forward(
+                self.dp, self.tp, self.dcfg, tok[:, None], feat[:, None], pos,
+                dkv, pos, mask, backend=self.backend, compute_dtype=self.compute_dtype,
+            )
+            nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
+            feat_next = self._pick_feature(out.feature, out.feature_pre)[:, 0]
+            return (nxt, feat_next, out.kv), nxt
+
+        (_, _, dft_kv), drafts = jax.lax.scan(
+            draft_step, (state.last_token, state.feature, state.dft_kv), jnp.arange(K)
+        )
+        drafts = drafts.T  # [B, K]; drafts[:, k] = candidate for x_{m+1+k}
+
+        # ---- 2. verify: one target forward over [x_m, d_1..d_K] ----
+        v_tokens = jnp.concatenate([state.last_token[:, None], drafts], axis=1)  # [B, K+1]
+        v_pos = m[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        tgt_kv = state.tgt_kv.with_tags(v_pos, v_pos)
+        mask = causal_mask_from_tags(tgt_kv.slot_pos, v_pos)
+        tout = llama_forward(
+            self.tp, self.tcfg, v_tokens, v_pos, tgt_kv, v_pos, mask,
+            backend=self.backend, compute_dtype=self.compute_dtype,
+        )
+
+        # ---- 3. accept longest exact-match prefix ----
+        key, sub = jax.random.split(state.key)
+        if self.scfg.greedy:
+            t_true = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)  # [B, K+1]
+        else:
+            keys = jax.random.split(sub, K + 1)
+            t_true = jax.vmap(
+                lambda l, k: sample(l, k, self.scfg), in_axes=(1, 0), out_axes=1
+            )(tout.logits, keys)
+        match = drafts == t_true[:, :K]  # [B, K]
+        n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
+
+        new_m = m + n_acc + 1
+        feats = self._pick_feature(tout.hidden, tout.hidden_pre)
+        new_feature = feats[b_idx, n_acc]
+        new_token = t_true[b_idx, n_acc]
+
+        tgt_kv = tout.kv.rollback(keep_below=new_m)
+        dft_kv = dft_kv.rollback(keep_below=new_m - 1)
+
+        new_state = SpecState(
+            tgt_kv=tgt_kv, dft_kv=dft_kv, last_token=new_token,
+            feature=new_feature, n_past=new_m, key=key,
+        )
+        return CycleOutput(
+            state=new_state, tokens=t_true, n_out=n_acc + 1, n_accepted=n_acc
+        )
+
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt_tokens,
+        max_new_tokens: int = 128,
+        seed: int = 0,
+        stop_at_eos: bool = True,
+    ) -> tuple[list[int], dict]:
+        """Returns (tokens, stats). Output is identical to non-speculative
+        decoding with the same sampler (the draft only changes *speed*)."""
+        state = self.fresh_state()
+        state = dataclasses.replace(state, key=jax.random.PRNGKey(seed))
+        prompt = np.asarray(prompt_tokens, dtype=np.int32)
+        n = len(prompt)
+        t = pad_bucket(n)
+        padded = np.zeros((self.batch, t), np.int32)
+        padded[0, :n] = prompt
+        state = self._prefill_jit(state, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t)
+
+        out = [int(np.asarray(state.last_token)[0])]
+        n_cycles = 0
+        n_drafted = 0
+        n_accepted = 0
+        while len(out) < max_new_tokens and not (stop_at_eos and out[-1] == self.eos_id):
+            if int(np.asarray(state.n_past)[0]) + self.K + 2 >= self.max_seq:
+                break
+            res = self._cycle_jit(state)
+            state = res.state
+            toks = np.asarray(res.tokens)[0]
+            k = int(np.asarray(res.n_out)[0])
+            n_cycles += 1
+            n_drafted += self.K
+            n_accepted += int(np.asarray(res.n_accepted)[0])
+            for tk in toks[:k]:
+                out.append(int(tk))
+                if (stop_at_eos and tk == self.eos_id) or len(out) >= max_new_tokens:
+                    break
+        stats = {
+            "n_cycles": n_cycles,
+            "n_drafted": n_drafted,
+            "n_accepted": n_accepted,
+            "accept_rate": n_accepted / max(1, n_drafted),
+            "mean_accept_len": (n_accepted + n_cycles) / max(1, n_cycles),
+        }
+        return out, stats

@@ -6,8 +6,10 @@ all — SURVEY.md §4; we go further and fake a mesh)."""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU even if the outer
+# environment points at a TPU (JAX_PLATFORMS=axon): unit tests validate logic,
+# not hardware, and must not monopolize the chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,6 +18,13 @@ import pathlib
 
 import numpy as np
 import pytest
+
+# A pytest plugin may have imported jax before this conftest ran, in which case
+# the env var alone is too late — force the platform through the config as well
+# (works as long as no backend has been initialized yet).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_ROOT = pathlib.Path("/root/reference/llama.cpp")
 

@@ -1,0 +1,97 @@
+"""Repacked QTensor must reconstruct bit-identically to the block dequant
+reference, and qmatmul must match a dense numpy matmul."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eagle_tpu.gguf.constants import GGMLType
+from eagle_tpu.ops.matmul import qmatmul
+from eagle_tpu.quant import blocks
+from eagle_tpu.quant.qtensor import REPACKABLE_TYPES, quantize_array, repack_numpy
+
+SHAPES = [(8, 256), (16, 512)]
+
+
+@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+@pytest.mark.parametrize("shape", SHAPES)
+def test_repack_reconstruction_exact(rng, qtype, shape):
+    w = rng.standard_normal(shape).astype(np.float32)
+    packed = blocks.quantize(w, qtype)
+    golden = blocks.dequantize(packed, qtype, shape)
+
+    q, scale, bias, g = repack_numpy(packed, qtype, shape)
+    n, k = shape
+    recon = q.astype(np.float32).reshape(n, k // g, g) * scale[:, :, None]
+    if bias is not None:
+        recon = recon + bias[:, :, None]
+    np.testing.assert_array_equal(recon.reshape(shape), golden)
+
+
+@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+def test_qtensor_dequantize_matches_reference(rng, qtype):
+    shape = (8, 256)
+    w = rng.standard_normal(shape).astype(np.float32)
+    packed = blocks.quantize(w, qtype)
+    golden = blocks.dequantize(packed, qtype, shape)
+    qt = quantize_array(w, qtype)
+    np.testing.assert_allclose(np.asarray(qt.dequantize()), golden, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+def test_qmatmul_xla_close_to_dense(rng, qtype):
+    n, k, b = 64, 512, 4
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    x = rng.standard_normal((b, k)).astype(np.float32)
+    qt = quantize_array(w, qtype)
+    wd = np.asarray(qt.dequantize())  # exact decoded weights
+    want = x @ wd.T
+    got = np.asarray(qmatmul(jnp.asarray(x), qt))
+    # bf16 weight/act rounding inside the MXU path
+    err = np.abs(got - want) / (np.abs(want).max() + 1e-6)
+    assert err.max() < 0.03, err.max()
+
+
+def test_qmatmul_dense_fallback(rng):
+    w = rng.standard_normal((32, 128)).astype(np.float32)
+    x = rng.standard_normal((2, 128)).astype(np.float32)
+    got = np.asarray(qmatmul(jnp.asarray(x), jnp.asarray(w)))
+    want = x @ w.T
+    assert np.abs(got - want).max() / np.abs(want).max() < 0.02
+
+
+@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+def test_kn_layout_dequantize_matches(rng, qtype):
+    shape = (64, 512)
+    w = rng.standard_normal(shape).astype(np.float32)
+    a = quantize_array(w, qtype, layout="nk")
+    b = quantize_array(w, qtype, layout="kn")
+    np.testing.assert_array_equal(np.asarray(a.dequantize()), np.asarray(b.dequantize()))
+
+
+@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+def test_qmatmul_xla_kn_equals_nk(rng, qtype):
+    n, k, b = 64, 512, 4
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    x = rng.standard_normal((b, k)).astype(np.float32)
+    got_nk = np.asarray(qmatmul(jnp.asarray(x), quantize_array(w, qtype, "nk")))
+    got_kn = np.asarray(qmatmul(jnp.asarray(x), quantize_array(w, qtype, "kn")))
+    np.testing.assert_allclose(got_nk, got_kn, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+@pytest.mark.parametrize("bsz", [1, 8])
+def test_pallas_kernel_interpret_matches_xla(rng, qtype, bsz):
+    """Dual execution: pallas (interpreter) vs the XLA dequant path, f32 compute
+    so results are near-exact (ref pattern: test-backend-ops.cpp NMSE gate)."""
+    from eagle_tpu.ops.pallas_qmm import qmatmul_pallas
+
+    n, k = 128, 512
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    x = rng.standard_normal((bsz, k)).astype(np.float32)
+    qt = quantize_array(w, qtype, layout="kn")
+    want = np.asarray(qmatmul(jnp.asarray(x), qt, backend="xla", compute_dtype=jnp.float32))
+    got = np.asarray(
+        qmatmul_pallas(jnp.asarray(x), qt, compute_dtype=jnp.float32, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,90 @@
+"""Sampler chain tests (deterministic-distribution style of
+tests/test-sampling.cpp in the reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eagle_tpu.runtime.sampling import (
+    SamplerConfig,
+    apply_penalties,
+    min_p_mask,
+    sample,
+    top_k_mask,
+    top_p_mask,
+    transform_logits,
+    typical_mask,
+)
+
+
+def logits_from_probs(probs):
+    return jnp.log(jnp.asarray(probs, jnp.float32))
+
+
+def test_greedy_picks_argmax():
+    l = logits_from_probs([0.1, 0.2, 0.4, 0.3])
+    tok = sample(l, jax.random.PRNGKey(0), SamplerConfig(greedy=True))
+    assert int(tok) == 2
+
+
+def test_top_k():
+    l = jnp.asarray([1.0, 3.0, 2.0, 0.0])
+    masked = np.asarray(top_k_mask(l, 2))
+    assert masked[1] == 3.0 and masked[2] == 2.0
+    assert masked[0] < -1e29 and masked[3] < -1e29
+
+
+def test_top_p():
+    # probs 0.4, 0.3, 0.2, 0.1 ; p=0.6 keeps {0.4, 0.3}
+    l = logits_from_probs([0.4, 0.3, 0.2, 0.1])
+    masked = np.asarray(top_p_mask(l, 0.6))
+    assert np.isfinite(masked[0]) and masked[0] > -1e29
+    assert masked[1] > -1e29
+    assert masked[2] < -1e29 and masked[3] < -1e29
+
+
+def test_top_p_always_keeps_best():
+    l = logits_from_probs([0.99, 0.005, 0.005])
+    masked = np.asarray(top_p_mask(l, 0.001))
+    assert masked[0] > -1e29
+    assert masked[1] < -1e29
+
+
+def test_min_p():
+    l = logits_from_probs([0.5, 0.3, 0.1, 0.1])
+    masked = np.asarray(min_p_mask(l, 0.25))  # cutoff 0.125
+    assert (masked[:2] > -1e29).all() and (masked[2:] < -1e29).all()
+
+
+def test_typical_keeps_mass():
+    l = logits_from_probs([0.25, 0.25, 0.25, 0.25])
+    masked = np.asarray(typical_mask(l, 0.5))
+    # uniform distribution: everything equally typical; at least ceil-fraction kept
+    assert (masked > -1e29).sum() >= 2
+
+
+def test_penalties_repeat():
+    l = jnp.asarray([2.0, -2.0, 1.0])
+    counts = jnp.asarray([1.0, 1.0, 0.0])
+    cfg = SamplerConfig(penalty_repeat=2.0)
+    out = np.asarray(apply_penalties(l, counts, cfg))
+    assert out[0] == pytest.approx(1.0)  # positive divided
+    assert out[1] == pytest.approx(-4.0)  # negative multiplied
+    assert out[2] == pytest.approx(1.0)  # unseen untouched
+
+
+def test_categorical_distribution_follows_probs():
+    l = logits_from_probs([0.7, 0.2, 0.1])
+    cfg = SamplerConfig(temperature=1.0, top_k=0, top_p=1.0, min_p=0.0)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2000)
+    toks = jax.vmap(lambda k: sample(l, k, cfg))(keys)
+    freq = np.bincount(np.asarray(toks), minlength=3) / 2000
+    np.testing.assert_allclose(freq, [0.7, 0.2, 0.1], atol=0.05)
+
+
+def test_transform_batched():
+    l = jnp.tile(logits_from_probs([0.4, 0.3, 0.2, 0.1]), (3, 1))
+    out = transform_logits(l, SamplerConfig(top_k=2, temperature=0.5))
+    assert out.shape == (3, 4)
+    assert (np.asarray(out)[:, 2:] < -1e28).all()

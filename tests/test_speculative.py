@@ -1,0 +1,96 @@
+"""EAGLE chain speculation tests.
+
+The load-bearing invariant (same as the reference's server speculative test,
+examples/server/tests/unit/test_speculative.py:24-40): speculative decoding
+must produce *exactly* the same tokens as plain decoding — the draft head only
+changes speed, never output. We assert it with a random (useless) draft head,
+which exercises the accept-0 path, and with a target-derived draft."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from eagle_tpu.models.eagle import eagle_forward, random_eagle_params
+from eagle_tpu.runtime.generate import Generator
+from eagle_tpu.runtime.kvcache import KVCache, causal_mask_from_tags
+from eagle_tpu.runtime.speculative import EagleChainEngine
+
+
+@pytest.fixture(scope="module")
+def target():
+    from eagle_tpu.models.hf_convert import params_from_hf_llama
+
+    torch.manual_seed(3)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, attn_implementation="eager",
+    )
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    params, mcfg = params_from_hf_llama(model)
+    return params, mcfg
+
+
+@pytest.fixture(scope="module")
+def draft(target):
+    _, tcfg = target
+    dcfg = dataclasses.replace(tcfg, n_layers=1, is_eagle=True)
+    dparams = random_eagle_params(jax.random.PRNGKey(5), dcfg)
+    return dparams, dcfg
+
+
+def test_eagle_forward_shapes(target, draft):
+    tparams, tcfg = target
+    dparams, dcfg = draft
+    b, t, s = 1, 4, 16
+    kv = KVCache.create(1, b, s, dcfg.n_kv_heads, dcfg.head_dim, jnp.float32)
+    tokens = jnp.zeros((b, t), jnp.int32)
+    feats = jnp.zeros((b, t, tcfg.n_embd), jnp.float32)
+    pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+    kv = kv.with_tags(pos, pos)
+    mask = causal_mask_from_tags(kv.slot_pos, pos)
+    out = eagle_forward(dparams, tparams, dcfg, tokens, feats, pos, kv, pos, mask,
+                        compute_dtype=jnp.float32)
+    assert out.logits.shape == (b, t, tcfg.vocab_size)
+    assert out.feature.shape == (b, t, tcfg.n_embd)
+
+
+@pytest.mark.parametrize("feature_source", ["post_norm", "pre_norm"])
+@pytest.mark.parametrize("n_draft", [1, 3])
+def test_spec_equals_plain_greedy(target, draft, rng, feature_source, n_draft):
+    """draft-on == draft-off, token for token, greedy."""
+    tparams, tcfg = target
+    dparams, dcfg = draft
+    prompt = rng.integers(0, 128, size=9).tolist()
+
+    plain = Generator(tparams, tcfg, max_seq=128, compute_dtype=jnp.float32, eos_id=-1)
+    want = plain.generate(prompt, max_new_tokens=16, stop_at_eos=False)
+
+    eng = EagleChainEngine(
+        tparams, dparams, tcfg, dcfg, n_draft=n_draft, max_seq=128,
+        compute_dtype=jnp.float32, kv_dtype=jnp.float32,
+        feature_source=feature_source, eos_id=-1,
+    )
+    got, stats = eng.generate(prompt, max_new_tokens=16, stop_at_eos=False)
+    assert got == want, (got, want, stats)
+    assert stats["n_cycles"] > 0
+
+
+def test_stats_consistent(target, draft, rng):
+    tparams, tcfg = target
+    dparams, dcfg = draft
+    prompt = rng.integers(0, 128, size=5).tolist()
+    eng = EagleChainEngine(
+        tparams, dparams, tcfg, dcfg, n_draft=4, max_seq=128,
+        compute_dtype=jnp.float32, kv_dtype=jnp.float32, eos_id=-1,
+    )
+    out, stats = eng.generate(prompt, max_new_tokens=12, stop_at_eos=False)
+    assert stats["n_accepted"] <= stats["n_drafted"]
+    assert 1.0 <= stats["mean_accept_len"] <= eng.K + 1
+    assert len(out) >= 1
