@@ -85,6 +85,7 @@ def _stack(items: list[QTensor | np.ndarray]):
             bias=None if first.bias is None else np.stack([t.bias for t in items]),
             group=first.group,
             ggml_type=first.ggml_type,
+            layout=first.layout,
         )
     return np.stack(items)
 
