@@ -1,0 +1,107 @@
+"""Benchmark driver entry: prints ONE JSON line.
+
+Primary metric: single-chip decode throughput (tokens/s) on a Vicuna-7B-shaped
+Q4_K model (synthetic weights — throughput is weight-value independent),
+batch 1, greedy. vs_baseline compares against the reference's in-tree 7B Q4_0
+CUDA decode number (132.19 t/s tg128, examples/llama-bench/README.md:85).
+
+Usage: python bench.py [--layers N] [--steps N] [--backend pallas|xla]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+BASELINE_TOKS = 132.19  # 7B Q4_0 tg128, CUDA GPU (BASELINE.md)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--prompt-len", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.models.synth import VICUNA_7B, synth_llama_params
+    from eagle_tpu.runtime.generate import Generator
+
+    cfg = dataclasses.replace(VICUNA_7B, n_layers=args.layers)
+    t0 = time.time()
+    params = synth_llama_params(cfg, seed=0)
+    params = jax.tree_util.tree_map(jax.device_put, params)
+    jax.block_until_ready(params["layers"]["wq"].q)
+    print(f"# params built+loaded in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    gen = Generator(
+        params, cfg, max_seq=args.max_seq, batch=1,
+        compute_dtype=jnp.bfloat16, backend=args.backend, eos_id=-1,
+    )
+
+    import numpy as np
+
+    prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, size=args.prompt_len)
+
+    # warmup (compiles prefill + decode chunk)
+    t0 = time.time()
+    gen.generate(prompt, max_new_tokens=args.warmup + 1, stop_at_eos=False, chunk=args.warmup)
+    print(f"# warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # measure: decode-only throughput over a fresh generation
+    gen2 = Generator(
+        params, cfg, max_seq=args.max_seq, batch=1,
+        compute_dtype=jnp.bfloat16, backend=args.backend, eos_id=-1,
+    )
+    logits, _, gen2.kv = gen2._prefill_jit(
+        gen2.params, gen2.kv,
+        jnp.asarray(np.pad(prompt, (0, 128 - len(prompt)))[None, :].astype(np.int32)),
+        jnp.asarray([len(prompt)], np.int32), t=128,
+    )
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    from eagle_tpu.runtime.sampling import SamplerConfig
+
+    scfg = SamplerConfig(greedy=True)
+    key = jax.random.PRNGKey(0)
+    # Slope-based timing: the host<->device round-trip can carry a large fixed
+    # latency (e.g. a TPU relay), so measure two chunk lengths and use the
+    # difference; int(toks[...]) forces a real device sync each time.
+    pos = len(prompt)
+    times = {}
+    for steps in (args.warmup, args.steps, args.warmup, args.steps):
+        t0 = time.time()
+        toks, gen2.kv = gen2._decode_jit(
+            gen2.params, gen2.kv, tok, jnp.asarray([pos], jnp.int32), key, scfg,
+            n_steps=steps,
+        )
+        tok = toks[:, -1]
+        int(tok[0])  # hard sync
+        times.setdefault(steps, []).append(time.time() - t0)
+        pos += steps
+    t_small = min(times[args.warmup])
+    t_big = min(times[args.steps])
+    per_tok = (t_big - t_small) / (args.steps - args.warmup)
+    toks_per_s = 1.0 / per_tok
+
+    print(
+        json.dumps(
+            {
+                "metric": f"decode tokens/s (7B-shape Q4_K, {args.layers}L, 1 chip, bs1, {args.backend})",
+                "value": round(toks_per_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(toks_per_s / BASELINE_TOKS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

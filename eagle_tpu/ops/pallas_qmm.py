@@ -30,6 +30,17 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_tile(dim: int, target: int, multiple_of: int = 1) -> int:
+    """Largest divisor of `dim` that is <= target and a multiple of `multiple_of`."""
+    best = multiple_of
+    d = multiple_of
+    while d <= min(dim, target):
+        if dim % d == 0:
+            best = d
+        d += multiple_of
+    return best
+
+
 def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype):
     """One (TILE_K, TILE_N) weight tile: dequant on VPU, matmul on MXU.
 
@@ -73,8 +84,12 @@ def qmatmul_pallas_2d(
     g = w.group
     b = x.shape[0]
 
-    tile_n = min(tile_n, n)
-    tile_k = min(tile_k, k)
+    # Mosaic: block last dims must be multiples of (8-ish, 128) or span the
+    # whole array; tile_k also must divide into whole quant groups.
+    tile_n = _pick_tile(n, tile_n, 128) if n % 128 == 0 else n
+    tile_k = _pick_tile(k, tile_k, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
+    if tile_k % g != 0:
+        tile_k = k
     assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0, (n, k, tile_n, tile_k, g)
 
     grid = (n // tile_n, k // tile_k)
