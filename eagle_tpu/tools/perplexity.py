@@ -1,0 +1,106 @@
+"""Perplexity + KL-divergence evaluation.
+
+Mirrors the math of the reference's perplexity tool (examples/perplexity):
+non-overlapping n_ctx windows, NLL counted from the second half of each window
+(so every scored token has >= n_ctx/2 context), PPL = exp(mean NLL). The KLD
+mode reproduces its --kl-divergence statistics (mean KLD, delta-PPL,
+same-top-token %) between a reference model and a quantized one — the quality
+gate that attributes quant error independent of any dataset."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import llama_forward
+from ..runtime.kvcache import KVCache, causal_mask_from_tags
+
+
+def _chunk_logprobs(params, cfg, tokens_chunk: jax.Array, compute_dtype, backend):
+    """log-softmax logits for one [1, n_ctx] chunk."""
+    b, t = tokens_chunk.shape
+    kv = KVCache.create(cfg.n_layers, b, t, cfg.n_kv_heads, cfg.head_dim, jnp.bfloat16)
+    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
+    kv = kv.with_tags(positions, positions)
+    mask = causal_mask_from_tags(kv.slot_pos, positions)
+    out = llama_forward(
+        params, cfg, tokens_chunk, positions, kv, positions, mask,
+        compute_dtype=compute_dtype, backend=backend,
+    )
+    return jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)
+
+
+def perplexity(
+    params: dict[str, Any],
+    cfg: ModelConfig,
+    tokens: np.ndarray,
+    n_ctx: int = 512,
+    compute_dtype=jnp.bfloat16,
+    backend: str | None = None,
+) -> dict[str, float]:
+    """PPL over a token stream (1-D array)."""
+    tokens = np.asarray(tokens, np.int32)
+    n_chunks = len(tokens) // n_ctx
+    assert n_chunks >= 1, "need at least one full n_ctx chunk"
+    first = n_ctx // 2
+
+    fwd = jax.jit(
+        lambda p, t: _chunk_logprobs(p, cfg, t, compute_dtype, backend)
+    )
+    nll, count = 0.0, 0
+    for c in range(n_chunks):
+        chunk = tokens[c * n_ctx : (c + 1) * n_ctx][None, :]
+        lp = np.asarray(fwd(params, jnp.asarray(chunk)))[0]  # [n_ctx, V]
+        targets = chunk[0, first + 1 :]
+        nll -= lp[first:-1][np.arange(len(targets)), targets].sum()
+        count += len(targets)
+    return {"ppl": float(np.exp(nll / count)), "nll": nll / count, "tokens": count}
+
+
+def kl_divergence(
+    params_ref: dict[str, Any],
+    params_test: dict[str, Any],
+    cfg: ModelConfig,
+    tokens: np.ndarray,
+    n_ctx: int = 512,
+    compute_dtype_ref=jnp.float32,
+    compute_dtype_test=jnp.bfloat16,
+    backend: str | None = None,
+) -> dict[str, float]:
+    """Per-token KLD of test vs ref + delta-PPL (examples/perplexity README
+    statistics)."""
+    tokens = np.asarray(tokens, np.int32)
+    n_chunks = len(tokens) // n_ctx
+    first = n_ctx // 2
+
+    fwd_ref = jax.jit(lambda p, t: _chunk_logprobs(p, cfg, t, compute_dtype_ref, backend))
+    fwd_test = jax.jit(lambda p, t: _chunk_logprobs(p, cfg, t, compute_dtype_test, backend))
+
+    klds, nll_ref, nll_test, same_top, count = [], 0.0, 0.0, 0, 0
+    for c in range(n_chunks):
+        chunk = tokens[c * n_ctx : (c + 1) * n_ctx][None, :]
+        lp_r = np.asarray(fwd_ref(params_ref, jnp.asarray(chunk)))[0][first:-1]
+        lp_t = np.asarray(fwd_test(params_test, jnp.asarray(chunk)))[0][first:-1]
+        targets = chunk[0, first + 1 :]
+        idx = np.arange(len(targets))
+        nll_ref -= lp_r[idx, targets].sum()
+        nll_test -= lp_t[idx, targets].sum()
+        kld = (np.exp(lp_r) * (lp_r - lp_t)).sum(axis=-1)
+        klds.append(kld)
+        same_top += (lp_r.argmax(-1) == lp_t.argmax(-1)).sum()
+        count += len(targets)
+    klds = np.concatenate(klds)
+    return {
+        "mean_kld": float(klds.mean()),
+        "max_kld": float(klds.max()),
+        "ppl_ref": float(np.exp(nll_ref / count)),
+        "ppl_test": float(np.exp(nll_test / count)),
+        "delta_ppl": float(np.exp(nll_test / count) - np.exp(nll_ref / count)),
+        "same_top_frac": same_top / count,
+        "tokens": count,
+    }

@@ -1,0 +1,110 @@
+"""Offline GGUF requantization tool — the llama-quantize equivalent.
+
+Reads a GGUF (typically F16/F32), rewrites tensor payloads in a target scheme.
+Per-tensor type rules follow llama_model_quantize_impl's shape
+(src/llama-quant.cpp): 1-D tensors and norms stay F32, output.weight gets a
+higher-precision type, K-quants fall back when row sizes don't divide 256.
+
+Usage: python -m eagle_tpu.tools.quantize in.gguf out.gguf Q4_K_M
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..gguf.constants import GGMLType, LlamaFtype
+from ..gguf.reader import GGUFReader
+from ..gguf.writer import GGUFWriter
+from ..quant.blocks import dequantize, quantize
+
+# ftype name -> (default type, output.weight type, embeddings type)
+SCHEMES = {
+    "Q4_0": (GGMLType.Q4_0, GGMLType.Q6_K, GGMLType.Q4_0),
+    "Q8_0": (GGMLType.Q8_0, GGMLType.Q8_0, GGMLType.Q8_0),
+    "Q4_K_S": (GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q4_K),
+    "Q4_K_M": (GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q4_K),
+    "Q5_K_S": (GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q5_K),
+    "Q5_K_M": (GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q5_K),
+    "Q6_K": (GGMLType.Q6_K, GGMLType.Q6_K, GGMLType.Q6_K),
+    "F16": (GGMLType.F16, GGMLType.F16, GGMLType.F16),
+}
+
+FTYPE_IDS = {
+    "Q4_0": LlamaFtype.MOSTLY_Q4_0,
+    "Q8_0": LlamaFtype.MOSTLY_Q8_0,
+    "Q4_K_S": LlamaFtype.MOSTLY_Q4_K_S,
+    "Q4_K_M": LlamaFtype.MOSTLY_Q4_K_M,
+    "Q5_K_S": LlamaFtype.MOSTLY_Q5_K_S,
+    "Q5_K_M": LlamaFtype.MOSTLY_Q5_K_M,
+    "Q6_K": LlamaFtype.MOSTLY_Q6_K,
+    "F16": LlamaFtype.MOSTLY_F16,
+}
+
+# In the _M ("medium") variants llama.cpp bumps attn_v and the first/last
+# ffn_down layers to Q6_K; we apply the same to attn_v.
+_M_BUMP = {"Q4_K_M": GGMLType.Q6_K, "Q5_K_M": GGMLType.Q6_K}
+
+
+def pick_type(name: str, shape: tuple[int, ...], scheme: str) -> GGMLType:
+    default, out_t, emb_t = SCHEMES[scheme]
+    if len(shape) != 2:
+        return GGMLType.F32
+    if name.endswith(("_norm.weight", "norm.weight")) or "norm" in name.split(".")[-2:][0]:
+        return GGMLType.F32
+    t = default
+    if name == "output.weight":
+        t = out_t
+    elif name == "token_embd.weight":
+        t = emb_t
+    elif name.endswith("attn_v.weight") and scheme in _M_BUMP:
+        t = _M_BUMP[scheme]
+    # K-quant fallback for odd row sizes
+    from ..models.hf_convert import fallback_qtype
+
+    return fallback_qtype(t, shape[-1]) if t not in (GGMLType.F16, GGMLType.F32) else t
+
+
+def quantize_gguf(src: str | Path, dst: str | Path, scheme: str = "Q4_K_M") -> dict:
+    reader = GGUFReader(src)
+    writer = GGUFWriter(dst)
+    for key, val in reader.metadata.items():
+        if key == "general.file_type":
+            writer.add(key, int(FTYPE_IDS[scheme]))
+        else:
+            writer.add(key, val)
+    if "general.file_type" not in reader.metadata:
+        writer.add("general.file_type", int(FTYPE_IDS[scheme]))
+
+    stats = {"tensors": 0, "bytes_in": 0, "bytes_out": 0}
+    for name, info in reader.tensors.items():
+        f32 = dequantize(reader.tensor_bytes(name), info.ggml_type, info.shape)
+        target = pick_type(name, info.shape, scheme)
+        writer.add_tensor(name, f32, target)
+        stats["tensors"] += 1
+        stats["bytes_in"] += info.nbytes
+        stats["bytes_out"] += writer._tensors[-1][3].nbytes
+    writer.write()
+    reader.close()
+    return stats
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    if len(argv) < 2:
+        print(__doc__)
+        return 1
+    src, dst = argv[0], argv[1]
+    scheme = argv[2] if len(argv) > 2 else "Q4_K_M"
+    stats = quantize_gguf(src, dst, scheme)
+    print(
+        f"quantized {stats['tensors']} tensors: "
+        f"{stats['bytes_in']/1e6:.1f}MB -> {stats['bytes_out']/1e6:.1f}MB ({scheme})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

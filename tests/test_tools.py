@@ -1,0 +1,84 @@
+"""Perplexity / KLD / quantize tool tests on tiny models."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from eagle_tpu.gguf.constants import GGMLType
+from eagle_tpu.gguf.reader import GGUFReader
+from eagle_tpu.models.hf_convert import config_from_hf, convert_hf_to_gguf, params_from_hf_llama
+from eagle_tpu.tools.perplexity import kl_divergence, perplexity
+from eagle_tpu.tools.quantize import pick_type, quantize_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    torch.manual_seed(21)
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, attn_implementation="eager",
+    )
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    return model
+
+
+def test_perplexity_matches_torch(tiny, rng):
+    params, cfg = params_from_hf_llama(tiny)
+    tokens = rng.integers(0, 256, size=128).astype(np.int32)
+    ours = perplexity(params, cfg, tokens, n_ctx=64, compute_dtype=jnp.float32)
+
+    # torch reference: NLL over the same positions
+    n_ctx, first = 64, 32
+    nll, count = 0.0, 0
+    with torch.no_grad():
+        for c in range(2):
+            chunk = torch.tensor(tokens[c * n_ctx : (c + 1) * n_ctx][None, :], dtype=torch.long)
+            lp = torch.log_softmax(tiny(chunk).logits.float(), dim=-1)[0]
+            targets = chunk[0, first + 1 :]
+            nll -= lp[first:-1].gather(1, targets[:, None]).sum().item()
+            count += len(targets)
+    want = np.exp(nll / count)
+    assert ours["ppl"] == pytest.approx(want, rel=1e-3)
+
+
+def test_kld_q8_small_q4_bigger(tiny, rng):
+    params_f, cfg = params_from_hf_llama(tiny)
+    tokens = rng.integers(0, 256, size=128).astype(np.int32)
+    params_q8, _ = params_from_hf_llama(tiny, quant_type=GGMLType.Q8_0)
+    params_q4, _ = params_from_hf_llama(tiny, quant_type=GGMLType.Q4_K)
+    kld8 = kl_divergence(params_f, params_q8, cfg, tokens, n_ctx=64,
+                         compute_dtype_test=jnp.float32)
+    kld4 = kl_divergence(params_f, params_q4, cfg, tokens, n_ctx=64,
+                         compute_dtype_test=jnp.float32)
+    assert kld8["mean_kld"] < kld4["mean_kld"]
+    assert kld8["mean_kld"] < 0.05
+    assert kld8["same_top_frac"] > 0.9
+
+
+def test_quantize_tool_roundtrip(tiny, tmp_path):
+    src = tmp_path / "f32.gguf"
+    dst = tmp_path / "q4.gguf"
+    cfg = config_from_hf(tiny.config)
+    convert_hf_to_gguf(tiny.state_dict(), cfg, src, qtype=GGMLType.F32)
+    stats = quantize_gguf(src, dst, "Q4_K_M")
+    assert stats["bytes_out"] < stats["bytes_in"] * 0.55
+    r = GGUFReader(dst)
+    assert r.metadata["general.file_type"] == 15
+    # norms stayed f32, big mats quantized
+    assert r.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
+    # rows of 64 can't hold K-quants -> fell back to Q8_0
+    assert r.tensors["output.weight"].ggml_type == GGMLType.Q8_0
+    assert r.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q8_0
+    # rows of 256 hold Q4_K fine
+    assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q4_K
+
+
+def test_pick_type_rules():
+    assert pick_type("output.weight", (256, 256), "Q4_K_M") == GGMLType.Q6_K
+    assert pick_type("blk.0.attn_norm.weight", (64,), "Q4_K_M") == GGMLType.F32
+    assert pick_type("blk.0.attn_v.weight", (256, 256), "Q4_K_M") == GGMLType.Q6_K
+    assert pick_type("blk.0.ffn_up.weight", (512, 256), "Q4_K_M") == GGMLType.Q4_K
