@@ -37,10 +37,9 @@ def main():
 
     cfg = dataclasses.replace(VICUNA_7B, n_layers=args.layers)
     t0 = time.time()
-    params = synth_llama_params(cfg, seed=0)
-    params = jax.tree_util.tree_map(jax.device_put, params)
+    params = synth_llama_params(cfg, seed=0, on_device=True)
     jax.block_until_ready(params["layers"]["wq"].q)
-    print(f"# params built+loaded in {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# params built on-device in {time.time()-t0:.1f}s", file=sys.stderr)
 
     gen = Generator(
         params, cfg, max_seq=args.max_seq, batch=1,

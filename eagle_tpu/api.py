@@ -1,0 +1,96 @@
+"""High-level engine API: load GGUF models, tokenize, generate.
+
+The Python-facing equivalent of llama.cpp's common_init_from_params +
+generation loop plumbing (common/common.cpp:899, examples/main): one object
+owning target (+ optional EAGLE draft) params, tokenizer, and the right
+runtime engine."""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models.config import ModelConfig
+from .models.loader import load_eagle_params, load_llama_params
+from .runtime.generate import Generator
+from .runtime.sampling import SamplerConfig
+from .runtime.speculative import EagleChainEngine
+from .runtime.tree import EagleTreeEngine, TreeSpec
+from .tokenizer.spm import SPMTokenizer
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    model_path: str | Path = ""
+    draft_path: str | Path | None = None  # EAGLE gguf
+    max_seq: int = 2048
+    n_draft: int = 5  # chain draft length
+    tree_branching: tuple[int, ...] | None = None  # enables tree mode
+    backend: str | None = None  # 'xla' | 'pallas'
+    compute_dtype: Any = jnp.bfloat16
+    kv_dtype: Any = jnp.bfloat16
+    feature_source: str = "pre_norm"
+    sampler: SamplerConfig = dataclasses.field(default_factory=lambda: SamplerConfig(greedy=True))
+
+
+class Engine:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.params, self.model_cfg, self.metadata = load_llama_params(cfg.model_path)
+        tok_model = self.metadata.get("tokenizer.ggml.model", "llama")
+        if tok_model not in ("llama", "spm"):
+            raise NotImplementedError(f"tokenizer model {tok_model!r} not yet supported")
+        self.tokenizer = SPMTokenizer.from_gguf_metadata(self.metadata)
+
+        self.draft_params = None
+        if cfg.draft_path:
+            self.draft_params, self.draft_cfg, _ = load_eagle_params(cfg.draft_path)
+            if cfg.tree_branching:
+                self.engine: Any = EagleTreeEngine(
+                    self.params, self.draft_params, self.model_cfg, self.draft_cfg,
+                    tree=TreeSpec(cfg.tree_branching), max_seq=cfg.max_seq,
+                    compute_dtype=cfg.compute_dtype, kv_dtype=cfg.kv_dtype,
+                    backend=cfg.backend, feature_source=cfg.feature_source,
+                    sampler=cfg.sampler, eos_id=self.tokenizer.eos_id,
+                )
+            else:
+                self.engine = EagleChainEngine(
+                    self.params, self.draft_params, self.model_cfg, self.draft_cfg,
+                    n_draft=cfg.n_draft, max_seq=cfg.max_seq,
+                    compute_dtype=cfg.compute_dtype, kv_dtype=cfg.kv_dtype,
+                    backend=cfg.backend, feature_source=cfg.feature_source,
+                    sampler=cfg.sampler, eos_id=self.tokenizer.eos_id,
+                )
+        else:
+            self.engine = Generator(
+                self.params, self.model_cfg, max_seq=cfg.max_seq,
+                compute_dtype=cfg.compute_dtype, kv_dtype=cfg.kv_dtype,
+                backend=cfg.backend, eos_id=self.tokenizer.eos_id,
+            )
+
+    # ------------------------------------------------------------------
+
+    def generate_text(
+        self,
+        prompt: str,
+        max_new_tokens: int = 256,
+        sampler: SamplerConfig | None = None,
+        seed: int = 0,
+    ) -> tuple[str, dict]:
+        ids = self.tokenizer.encode(prompt)
+        if isinstance(self.engine, Generator):
+            out = self.engine.generate(
+                ids, max_new_tokens=max_new_tokens,
+                sampler=sampler or self.cfg.sampler, seed=seed,
+            )
+            stats = {}
+        else:
+            out, stats = self.engine.generate(ids, max_new_tokens=max_new_tokens, seed=seed)
+        text = self.tokenizer.decode(
+            [t for t in out if t != self.tokenizer.eos_id], skip_special=True
+        )
+        return text, stats

@@ -25,13 +25,16 @@ VICUNA_7B = ModelConfig(
 
 
 def synth_qtensor(
-    rng: np.random.Generator,
+    rng,
     n: int,
     k: int,
     qtype: GGMLType = GGMLType.Q4_K,
     layout: str = "kn",
     stack: int | None = None,
 ) -> QTensor:
+    """rng is either a numpy Generator (host synth) or a jax PRNG key (device
+    synth — generates weights directly in HBM, no host->device transfer; used
+    by benchmarks where an 8GB upload through a TPU relay would dominate)."""
     group = 16 if qtype == GGMLType.Q6_K else 32
     lo, hi = {
         GGMLType.Q4_K: (0, 16),
@@ -47,15 +50,28 @@ def synth_qtensor(
     else:
         qshape, sshape = lead + (n, k), lead + (n, k // group)
     scale_mag = 0.02 / max(1, (hi - 1))
+    if isinstance(rng, np.random.Generator):
+        q = jnp.asarray(rng.integers(lo, hi, size=qshape, dtype=np.int8))
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, size=sshape).astype(np.float32) * scale_mag)
+        bias = (
+            jnp.asarray(rng.normal(0, scale_mag, size=sshape).astype(np.float32))
+            if has_bias
+            else None
+        )
+    else:
+        import jax
+
+        k1, k2, k3 = jax.random.split(rng, 3)
+        gen = jax.jit(
+            lambda k1, k2, k3: (
+                jax.random.randint(k1, qshape, lo, hi, dtype=jnp.int8),
+                jax.random.uniform(k2, sshape, jnp.float32, 0.5, 1.5) * scale_mag,
+                jax.random.normal(k3, sshape, jnp.float32) * scale_mag if has_bias else None,
+            )
+        )
+        q, scale, bias = gen(k1, k2, k3)
     return QTensor(
-        q=jnp.asarray(rng.integers(lo, hi, size=qshape, dtype=np.int8)),
-        scale=jnp.asarray(rng.uniform(0.5, 1.5, size=sshape).astype(np.float32) * scale_mag),
-        bias=jnp.asarray(rng.normal(0, scale_mag, size=sshape).astype(np.float32))
-        if has_bias
-        else None,
-        group=group,
-        ggml_type=int(qtype),
-        layout=layout,
+        q=q, scale=scale, bias=bias, group=group, ggml_type=int(qtype), layout=layout
     )
 
 
@@ -64,7 +80,10 @@ def synth_llama_params(
     qtype: GGMLType = GGMLType.Q4_K,
     seed: int = 0,
     embed_dtype=jnp.bfloat16,
+    on_device: bool = False,
 ) -> dict[str, Any]:
+    if on_device:
+        return _synth_llama_on_device(cfg, qtype, seed, embed_dtype)
     rng = np.random.default_rng(seed)
     L, d, dh, h, hkv, f, v = (
         cfg.n_layers, cfg.n_embd, cfg.head_dim, cfg.n_heads, cfg.n_kv_heads,
@@ -88,6 +107,36 @@ def synth_llama_params(
         "layers": layers,
         "output_norm": jnp.ones((d,), jnp.float32),
         "output": synth_qtensor(rng, v, d, qtype),
+    }
+
+
+def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype) -> dict[str, Any]:
+    import jax
+
+    keys = iter(jax.random.split(jax.random.PRNGKey(seed), 16))
+    L, d, dh, h, hkv, f, v = (
+        cfg.n_layers, cfg.n_embd, cfg.head_dim, cfg.n_heads, cfg.n_kv_heads,
+        cfg.n_ff, cfg.vocab_size,
+    )
+    layers = {
+        "attn_norm": jnp.ones((L, d), jnp.float32),
+        "wq": synth_qtensor(next(keys), h * dh, d, qtype, stack=L),
+        "wk": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L),
+        "wv": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L),
+        "wo": synth_qtensor(next(keys), d, h * dh, qtype, stack=L),
+        "ffn_norm": jnp.ones((L, d), jnp.float32),
+        "w_gate": synth_qtensor(next(keys), f, d, qtype, stack=L),
+        "w_up": synth_qtensor(next(keys), f, d, qtype, stack=L),
+        "w_down": synth_qtensor(next(keys), d, f, qtype, stack=L),
+    }
+    emb = jax.jit(
+        lambda k: (jax.random.normal(k, (v, d), jnp.float32) * 0.02).astype(embed_dtype)
+    )(next(keys))
+    return {
+        "tok_embd": emb,
+        "layers": layers,
+        "output_norm": jnp.ones((d,), jnp.float32),
+        "output": synth_qtensor(next(keys), v, d, qtype),
     }
 
 

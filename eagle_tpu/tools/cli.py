@@ -1,0 +1,81 @@
+"""Command-line generation — the llama-cli equivalent (examples/main).
+
+Usage:
+  python -m eagle_tpu.tools.cli -m model.gguf -p "prompt" [-n 128]
+      [--draft eagle.gguf] [--tree 4,2,2] [--temp 0.8] [--top-k 40] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("eagle-tpu cli")
+    ap.add_argument("-m", "--model", required=True, help="target GGUF path")
+    ap.add_argument("-p", "--prompt", default="Hello")
+    ap.add_argument("-n", "--n-predict", type=int, default=128)
+    ap.add_argument("--draft", default=None, help="EAGLE draft GGUF (enables speculation)")
+    ap.add_argument("--n-draft", type=int, default=5, help="chain draft length")
+    ap.add_argument("--tree", default=None, help="tree branching factors, e.g. 4,2,2")
+    ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--min-p", type=float, default=0.05)
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backend", default=None, choices=[None, "xla", "pallas"])
+    ap.add_argument("--feature-source", default="pre_norm", choices=["pre_norm", "post_norm"])
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from ..api import Engine, EngineConfig
+    from ..runtime.sampling import SamplerConfig
+
+    sampler = SamplerConfig(
+        temperature=args.temp,
+        greedy=args.temp <= 0,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        min_p=args.min_p,
+        penalty_repeat=args.repeat_penalty,
+    )
+    cfg = EngineConfig(
+        model_path=args.model,
+        draft_path=args.draft,
+        n_draft=args.n_draft,
+        tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
+        max_seq=args.ctx,
+        backend=args.backend,
+        feature_source=args.feature_source,
+        sampler=sampler,
+    )
+    t0 = time.time()
+    eng = Engine(cfg)
+    print(f"[load] {time.time()-t0:.1f}s model={args.model}", file=sys.stderr)
+
+    t0 = time.time()
+    text, stats = eng.generate_text(
+        args.prompt, max_new_tokens=args.n_predict, sampler=sampler, seed=args.seed
+    )
+    dt = time.time() - t0
+    print(text)
+    n = len(eng.tokenizer.encode(text, add_bos=False))
+    print(f"[perf] {dt:.2f}s", file=sys.stderr)
+    if stats:
+        print(
+            f"[speculative] accept_rate={stats['accept_rate']:.3f} "
+            f"mean_accept_len={stats['mean_accept_len']:.2f} cycles={stats['n_cycles']}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

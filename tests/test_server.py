@@ -1,0 +1,216 @@
+"""End-to-end server/API/CLI tests with a complete tiny GGUF (model +
+tokenizer), mirroring the reference's pytest server suite
+(examples/server/tests/unit/)."""
+
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from eagle_tpu.gguf.constants import GGMLType, Keys, TokenType
+
+
+def _vocab_metadata():
+    tokens = ["<unk>", "<s>", "</s>"]
+    ttypes = [TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL]
+    scores = [0.0, 0.0, 0.0]
+    for b in range(256):
+        tokens.append(f"<0x{b:02X}>")
+        ttypes.append(TokenType.BYTE)
+        scores.append(0.0)
+    words = ["▁", "a", "b", "c", "he", "ll", "o", "▁hello", "▁world", "ab", "bc", "d", "e"]
+    for i, w in enumerate(words):
+        tokens.append(w)
+        ttypes.append(TokenType.NORMAL)
+        scores.append(-float(i + 1))
+    return {
+        Keys.Tokenizer.MODEL: "llama",
+        Keys.Tokenizer.LIST: tokens,
+        Keys.Tokenizer.SCORES: np.asarray(scores, np.float32),
+        Keys.Tokenizer.TOKEN_TYPE: np.asarray([int(t) for t in ttypes], np.int32),
+        Keys.Tokenizer.BOS_ID: 1,
+        Keys.Tokenizer.EOS_ID: 2,
+        Keys.Tokenizer.UNK_ID: 0,
+        Keys.Tokenizer.ADD_BOS: True,
+    }, len(tokens)
+
+
+@pytest.fixture(scope="module")
+def tiny_gguf_pair(tmp_path_factory):
+    """(target.gguf, eagle.gguf) with matching vocab."""
+    from eagle_tpu.models.config import ModelConfig
+    from eagle_tpu.models.hf_convert import config_from_hf, convert_hf_to_gguf
+
+    md, vocab = _vocab_metadata()
+    torch.manual_seed(9)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=vocab, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, attn_implementation="eager",
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    d = tmp_path_factory.mktemp("models")
+    tgt = d / "target.gguf"
+    cfg = config_from_hf(hf_cfg)
+    convert_hf_to_gguf(model.state_dict(), cfg, tgt, qtype=GGMLType.F32, metadata=md)
+
+    # EAGLE head: random weights, HF-eagle layout
+    rng = np.random.default_rng(4)
+    D, DH, H, HKV, F = 32, 8, 4, 2, 64
+    sd = {
+        "embed_tokens.weight": rng.normal(0, 0.02, (vocab, D)).astype(np.float32),
+        "fc.weight": rng.normal(0, 0.05, (D, 2 * D)).astype(np.float32),
+        "fc.bias": np.zeros(D, np.float32),
+        "layers.0.self_attn.q_proj.weight": rng.normal(0, 0.05, (H * DH, D)).astype(np.float32),
+        "layers.0.self_attn.k_proj.weight": rng.normal(0, 0.05, (HKV * DH, D)).astype(np.float32),
+        "layers.0.self_attn.v_proj.weight": rng.normal(0, 0.05, (HKV * DH, D)).astype(np.float32),
+        "layers.0.self_attn.o_proj.weight": rng.normal(0, 0.05, (D, H * DH)).astype(np.float32),
+        "layers.0.post_attention_layernorm.weight": np.ones(D, np.float32),
+        "layers.0.mlp.gate_proj.weight": rng.normal(0, 0.05, (F, D)).astype(np.float32),
+        "layers.0.mlp.up_proj.weight": rng.normal(0, 0.05, (F, D)).astype(np.float32),
+        "layers.0.mlp.down_proj.weight": rng.normal(0, 0.05, (D, F)).astype(np.float32),
+    }
+    ecfg = ModelConfig(
+        arch="eagle", vocab_size=vocab, n_embd=D, n_layers=1, n_heads=H,
+        n_kv_heads=HKV, head_dim=DH, n_ff=F, rope_dim=DH, n_ctx_train=256,
+    )
+    egl = d / "eagle.gguf"
+    convert_hf_to_gguf(sd, ecfg, egl, qtype=GGMLType.F32, metadata=md, arch="eagle")
+    return tgt, egl
+
+
+def test_engine_plain(tiny_gguf_pair):
+    import jax.numpy as jnp
+
+    from eagle_tpu.api import Engine, EngineConfig
+
+    tgt, _ = tiny_gguf_pair
+    eng = Engine(EngineConfig(model_path=tgt, max_seq=128, compute_dtype=jnp.float32,
+                              kv_dtype=jnp.float32))
+    text, stats = eng.generate_text("hello", max_new_tokens=8)
+    assert isinstance(text, str)
+
+
+def test_engine_eagle_chain_matches_plain(tiny_gguf_pair):
+    import jax.numpy as jnp
+
+    from eagle_tpu.api import Engine, EngineConfig
+
+    tgt, egl = tiny_gguf_pair
+    base = EngineConfig(model_path=tgt, max_seq=128, compute_dtype=jnp.float32,
+                        kv_dtype=jnp.float32)
+    plain = Engine(base)
+    a, _ = plain.generate_text("hello world", max_new_tokens=10)
+    import dataclasses
+
+    spec = Engine(dataclasses.replace(base, draft_path=egl, n_draft=3))
+    b, stats = spec.generate_text("hello world", max_new_tokens=10)
+    assert a == b
+    assert stats["n_cycles"] > 0
+
+
+def test_engine_eagle_tree(tiny_gguf_pair):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from eagle_tpu.api import Engine, EngineConfig
+
+    tgt, egl = tiny_gguf_pair
+    base = EngineConfig(model_path=tgt, max_seq=128, compute_dtype=jnp.float32,
+                        kv_dtype=jnp.float32)
+    a, _ = Engine(base).generate_text("abc", max_new_tokens=8)
+    tree = Engine(dataclasses.replace(base, draft_path=egl, tree_branching=(2, 2)))
+    b, _ = tree.generate_text("abc", max_new_tokens=8)
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def server(tiny_gguf_pair):
+    import jax.numpy as jnp
+
+    from eagle_tpu.api import Engine, EngineConfig
+    from eagle_tpu.server.server import InferenceServer
+    from aiohttp import web
+    import asyncio
+
+    tgt, egl = tiny_gguf_pair
+    eng = Engine(EngineConfig(model_path=tgt, draft_path=egl, n_draft=2, max_seq=128,
+                              compute_dtype=jnp.float32, kv_dtype=jnp.float32))
+    srv = InferenceServer(eng, model_name="tiny")
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        runner = web.AppRunner(srv.build_app())
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield base
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, json.dumps(body).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_server_health_props_metrics(server):
+    health = json.loads(urllib.request.urlopen(server + "/health").read())
+    assert health["status"] == "ok"
+    props = json.loads(urllib.request.urlopen(server + "/props").read())
+    assert props["speculative"] is True
+    metrics = urllib.request.urlopen(server + "/metrics").read().decode()
+    assert "eagle_tpu_requests_total" in metrics
+
+
+def test_server_tokenize_roundtrip(server):
+    toks = _post(server + "/tokenize", {"content": "hello world"})["tokens"]
+    text = _post(server + "/detokenize", {"tokens": toks})["content"]
+    assert "hello" in text
+
+
+def test_server_completion(server):
+    res = _post(server + "/completion", {"prompt": "hello", "n_predict": 6, "temperature": 0})
+    assert res["stop"] is True
+    assert res["tokens_predicted"] >= 1
+    assert "speculative" in res
+
+
+def test_server_openai_endpoints(server):
+    res = _post(
+        server + "/v1/completions",
+        {"prompt": "hello", "max_tokens": 4, "temperature": 0},
+    )
+    assert res["object"] == "text_completion"
+    res = _post(
+        server + "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 4, "temperature": 0},
+    )
+    assert res["choices"][0]["message"]["role"] == "assistant"
