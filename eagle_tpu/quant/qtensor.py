@@ -169,16 +169,23 @@ _REPACKERS = {
 REPACKABLE_TYPES = tuple(sorted(_REPACKERS, key=int))
 
 
-def repack_numpy(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]):
+def repack_numpy(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...], use_native: bool = True):
     """GGUF packed bytes -> (q int8 [N,K], scale f32 [N,K/G], bias|None, G).
 
-    `shape` is numpy-convention (N, K) with K contiguous.
+    `shape` is numpy-convention (N, K) with K contiguous. Uses the C++
+    repacker (quant/native.py) when available; numpy otherwise (bit-identical).
     """
     ggml_type = GGMLType(ggml_type)
     if len(shape) != 2:
         n, k = int(np.prod(shape[:-1])), shape[-1]
     else:
         n, k = shape
+    if use_native:
+        from .native import repack_native
+
+        out = repack_native(data, ggml_type, n, k)
+        if out is not None:
+            return out
     return _REPACKERS[ggml_type](np.ascontiguousarray(data, dtype=np.uint8), n, k)
 
 
