@@ -30,6 +30,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compilation cache: repeated bench runs skip the (expensive,
+    # possibly remote) XLA/Mosaic compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/eagle_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from eagle_tpu.models.synth import VICUNA_7B, synth_llama_params
