@@ -31,9 +31,12 @@ def main():
 
     import jax
 
-    # persistent compilation cache: repeated bench runs skip the (expensive,
-    # possibly remote) XLA/Mosaic compiles
-    jax.config.update("jax_compilation_cache_dir", "/tmp/eagle_tpu_jax_cache")
+    # persistent compilation cache: the bench host has ~2 CPU cores and XLA
+    # compiles locally, so repeated runs must reuse compiled programs
+    import pathlib
+
+    cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp

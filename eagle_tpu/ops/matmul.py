@@ -29,6 +29,8 @@ def _qmatmul_xla(x: jax.Array, w: QTensor, compute_dtype=jnp.bfloat16) -> jax.Ar
     """Reference device path: dequantize then matmul, letting XLA fuse what it
     can. Exact w.r.t. the affine decode; weight values are rounded to
     `compute_dtype` before hitting the MXU."""
+    if w.packed:
+        w = w.unpack()
     g = w.group
     if w.layout == "nk":
         n, k = w.q.shape

@@ -41,13 +41,21 @@ def _pick_tile(dim: int, target: int, multiple_of: int = 1) -> int:
     return best
 
 
-def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype):
+def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype, packed: bool):
     """One (TILE_K, TILE_N) weight tile: dequant on VPU, matmul on MXU.
 
-    x: [B, TILE_K]; q: [TILE_K, TILE_N] int8; s, b: [TILE_K/G, TILE_N] f32;
-    o: [B, TILE_N] f32 (accumulated across the K grid dim)."""
-    tk, tn = q_ref.shape
-    w = q_ref[:].astype(jnp.float32).reshape(tk // group, group, tn)
+    x: [B, TILE_K]; q: [TILE_K, TILE_N] int8 (or [TILE_K/2, TILE_N] nibble-
+    packed); s, b: [TILE_K/G, TILE_N] f32; o: [B, TILE_N] f32 (accumulated
+    across the K grid dim)."""
+    if packed:
+        tkp, tn = q_ref.shape
+        tk = 2 * tkp
+        half = group // 2
+        p = q_ref[:].astype(jnp.uint8).reshape(tk // group, half, tn)
+        w = jnp.concatenate([p & 0xF, p >> 4], axis=1).astype(jnp.float32)
+    else:
+        tk, tn = q_ref.shape
+        w = q_ref[:].astype(jnp.float32).reshape(tk // group, group, tn)
     w = w * s_ref[:][:, None, :]
     if b_ref is not None:
         w = w + b_ref[:][:, None, :]
@@ -80,8 +88,12 @@ def qmatmul_pallas_2d(
     tile_k: int = 2048,
 ) -> jax.Array:
     assert w.layout == "kn", "pallas qmatmul requires K-major layout"
-    k, n = w.q.shape
     g = w.group
+    if w.packed:
+        kq, n = w.q.shape
+        k = 2 * kq
+    else:
+        k, n = w.q.shape
     b = x.shape[0]
 
     # Mosaic: block last dims must be multiples of (8-ish, 128) or span the
@@ -94,9 +106,10 @@ def qmatmul_pallas_2d(
 
     grid = (n // tile_n, k // tile_k)
 
+    q_block = (tile_k // 2, tile_n) if w.packed else (tile_k, tile_n)
     in_specs = [
         pl.BlockSpec((b, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_k, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec(q_block, lambda i, j: (j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
     ]
     args = [x, w.q, w.scale.astype(jnp.float32)]
@@ -105,12 +118,15 @@ def qmatmul_pallas_2d(
             pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
         )
         args.append(w.bias.astype(jnp.float32))
-        kernel = functools.partial(_qmm_kernel, group=g, compute_dtype=compute_dtype)
+        kernel = functools.partial(
+            _qmm_kernel, group=g, compute_dtype=compute_dtype, packed=w.packed
+        )
     else:
         kernel = functools.partial(
             lambda xr, qr, sr, orf, **kw: _qmm_kernel(xr, qr, sr, None, orf, **kw),
             group=g,
             compute_dtype=compute_dtype,
+            packed=w.packed,
         )
 
     out = pl.pallas_call(

@@ -52,6 +52,10 @@ class QTensor:
     group: int = dataclasses.field(metadata=dict(static=True), default=32)
     ggml_type: int = dataclasses.field(metadata=dict(static=True), default=int(GGMLType.Q8_0))
     layout: str = dataclasses.field(metadata=dict(static=True), default="nk")
+    #: 4-bit nibble packing along K ("kn" layout only): within each group of G
+    #: K-rows, packed row j holds values (j, j+G/2) in (lo, hi) nibbles — so
+    #: unpacking is two contiguous sublane blocks per group, no interleave.
+    packed: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def shape(self):
@@ -68,8 +72,35 @@ class QTensor:
             layout="kn" if self.layout == "nk" else "nk",
         )
 
+    def unpack(self) -> "QTensor":
+        """Expand nibble packing back to one int8 per value ("kn" only)."""
+        if not self.packed:
+            return self
+        assert self.layout == "kn"
+        g = self.group
+        kp, n = self.q.shape  # kp = K/2
+        p = self.q.astype(jnp.uint8).reshape(kp // (g // 2), g // 2, n)
+        lo = (p & 0xF).astype(jnp.int8)
+        hi = (p >> 4).astype(jnp.int8)
+        q = jnp.concatenate([lo, hi], axis=1).reshape(2 * kp, n)
+        return dataclasses.replace(self, q=q, packed=False)
+
+    def pack_nibbles(self) -> "QTensor":
+        """Pack 4-bit codes two-per-byte (requires 0 <= q < 16, "kn" layout)."""
+        if self.packed:
+            return self
+        assert self.layout == "kn"
+        g = self.group
+        k, n = self.q.shape
+        q = np.asarray(self.q).astype(np.uint8).reshape(k // g, g, n)
+        half = g // 2
+        packed = (q[:, :half] | (q[:, half:] << 4)).reshape(k // 2, n)
+        return dataclasses.replace(self, q=jnp.asarray(packed.view(np.int8)), packed=True)
+
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
         """Materialize dense [N, K] weights (reference path; fused kernels avoid this)."""
+        if self.packed:
+            return self.unpack().dequantize(dtype)
         g = self.group
         if self.layout == "nk":
             n, k = self.q.shape

@@ -95,3 +95,41 @@ def test_pallas_kernel_interpret_matches_xla(rng, qtype, bsz):
         qmatmul_pallas(jnp.asarray(x), qt, compute_dtype=jnp.float32, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q4_0])
+def test_nibble_pack_roundtrip(rng, qtype):
+    w = (rng.standard_normal((64, 512)) * 0.05).astype(np.float32)
+    qt = quantize_array(w, qtype, layout="kn")
+    packed = qt.pack_nibbles()
+    assert packed.q.shape == (256, 64)
+    np.testing.assert_array_equal(
+        np.asarray(packed.unpack().q), np.asarray(qt.q)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed.dequantize()), np.asarray(qt.dequantize())
+    )
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q4_0])
+def test_pallas_packed_matches_unpacked(rng, qtype):
+    from eagle_tpu.ops.pallas_qmm import qmatmul_pallas
+
+    n, k = 128, 512
+    w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
+    x = rng.standard_normal((4, k)).astype(np.float32)
+    qt = quantize_array(w, qtype, layout="kn")
+    want = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, compute_dtype=jnp.float32, interpret=True))
+    got = np.asarray(
+        qmatmul_pallas(jnp.asarray(x), qt.pack_nibbles(), compute_dtype=jnp.float32, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_xla_path_handles_packed(rng):
+    w = (rng.standard_normal((64, 256)) * 0.05).astype(np.float32)
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    qt = quantize_array(w, GGMLType.Q4_K, layout="kn")
+    a = np.asarray(qmatmul(jnp.asarray(x), qt, backend="xla"))
+    b = np.asarray(qmatmul(jnp.asarray(x), qt.pack_nibbles(), backend="xla"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
