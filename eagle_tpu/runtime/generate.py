@@ -61,7 +61,7 @@ class Generator:
         kv = kv.with_tags(positions, positions, valid=valid)
         mask = causal_mask_from_tags(kv.slot_pos, positions)
         out = llama_forward(
-            self.params, self.cfg, tokens, positions, kv, positions, mask,
+            params, self.cfg, tokens, positions, kv, positions, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
         )
         last = n_valid - 1
@@ -79,7 +79,7 @@ class Generator:
             kv = kv.with_tags(p, p)
             mask = causal_mask_from_tags(kv.slot_pos, p)
             fo = llama_forward(
-                self.params, self.cfg, tok[:, None], p, kv, p, mask,
+                params, self.cfg, tok[:, None], p, kv, p, mask,
                 backend=self.backend, compute_dtype=self.compute_dtype,
             )
             kv = fo.kv

@@ -91,8 +91,15 @@ class EagleChainEngine:
         self.eos_id = eos_id
         self.kv_dtype = kv_dtype
 
-        self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",))
-        self._cycle_jit = jax.jit(self._cycle, donate_argnames=("state",))
+        # params are threaded as jit arguments (NOT captured in the closure:
+        # closure-captured arrays become XLA constants, which bloats compiles
+        # catastrophically for GB-scale weights)
+        self._prefill_c = jax.jit(self._prefill, static_argnames=("t",))
+        self._cycle_c = jax.jit(self._cycle, donate_argnames=("state",))
+        self._prefill_jit = lambda state, tokens, n_valid, t: self._prefill_c(
+            self.tp, self.dp, state, tokens, n_valid, t=t
+        )
+        self._cycle_jit = lambda state: self._cycle_c(self.tp, self.dp, state)
 
     # ------------------------------------------------------------------
 
@@ -115,7 +122,7 @@ class EagleChainEngine:
             key=jax.random.PRNGKey(0),
         )
 
-    def _prefill(self, state: SpecState, tokens, n_valid, t: int):
+    def _prefill(self, tp, dp, state: SpecState, tokens, n_valid, t: int):
         """Target prefill over the padded prompt + draft prefill over the
         shifted (token, feature) pairs. Samples the first output token."""
         b = tokens.shape[0]
@@ -125,7 +132,7 @@ class EagleChainEngine:
         tgt_kv = state.tgt_kv.with_tags(positions, positions, valid=valid)
         mask = causal_mask_from_tags(tgt_kv.slot_pos, positions)
         tout = llama_forward(
-            self.tp, self.tcfg, tokens, positions, tgt_kv, positions, mask,
+            tp, self.tcfg, tokens, positions, tgt_kv, positions, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
         )
         feats = self._pick_feature(tout.hidden, tout.hidden_pre)
@@ -137,7 +144,7 @@ class EagleChainEngine:
         dft_kv = state.dft_kv.with_tags(positions, positions, valid=d_valid)
         d_mask = causal_mask_from_tags(dft_kv.slot_pos, positions)
         dout = eagle_forward(
-            self.dp, self.tp, self.dcfg, d_tokens, d_feats, positions, dft_kv,
+            dp, tp, self.dcfg, d_tokens, d_feats, positions, dft_kv,
             positions, d_mask, backend=self.backend, compute_dtype=self.compute_dtype,
             return_logits=False,
         )
@@ -158,7 +165,7 @@ class EagleChainEngine:
 
     # ------------------------------------------------------------------
 
-    def _cycle(self, state: SpecState) -> CycleOutput:
+    def _cycle(self, tp, dp, state: SpecState) -> CycleOutput:
         b, K = self.batch, self.K
         b_idx = jnp.arange(b)
         m = state.n_past  # [B]
@@ -170,7 +177,7 @@ class EagleChainEngine:
             dkv = dkv.with_tags(pos, pos)
             mask = causal_mask_from_tags(dkv.slot_pos, pos)
             out = eagle_forward(
-                self.dp, self.tp, self.dcfg, tok[:, None], feat[:, None], pos,
+                dp, tp, self.dcfg, tok[:, None], feat[:, None], pos,
                 dkv, pos, mask, backend=self.backend, compute_dtype=self.compute_dtype,
             )
             nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
@@ -188,7 +195,7 @@ class EagleChainEngine:
         tgt_kv = state.tgt_kv.with_tags(v_pos, v_pos)
         mask = causal_mask_from_tags(tgt_kv.slot_pos, v_pos)
         tout = llama_forward(
-            self.tp, self.tcfg, v_tokens, v_pos, tgt_kv, v_pos, mask,
+            tp, self.tcfg, v_tokens, v_pos, tgt_kv, v_pos, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
         )
 

@@ -120,11 +120,12 @@ class EagleTreeEngine(EagleChainEngine):
         self._anc = jnp.asarray(self.tree.ancestor)
         self._depth = jnp.asarray(self.tree.depth)
         self._parent = jnp.asarray(self.tree.parent)
-        self._cycle_jit = jax.jit(self._tree_cycle, donate_argnames=("state",))
+        self._cycle_c = jax.jit(self._tree_cycle, donate_argnames=("state",))
+        self._cycle_jit = lambda state: self._cycle_c(self.tp, self.dp, state)
 
     # ------------------------------------------------------------------
 
-    def _tree_cycle(self, state: SpecState) -> CycleOutput:
+    def _tree_cycle(self, tp, dp, state: SpecState) -> CycleOutput:
         tree = self.tree
         b = self.batch
         b_idx = jnp.arange(b)
@@ -150,7 +151,7 @@ class EagleTreeEngine(EagleChainEngine):
             dft_kv = dft_kv.with_tags(slots, pos)
             mask = _tree_mask(dft_kv.slot_pos, pos, d_base[:, 0], ids, self._anc, N)
             out = eagle_forward(
-                self.dp, self.tp, self.dcfg, toks, feats, pos, dft_kv, slots, mask,
+                dp, tp, self.dcfg, toks, feats, pos, dft_kv, slots, mask,
                 backend=self.backend, compute_dtype=self.compute_dtype,
             )
             dft_kv = out.kv
@@ -174,7 +175,7 @@ class EagleTreeEngine(EagleChainEngine):
         tgt_kv = state.tgt_kv.with_tags(v_slots, v_pos)
         mask = _tree_mask(tgt_kv.slot_pos, v_pos, v_base[:, 0], all_ids, self._anc, N)
         tout = llama_forward(
-            self.tp, self.tcfg, node_tokens, v_pos, tgt_kv, v_slots, mask,
+            tp, self.tcfg, node_tokens, v_pos, tgt_kv, v_slots, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
         )
         t_argmax = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)  # [B, N]
