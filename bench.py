@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--max-seq", type=int, default=1024)
     ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--packed", action="store_true", default=True,
+                    help="nibble-packed int4 weights (true 4-bit HBM traffic)")
+    ap.add_argument("--no-packed", dest="packed", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -46,7 +49,7 @@ def main():
 
     cfg = dataclasses.replace(VICUNA_7B, n_layers=args.layers)
     t0 = time.time()
-    params = synth_llama_params(cfg, seed=0, on_device=True)
+    params = synth_llama_params(cfg, seed=0, on_device=True, packed=args.packed and args.backend == "pallas")
     jax.block_until_ready(params["layers"]["wq"].q)
     print(f"# params built on-device in {time.time()-t0:.1f}s", file=sys.stderr)
 

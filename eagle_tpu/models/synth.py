@@ -31,6 +31,7 @@ def synth_qtensor(
     qtype: GGMLType = GGMLType.Q4_K,
     layout: str = "kn",
     stack: int | None = None,
+    packed: bool = False,
 ) -> QTensor:
     """rng is either a numpy Generator (host synth) or a jax PRNG key (device
     synth — generates weights directly in HBM, no host->device transfer; used
@@ -70,9 +71,23 @@ def synth_qtensor(
             )
         )
         q, scale, bias = gen(k1, k2, k3)
-    return QTensor(
+    qt = QTensor(
         q=q, scale=scale, bias=bias, group=group, ggml_type=int(qtype), layout=layout
     )
+    if packed:
+        assert layout == "kn" and hi <= 16 and lo >= 0
+        import jax
+
+        half = group // 2
+
+        def pack(qa):
+            shp = qa.shape
+            qg = qa.astype(jnp.uint8).reshape(*shp[:-2], shp[-2] // group, group, shp[-1])
+            p = qg[..., :half, :] | (qg[..., half:, :] << 4)
+            return p.reshape(*shp[:-2], shp[-2] // 2, shp[-1]).astype(jnp.int8)
+
+        qt = dataclasses.replace(qt, q=jax.jit(pack)(qt.q), packed=True)
+    return qt
 
 
 def synth_llama_params(
@@ -81,9 +96,10 @@ def synth_llama_params(
     seed: int = 0,
     embed_dtype=jnp.bfloat16,
     on_device: bool = False,
+    packed: bool = False,
 ) -> dict[str, Any]:
     if on_device:
-        return _synth_llama_on_device(cfg, qtype, seed, embed_dtype)
+        return _synth_llama_on_device(cfg, qtype, seed, embed_dtype, packed=packed)
     rng = np.random.default_rng(seed)
     L, d, dh, h, hkv, f, v = (
         cfg.n_layers, cfg.n_embd, cfg.head_dim, cfg.n_heads, cfg.n_kv_heads,
@@ -110,7 +126,7 @@ def synth_llama_params(
     }
 
 
-def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype) -> dict[str, Any]:
+def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=False) -> dict[str, Any]:
     import jax
 
     keys = iter(jax.random.split(jax.random.PRNGKey(seed), 16))
@@ -120,14 +136,14 @@ def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype) -> dict[s
     )
     layers = {
         "attn_norm": jnp.ones((L, d), jnp.float32),
-        "wq": synth_qtensor(next(keys), h * dh, d, qtype, stack=L),
-        "wk": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L),
-        "wv": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L),
-        "wo": synth_qtensor(next(keys), d, h * dh, qtype, stack=L),
+        "wq": synth_qtensor(next(keys), h * dh, d, qtype, stack=L, packed=packed),
+        "wk": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L, packed=packed),
+        "wv": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L, packed=packed),
+        "wo": synth_qtensor(next(keys), d, h * dh, qtype, stack=L, packed=packed),
         "ffn_norm": jnp.ones((L, d), jnp.float32),
-        "w_gate": synth_qtensor(next(keys), f, d, qtype, stack=L),
-        "w_up": synth_qtensor(next(keys), f, d, qtype, stack=L),
-        "w_down": synth_qtensor(next(keys), d, f, qtype, stack=L),
+        "w_gate": synth_qtensor(next(keys), f, d, qtype, stack=L, packed=packed),
+        "w_up": synth_qtensor(next(keys), f, d, qtype, stack=L, packed=packed),
+        "w_down": synth_qtensor(next(keys), d, f, qtype, stack=L, packed=packed),
     }
     emb = jax.jit(
         lambda k: (jax.random.normal(k, (v, d), jnp.float32) * 0.02).astype(embed_dtype)
@@ -136,7 +152,7 @@ def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype) -> dict[s
         "tok_embd": emb,
         "layers": layers,
         "output_norm": jnp.ones((d,), jnp.float32),
-        "output": synth_qtensor(next(keys), v, d, qtype),
+        "output": synth_qtensor(next(keys), v, d, qtype, packed=packed),
     }
 
 

@@ -26,9 +26,14 @@ class SamplerConfig:
     top_p: float = 0.95  # >= 1: disabled
     min_p: float = 0.05  # <= 0: disabled
     typical_p: float = 1.0  # >= 1: disabled
+    top_n_sigma: float = 0.0  # <= 0: disabled
+    xtc_probability: float = 0.0  # 0: disabled
+    xtc_threshold: float = 0.1
     penalty_repeat: float = 1.0  # 1.0: disabled
     penalty_freq: float = 0.0
     penalty_present: float = 0.0
+    #: tuple of (token_id, bias) pairs, applied first (llama_sampler_logit_bias)
+    logit_bias: tuple = ()
     greedy: bool = False
 
     @property
@@ -105,19 +110,63 @@ def typical_mask(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(keep, logits, _NEG_INF)
 
 
+def top_n_sigma_mask(logits: jax.Array, n: float) -> jax.Array:
+    """llama_sampler_top_n_sigma: keep logits within n standard deviations of
+    the max."""
+    if n <= 0:
+        return logits
+    valid = logits > _NEG_INF / 2
+    mean = jnp.mean(jnp.where(valid, logits, 0), axis=-1, keepdims=True)
+    var = jnp.mean(jnp.where(valid, (logits - mean) ** 2, 0), axis=-1, keepdims=True)
+    cutoff = logits.max(axis=-1, keepdims=True) - n * jnp.sqrt(var)
+    return jnp.where(logits < cutoff, _NEG_INF, logits)
+
+
+def xtc_mask(logits: jax.Array, key: jax.Array, prob: float, threshold: float) -> jax.Array:
+    """Exclude-top-choices (llama_sampler_xtc): with probability `prob`, mask
+    every token above `threshold` probability EXCEPT the least likely of them."""
+    if prob <= 0:
+        return logits
+    probs = jax.nn.softmax(logits, axis=-1)
+    above = probs >= threshold
+    n_above = above.sum(axis=-1, keepdims=True)
+    # keep the smallest-probability qualifying token: mask only tokens with
+    # prob strictly greater than the minimum qualifying prob
+    min_above = jnp.min(jnp.where(above, probs, jnp.inf), axis=-1, keepdims=True)
+    drop = above & (probs > min_above) & (n_above >= 2)
+    fire = jax.random.uniform(key, logits.shape[:-1] + (1,)) < prob
+    return jnp.where(fire & drop, _NEG_INF, logits)
+
+
+def apply_logit_bias(logits: jax.Array, bias: tuple) -> jax.Array:
+    if not bias:
+        return logits
+    ids = jnp.asarray([b[0] for b in bias], jnp.int32)
+    vals = jnp.asarray([b[1] for b in bias], jnp.float32)
+    return logits.at[..., ids].add(vals)
+
+
 def transform_logits(
-    logits: jax.Array, cfg: SamplerConfig, penalty_counts: jax.Array | None = None
+    logits: jax.Array,
+    cfg: SamplerConfig,
+    penalty_counts: jax.Array | None = None,
+    key: jax.Array | None = None,
 ) -> jax.Array:
     """Apply the chain's logit transforms (everything except the final draw)."""
     l = logits.astype(jnp.float32)
+    l = apply_logit_bias(l, cfg.logit_bias)
     if cfg.needs_penalties and penalty_counts is not None:
         l = apply_penalties(l, penalty_counts, cfg)
     if cfg.greedy:
         return l
+    l = top_n_sigma_mask(l, cfg.top_n_sigma)
     l = top_k_mask(l, cfg.top_k)
     l = typical_mask(l, cfg.typical_p)
     l = top_p_mask(l, cfg.top_p)
     l = min_p_mask(l, cfg.min_p)
+    if cfg.xtc_probability > 0 and key is not None:
+        key, sub = jax.random.split(key)
+        l = xtc_mask(l, sub, cfg.xtc_probability, cfg.xtc_threshold)
     if cfg.temperature > 0:
         l = l / cfg.temperature
     return l
@@ -130,7 +179,8 @@ def sample(
     penalty_counts: jax.Array | None = None,
 ) -> jax.Array:
     """Draw token ids from [..., V] logits. Greedy if cfg.greedy or temp<=0."""
-    l = transform_logits(logits, cfg, penalty_counts)
+    key, tkey = jax.random.split(key)
+    l = transform_logits(logits, cfg, penalty_counts, key=tkey)
     if cfg.greedy or cfg.temperature <= 0:
         return jnp.argmax(l, axis=-1).astype(jnp.int32)
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)

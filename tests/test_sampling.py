@@ -88,3 +88,38 @@ def test_transform_batched():
     out = transform_logits(l, SamplerConfig(top_k=2, temperature=0.5))
     assert out.shape == (3, 4)
     assert (np.asarray(out)[:, 2:] < -1e28).all()
+
+
+def test_logit_bias():
+    from eagle_tpu.runtime.sampling import apply_logit_bias
+
+    l = jnp.zeros(8)
+    out = np.asarray(apply_logit_bias(l, ((2, 5.0), (4, -1e9))))
+    assert out[2] == 5.0 and out[4] < -1e8 and out[0] == 0
+
+
+def test_top_n_sigma():
+    from eagle_tpu.runtime.sampling import top_n_sigma_mask
+
+    l = jnp.asarray([10.0, 9.5, 0.0, -1.0])
+    out = np.asarray(top_n_sigma_mask(l, 1.0))
+    assert out[0] > -1e29 and out[1] > -1e29
+    assert out[2] < -1e29 and out[3] < -1e29
+
+
+def test_xtc_removes_top_choices():
+    from eagle_tpu.runtime.sampling import xtc_mask
+
+    l = logits_from_probs([0.5, 0.3, 0.15, 0.05])
+    out = np.asarray(xtc_mask(l, jax.random.PRNGKey(0), prob=1.0, threshold=0.2))
+    # 0.5 and 0.3 are above threshold; only the least likely of them (0.3) kept
+    assert out[0] < -1e29
+    assert out[1] > -1e29 and out[2] > -1e29 and out[3] > -1e29
+
+
+def test_xtc_disabled_when_single_candidate():
+    from eagle_tpu.runtime.sampling import xtc_mask
+
+    l = logits_from_probs([0.9, 0.05, 0.05])
+    out = np.asarray(xtc_mask(l, jax.random.PRNGKey(0), prob=1.0, threshold=0.2))
+    assert out[0] > -1e29  # only one above threshold -> untouched
