@@ -51,8 +51,11 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
         tkp, tn = q_ref.shape
         tk = 2 * tkp
         half = group // 2
-        p = q_ref[:].astype(jnp.uint8).reshape(tk // group, half, tn)
-        w = jnp.concatenate([p & 0xF, p >> 4], axis=1).astype(jnp.float32)
+        # Mosaic lacks i8 shifts; widen to i32 for the nibble extraction
+        p = q_ref[:].reshape(tk // group, half, tn).astype(jnp.int32)
+        lo = p & 0xF  # 0..15
+        hi = (p >> 4) & 0xF  # mask kills the sign-extension of the arith shift
+        w = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
     else:
         tk, tn = q_ref.shape
         w = q_ref[:].astype(jnp.float32).reshape(tk // group, group, tn)
