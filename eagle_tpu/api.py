@@ -28,6 +28,7 @@ class EngineConfig:
     model_path: str | Path = ""
     draft_path: str | Path | None = None  # EAGLE gguf
     max_seq: int = 2048
+    batch: int = 1  # >1 enables continuous-batching slots (needs draft_path)
     n_draft: int = 5  # chain draft length
     tree_branching: tuple[int, ...] | None = None  # enables tree mode
     backend: str | None = None  # 'xla' | 'pallas'
@@ -40,6 +41,7 @@ class EngineConfig:
 class Engine:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
+        self.batcher = None
         self.params, self.model_cfg, self.metadata = load_llama_params(cfg.model_path)
         tok_model = self.metadata.get("tokenizer.ggml.model", "llama")
         if tok_model not in ("llama", "spm"):
@@ -60,11 +62,15 @@ class Engine:
             else:
                 self.engine = EagleChainEngine(
                     self.params, self.draft_params, self.model_cfg, self.draft_cfg,
-                    n_draft=cfg.n_draft, max_seq=cfg.max_seq,
+                    n_draft=cfg.n_draft, max_seq=cfg.max_seq, batch=cfg.batch,
                     compute_dtype=cfg.compute_dtype, kv_dtype=cfg.kv_dtype,
                     backend=cfg.backend, feature_source=cfg.feature_source,
                     sampler=cfg.sampler, eos_id=self.tokenizer.eos_id,
                 )
+            if cfg.batch > 1 and not cfg.tree_branching:
+                from .runtime.scheduler import ContinuousBatcher
+
+                self.batcher = ContinuousBatcher(self.engine)
         else:
             self.engine = Generator(
                 self.params, self.model_cfg, max_seq=cfg.max_seq,

@@ -1,0 +1,76 @@
+"""Dedicated inference thread driving the ContinuousBatcher.
+
+All device work stays on one thread (JAX dispatch isn't free-threaded); the
+aiohttp handlers talk to it through thread-safe queues. Mirrors the reference
+server's inference-thread/HTTP-thread split (server.cpp: server_queue +
+update_slots loop)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class BatchRequest:
+    prompt_ids: list
+    max_new: int
+    on_token: Callable  # called from the worker thread per token
+    on_done: Callable  # called once with the slot's final token list
+    stop_at_eos: bool = True
+    submitted: float = field(default_factory=time.time)
+
+
+class BatcherWorker(threading.Thread):
+    def __init__(self, batcher):
+        super().__init__(daemon=True, name="eagle-tpu-batcher")
+        self.batcher = batcher
+        self.requests: queue.Queue[BatchRequest] = queue.Queue()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+
+    def submit(self, req: BatchRequest):
+        self.requests.put(req)
+        self._wake.set()
+
+    def shutdown(self):
+        self._stop.set()
+        self._wake.set()
+
+    def run(self):
+        pending: list[BatchRequest] = []
+        live: dict[int, BatchRequest] = {}  # slot id -> request
+        while not self._stop.is_set():
+            # admit pending requests into free slots
+            while True:
+                try:
+                    pending.append(self.requests.get_nowait())
+                except queue.Empty:
+                    break
+            while pending:
+                req = pending[0]
+                slot = self.batcher.submit(
+                    req.prompt_ids,
+                    max_new_tokens=req.max_new,
+                    on_token=req.on_token,
+                    stop_at_eos=req.stop_at_eos,
+                )
+                if slot is None:
+                    break  # saturated; retry after a step frees slots
+                pending.pop(0)
+                if slot.state == "free":  # finished already (1-token request)
+                    req.on_done(slot.generated)
+                else:
+                    live[slot.id] = req
+
+            if self.batcher.n_active > 0:
+                self.batcher.step()
+                for sid in list(live):
+                    if self.batcher.slots[sid].state == "free":
+                        live.pop(sid).on_done(self.batcher.slots[sid].generated)
+            else:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()

@@ -95,6 +95,12 @@ class InferenceServer:
         self.metrics = ServerMetrics()
         self.queue: asyncio.Queue = asyncio.Queue()
         self._worker_task = None
+        self.batch_worker = None
+        if getattr(engine, "batcher", None) is not None:
+            from .batch_worker import BatcherWorker
+
+            self.batch_worker = BatcherWorker(engine.batcher)
+            self.batch_worker.start()
 
     # -- worker ------------------------------------------------------------
 
@@ -157,8 +163,11 @@ class InferenceServer:
         ids = self.engine.tokenizer.encode(prompt)
         self.metrics.tokens_prompt_total += len(ids)
 
-        def work():
-            if hasattr(self.engine.engine, "generate"):
+        if self.batch_worker is not None:
+            toks, stats = await self._run_batched(ids, max_new, body)
+        else:
+
+            def work():
                 if self.engine.draft_params is not None:
                     toks, stats = self.engine.engine.generate(ids, max_new_tokens=max_new, seed=seed)
                 else:
@@ -166,9 +175,9 @@ class InferenceServer:
                         ids, max_new_tokens=max_new, sampler=sampler, seed=seed
                     )
                     stats = {}
-            return toks, stats
+                return toks, stats
 
-        toks, stats = await self._run(work)
+            toks, stats = await self._run(work)
         self.metrics.tokens_generated_total += len(toks)
         eos = self.engine.tokenizer.eos_id
         text = self.engine.tokenizer.decode([t for t in toks if t != eos], skip_special=True)
@@ -182,6 +191,25 @@ class InferenceServer:
                 "predicted_per_second": len(toks) / max(1e-9, time.time() - t0),
             },
         }
+
+    async def _run_batched(self, ids, max_new, body):
+        """Submit to the continuous-batching worker; returns (tokens, stats)."""
+        from .batch_worker import BatchRequest
+
+        loop = asyncio.get_event_loop()
+        fut = loop.create_future()
+
+        def on_token(_tok):
+            pass
+
+        def on_done(tokens):
+            loop.call_soon_threadsafe(fut.set_result, list(tokens))
+
+        self.batch_worker.submit(
+            BatchRequest(prompt_ids=ids, max_new=max_new, on_token=on_token, on_done=on_done)
+        )
+        toks = await fut
+        return toks, {"batched": True}
 
     async def handle_completion(self, request):
         body = await request.json()

@@ -214,3 +214,59 @@ def test_server_openai_endpoints(server):
         {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 4, "temperature": 0},
     )
     assert res["choices"][0]["message"]["role"] == "assistant"
+
+
+@pytest.fixture(scope="module")
+def batched_server(tiny_gguf_pair):
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+
+    from eagle_tpu.api import Engine, EngineConfig
+    from eagle_tpu.server.server import InferenceServer
+
+    tgt, egl = tiny_gguf_pair
+    eng = Engine(EngineConfig(model_path=tgt, draft_path=egl, n_draft=2, batch=3,
+                              max_seq=128, compute_dtype=jnp.float32, kv_dtype=jnp.float32))
+    assert eng.batcher is not None
+    srv = InferenceServer(eng, model_name="tiny-batched")
+    sock = socket.socket(); sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]; sock.close()
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        runner = web.AppRunner(srv.build_app())
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield base
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_batched_server_concurrent_requests(batched_server):
+    import concurrent.futures
+
+    def go(prompt):
+        return _post(batched_server + "/completion",
+                     {"prompt": prompt, "n_predict": 6, "temperature": 0})
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(go, ["hello", "world", "abc", "hello abc"]))
+    for r in results:
+        assert r["tokens_predicted"] >= 1
+    # same prompt twice must give identical completions (greedy, slot isolation)
+    a = go("hello")
+    b = go("hello")
+    assert a["content"] == b["content"]
