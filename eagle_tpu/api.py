@@ -43,10 +43,9 @@ class Engine:
         self.cfg = cfg
         self.batcher = None
         self.params, self.model_cfg, self.metadata = load_llama_params(cfg.model_path)
-        tok_model = self.metadata.get("tokenizer.ggml.model", "llama")
-        if tok_model not in ("llama", "spm"):
-            raise NotImplementedError(f"tokenizer model {tok_model!r} not yet supported")
-        self.tokenizer = SPMTokenizer.from_gguf_metadata(self.metadata)
+        from .tokenizer.bpe import tokenizer_from_gguf_metadata
+
+        self.tokenizer = tokenizer_from_gguf_metadata(self.metadata)
 
         self.draft_params = None
         if cfg.draft_path:

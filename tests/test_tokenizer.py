@@ -89,3 +89,66 @@ def test_from_gguf_metadata_roundtrip():
     tok2 = SPMTokenizer.from_gguf_metadata(md)
     text = "ab c"
     assert tok2.encode(text) == tok.encode(text)
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+
+def make_bpe(**kw):
+    from eagle_tpu.tokenizer.bpe import BPETokenizer, _BYTE_ENC
+
+    # vocab: specials + all byte symbols + some merged tokens
+    tokens = ["<unk>", "<s>", "</s>"]
+    ttypes = [TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL]
+    byte_syms = [_BYTE_ENC[b] for b in range(256)]
+    tokens += byte_syms
+    ttypes += [TokenType.NORMAL] * 256
+    merged = ["he", "ll", "llo", "hello", "Ġw", "Ġwo", "or", "ld", "Ġworld"]
+    tokens += merged
+    ttypes += [TokenType.NORMAL] * len(merged)
+    merges = ["h e", "l l", "ll o", "he llo", "Ġ w", "Ġw o", "o r", "l d", "Ġwo r l d", "Ġwo rld"]
+    # note: merges use the byte-mapped space "Ġ"
+    return BPETokenizer(tokens=tokens, merges=merges, token_types=ttypes, **kw)
+
+
+def test_bpe_basic_merges():
+    tok = make_bpe()
+    ids = tok.encode("hello", add_bos=False)
+    assert [tok.tokens[i] for i in ids] == ["hello"]
+
+
+def test_bpe_space_handling():
+    tok = make_bpe()
+    ids = tok.encode("hello world", add_bos=False)
+    pieces = [tok.tokens[i] for i in ids]
+    assert pieces[0] == "hello"
+    assert pieces[1].startswith("Ġ")  # space folded into next word
+
+
+def test_bpe_roundtrip_unicode():
+    tok = make_bpe()
+    for text in ["hello world", "héllo", "日本語 text", "a\nb", "  spaces  "]:
+        ids = tok.encode(text, add_bos=False)
+        assert tok.decode(ids) == text
+
+
+def test_bpe_specials():
+    tok = make_bpe()
+    ids = tok.encode("hello</s>", add_bos=False)
+    assert ids[-1] == 2
+    assert tok.decode(ids, skip_special=True) == "hello"
+
+
+def test_tokenizer_factory():
+    from eagle_tpu.tokenizer.bpe import tokenizer_from_gguf_metadata
+
+    md = {
+        Keys.Tokenizer.MODEL: "gpt2",
+        Keys.Tokenizer.LIST: make_bpe().tokens,
+        Keys.Tokenizer.MERGES: make_bpe().merges,
+        Keys.Tokenizer.TOKEN_TYPE: np.asarray(make_bpe().token_types, np.int32),
+    }
+    tok = tokenizer_from_gguf_metadata(md)
+    assert tok.encode("hello", add_bos=False)
