@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--packed", action="store_true", default=True,
                     help="nibble-packed int4 weights (true 4-bit HBM traffic)")
     ap.add_argument("--no-packed", dest="packed", action="store_false")
+    ap.add_argument("--scale-dtype", default="bf16", choices=["f32", "bf16"])
     args = ap.parse_args()
 
     import jax
@@ -49,7 +50,11 @@ def main():
 
     cfg = dataclasses.replace(VICUNA_7B, n_layers=args.layers)
     t0 = time.time()
-    params = synth_llama_params(cfg, seed=0, on_device=True, packed=args.packed and args.backend == "pallas")
+    params = synth_llama_params(
+        cfg, seed=0, on_device=True,
+        packed=args.packed and args.backend == "pallas",
+        scale_dtype=jnp.bfloat16 if args.scale_dtype == "bf16" else jnp.float32,
+    )
     jax.block_until_ready(params["layers"]["wq"].q)
     print(f"# params built on-device in {time.time()-t0:.1f}s", file=sys.stderr)
 

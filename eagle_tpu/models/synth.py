@@ -32,6 +32,7 @@ def synth_qtensor(
     layout: str = "kn",
     stack: int | None = None,
     packed: bool = False,
+    scale_dtype=jnp.float32,
 ) -> QTensor:
     """rng is either a numpy Generator (host synth) or a jax PRNG key (device
     synth — generates weights directly in HBM, no host->device transfer; used
@@ -71,6 +72,9 @@ def synth_qtensor(
             )
         )
         q, scale, bias = gen(k1, k2, k3)
+    if scale_dtype != jnp.float32:
+        scale = scale.astype(scale_dtype)
+        bias = None if bias is None else bias.astype(scale_dtype)
     qt = QTensor(
         q=q, scale=scale, bias=bias, group=group, ggml_type=int(qtype), layout=layout
     )
@@ -97,9 +101,12 @@ def synth_llama_params(
     embed_dtype=jnp.bfloat16,
     on_device: bool = False,
     packed: bool = False,
+    scale_dtype=jnp.float32,
 ) -> dict[str, Any]:
     if on_device:
-        return _synth_llama_on_device(cfg, qtype, seed, embed_dtype, packed=packed)
+        return _synth_llama_on_device(
+            cfg, qtype, seed, embed_dtype, packed=packed, scale_dtype=scale_dtype
+        )
     rng = np.random.default_rng(seed)
     L, d, dh, h, hkv, f, v = (
         cfg.n_layers, cfg.n_embd, cfg.head_dim, cfg.n_heads, cfg.n_kv_heads,
@@ -126,7 +133,7 @@ def synth_llama_params(
     }
 
 
-def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=False) -> dict[str, Any]:
+def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=False, scale_dtype=jnp.float32) -> dict[str, Any]:
     import jax
 
     keys = iter(jax.random.split(jax.random.PRNGKey(seed), 16))
@@ -136,14 +143,14 @@ def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=Fa
     )
     layers = {
         "attn_norm": jnp.ones((L, d), jnp.float32),
-        "wq": synth_qtensor(next(keys), h * dh, d, qtype, stack=L, packed=packed),
-        "wk": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L, packed=packed),
-        "wv": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L, packed=packed),
-        "wo": synth_qtensor(next(keys), d, h * dh, qtype, stack=L, packed=packed),
+        "wq": synth_qtensor(next(keys), h * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        "wk": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        "wv": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        "wo": synth_qtensor(next(keys), d, h * dh, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
         "ffn_norm": jnp.ones((L, d), jnp.float32),
-        "w_gate": synth_qtensor(next(keys), f, d, qtype, stack=L, packed=packed),
-        "w_up": synth_qtensor(next(keys), f, d, qtype, stack=L, packed=packed),
-        "w_down": synth_qtensor(next(keys), d, f, qtype, stack=L, packed=packed),
+        "w_gate": synth_qtensor(next(keys), f, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        "w_up": synth_qtensor(next(keys), f, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        "w_down": synth_qtensor(next(keys), d, f, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
     }
     emb = jax.jit(
         lambda k: (jax.random.normal(k, (v, d), jnp.float32) * 0.02).astype(embed_dtype)
@@ -152,7 +159,7 @@ def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=Fa
         "tok_embd": emb,
         "layers": layers,
         "output_norm": jnp.ones((d,), jnp.float32),
-        "output": synth_qtensor(next(keys), v, d, qtype, packed=packed),
+        "output": synth_qtensor(next(keys), v, d, qtype, packed=packed, scale_dtype=scale_dtype),
     }
 
 

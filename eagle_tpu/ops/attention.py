@@ -19,20 +19,27 @@ def gqa_attention(
     mask: jax.Array,  # [B, T, S] bool
     scale: float | None = None,
 ) -> jax.Array:
-    """Returns [B, T, H, D] (f32)."""
+    """Returns [B, T, H, D] (f32).
+
+    QK/PV contractions run on cache-native dtype inputs with f32 MXU
+    accumulation — K/V are never materialized at f32 width (that would double
+    the decode-critical HBM traffic); softmax is f32."""
     b, t, h, d = q.shape
     h_kv = k_cache.shape[2]
     group = h // h_kv
     if scale is None:
         scale = d**-0.5
 
-    qf = q.astype(jnp.float32).reshape(b, t, h_kv, group, d)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
-
-    scores = jnp.einsum("btkgd,bskd->bkgts", qf, kf, preferred_element_type=jnp.float32)
+    cdt = k_cache.dtype
+    qc = q.astype(cdt).reshape(b, t, h_kv, group, d)
+    scores = jnp.einsum(
+        "btkgd,bskd->bkgts", qc, k_cache, preferred_element_type=jnp.float32
+    )
     scores = scores * scale
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkgts,bskd->btkgd", probs, vf, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "bkgts,bskd->btkgd", probs.astype(cdt), v_cache,
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(b, t, h, d)

@@ -59,9 +59,9 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
     else:
         tk, tn = q_ref.shape
         w = q_ref[:].astype(jnp.float32).reshape(tk // group, group, tn)
-    w = w * s_ref[:][:, None, :]
+    w = w * s_ref[:].astype(jnp.float32)[:, None, :]
     if b_ref is not None:
-        w = w + b_ref[:][:, None, :]
+        w = w + b_ref[:].astype(jnp.float32)[:, None, :]
     w = w.reshape(tk, tn).astype(compute_dtype)
     acc = jax.lax.dot_general(
         x_ref[:].astype(compute_dtype),
@@ -115,12 +115,12 @@ def qmatmul_pallas_2d(
         pl.BlockSpec(q_block, lambda i, j: (j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
     ]
-    args = [x, w.q, w.scale.astype(jnp.float32)]
+    args = [x, w.q, w.scale]  # scale/bias stream at their stored dtype
     if w.bias is not None:
         in_specs.append(
             pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
         )
-        args.append(w.bias.astype(jnp.float32))
+        args.append(w.bias)
         kernel = functools.partial(
             _qmm_kernel, group=g, compute_dtype=compute_dtype, packed=w.packed
         )
