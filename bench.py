@@ -55,7 +55,7 @@ def main():
         packed=args.packed and args.backend == "pallas",
         scale_dtype=jnp.bfloat16 if args.scale_dtype == "bf16" else jnp.float32,
     )
-    jax.block_until_ready(params["layers"]["wq"].q)
+    jax.block_until_ready(params["layers"]["wqkv"].q)
     print(f"# params built on-device in {time.time()-t0:.1f}s", file=sys.stderr)
 
     gen = Generator(

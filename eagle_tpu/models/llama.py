@@ -65,9 +65,16 @@ def _layer_step(
 
     attn_in = rms_norm(x, layer.get("attn_norm"), cfg.rms_eps) if "attn_norm" in layer else x
 
-    q = qmatmul(attn_in, layer["wq"], backend, compute_dtype).reshape(b, t, h, dh)
-    k = qmatmul(attn_in, layer["wk"], backend, compute_dtype).reshape(b, t, h_kv, dh)
-    v = qmatmul(attn_in, layer["wv"], backend, compute_dtype).reshape(b, t, h_kv, dh)
+    if "wqkv" in layer:
+        qkv = qmatmul(attn_in, layer["wqkv"], backend, compute_dtype)
+        q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
+        q = q.reshape(b, t, h, dh)
+        k = k.reshape(b, t, h_kv, dh)
+        v = v.reshape(b, t, h_kv, dh)
+    else:
+        q = qmatmul(attn_in, layer["wq"], backend, compute_dtype).reshape(b, t, h, dh)
+        k = qmatmul(attn_in, layer["wk"], backend, compute_dtype).reshape(b, t, h_kv, dh)
+        v = qmatmul(attn_in, layer["wv"], backend, compute_dtype).reshape(b, t, h_kv, dh)
 
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
@@ -80,8 +87,12 @@ def _layer_step(
     x = x + qmatmul(attn.reshape(b, t, h * dh), layer["wo"], backend, compute_dtype)
 
     ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
-    gate = qmatmul(ffn_in, layer["w_gate"], backend, compute_dtype)
-    up = qmatmul(ffn_in, layer["w_up"], backend, compute_dtype)
+    if "w_gate_up" in layer:
+        gate_up = qmatmul(ffn_in, layer["w_gate_up"], backend, compute_dtype)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+    else:
+        gate = qmatmul(ffn_in, layer["w_gate"], backend, compute_dtype)
+        up = qmatmul(ffn_in, layer["w_up"], backend, compute_dtype)
     x = x + qmatmul(jax.nn.silu(gate) * up, layer["w_down"], backend, compute_dtype)
     return x, k_cache, v_cache
 

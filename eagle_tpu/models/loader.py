@@ -94,9 +94,20 @@ def _device_put_tree(tree, put: Callable):
     return jax.tree_util.tree_map(lambda x: put(x), tree)
 
 
+def fuse_layer_weights(stacked: dict[str, Any]) -> dict[str, Any]:
+    """Fuse qkv and gate+up projections along N (single MXU dispatch each)."""
+    from ..quant.qtensor import concat_qtensors
+
+    out = dict(stacked)
+    out["wqkv"] = concat_qtensors([out.pop("wq"), out.pop("wk"), out.pop("wv")])
+    out["w_gate_up"] = concat_qtensors([out.pop("w_gate"), out.pop("w_up")])
+    return out
+
+
 def load_llama_params(
     path: str | Path,
     device_put: Callable | None = None,
+    fuse: bool = True,
 ) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
     """Load a llama-architecture GGUF. Returns (params, config, metadata)."""
     reader = GGUFReader(path)
@@ -112,9 +123,12 @@ def load_llama_params(
             perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
             layers[ours].append(_load_tensor(reader, name, row_perm=perm, layout="kn"))
 
+    stacked = {k: _stack(v) for k, v in layers.items()}
+    if fuse:
+        stacked = fuse_layer_weights(stacked)
     params: dict[str, Any] = {
         "tok_embd": _load_tensor(reader, "token_embd.weight"),
-        "layers": {k: _stack(v) for k, v in layers.items()},
+        "layers": stacked,
         "output_norm": _load_tensor(reader, "output_norm.weight"),
     }
     if "output.weight" in reader.tensors:

@@ -143,13 +143,12 @@ def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=Fa
     )
     layers = {
         "attn_norm": jnp.ones((L, d), jnp.float32),
-        "wq": synth_qtensor(next(keys), h * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
-        "wk": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
-        "wv": synth_qtensor(next(keys), hkv * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        # qkv and gate+up fused along N: one MXU dispatch each (halves the
+        # per-layer kernel-launch overhead on the decode critical path)
+        "wqkv": synth_qtensor(next(keys), (h + 2 * hkv) * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
         "wo": synth_qtensor(next(keys), d, h * dh, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
         "ffn_norm": jnp.ones((L, d), jnp.float32),
-        "w_gate": synth_qtensor(next(keys), f, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
-        "w_up": synth_qtensor(next(keys), f, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        "w_gate_up": synth_qtensor(next(keys), 2 * f, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
         "w_down": synth_qtensor(next(keys), d, f, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
     }
     emb = jax.jit(

@@ -57,9 +57,11 @@ _LAYER_KIND = {
     "wq": "col",
     "wk": "col",
     "wv": "col",
+    "wqkv": "col",
     "wo": "row",
     "w_gate": "col",
     "w_up": "col",
+    "w_gate_up": "col",
     "w_down": "row",
 }
 

@@ -244,6 +244,28 @@ def qtensor_from_gguf(
     )
 
 
+def concat_qtensors(tensors: list, axis_n: bool = True):
+    """Concatenate QTensors (or dense arrays) along the logical N axis —
+    used to fuse qkv / gate+up projections into single MXU calls."""
+    first = tensors[0]
+    if not isinstance(first, QTensor):
+        return np.concatenate([np.asarray(t) for t in tensors], axis=-2)  # dense [.., N, K]
+    assert all(t.layout == first.layout and t.group == first.group and t.packed == first.packed for t in tensors)
+    xp = jnp if isinstance(first.q, jax.Array) else np
+    ax = -1 if first.layout == "kn" else -2
+    return QTensor(
+        q=xp.concatenate([t.q for t in tensors], axis=ax),
+        scale=xp.concatenate([t.scale for t in tensors], axis=ax),
+        bias=None
+        if first.bias is None
+        else xp.concatenate([t.bias for t in tensors], axis=ax),
+        group=first.group,
+        ggml_type=first.ggml_type,
+        layout=first.layout,
+        packed=first.packed,
+    )
+
+
 def quantize_array(w: np.ndarray, ggml_type: GGMLType, layout: str = "nk") -> QTensor:
     """Quantize a dense float [N, K] array straight to a QTensor (tests, on-the-fly
     quantization of HF checkpoints)."""

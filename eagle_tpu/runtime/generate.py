@@ -94,6 +94,67 @@ class Generator:
 
     # ---- host API ---------------------------------------------------------
 
+    def generate_constrained(
+        self,
+        prompt_tokens,
+        grammar,
+        tokenizer,
+        max_new_tokens: int = 128,
+        sampler: SamplerConfig | None = None,
+        seed: int = 0,
+    ) -> list[int]:
+        """Grammar-constrained generation (GBNF). Token-by-token with a
+        host-side grammar mask, like the reference's sampler-chain grammar
+        stage (src/llama-sampling.cpp grammar sampler). The grammar object is
+        mutated (its automaton advances)."""
+        from .sampling import transform_logits
+
+        scfg = sampler or SamplerConfig(greedy=True)
+        prompt = np.asarray(prompt_tokens, dtype=np.int32)
+        n = len(prompt)
+        t = pad_bucket(n)
+        padded = np.zeros((self.batch, t), np.int32)
+        padded[0, :n] = prompt
+        logits, _, self.kv = self._prefill_jit(
+            self.params, self.kv, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t
+        )
+        pieces = [tokenizer.piece(i) for i in range(self.cfg.vocab_size)]
+        rng = np.random.default_rng(seed)
+        out: list[int] = []
+        pos = n
+        for _ in range(max_new_tokens):
+            l = np.asarray(transform_logits(logits[0], scfg)).astype(np.float64)
+            mask = np.asarray(grammar.allowed_mask(pieces))
+            if grammar.can_end and tokenizer.eos_id >= 0:
+                mask[tokenizer.eos_id] = True
+            l[~mask] = -np.inf
+            if scfg.greedy or scfg.temperature <= 0:
+                tok = int(l.argmax())
+            else:
+                p = np.exp(l - l.max())
+                p /= p.sum()
+                tok = int(rng.choice(len(p), p=p))
+            out.append(tok)
+            if tok == tokenizer.eos_id:
+                break
+            grammar.accept_text(pieces[tok])
+            if pos + 1 >= self.max_seq:
+                break
+            p_arr = jnp.full((self.batch, 1), pos, jnp.int32)
+            self.kv = self.kv.with_tags(p_arr, p_arr)
+            from .kvcache import causal_mask_from_tags
+
+            m = causal_mask_from_tags(self.kv.slot_pos, p_arr)
+            fo = llama_forward(
+                self.params, self.cfg, jnp.full((self.batch, 1), tok, jnp.int32),
+                p_arr, self.kv, p_arr, m,
+                backend=self.backend, compute_dtype=self.compute_dtype,
+            )
+            self.kv = fo.kv
+            logits = fo.logits[:, 0]
+            pos += 1
+        return out
+
     def generate(
         self,
         prompt_tokens: list[int] | np.ndarray,

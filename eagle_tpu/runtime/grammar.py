@@ -45,6 +45,8 @@ class _Parser:
         self.pos = 0
         self.rules: dict[str, list[list[El]]] = {}
         self._anon = 0
+        self._ref_names: list[str] = []
+        self._ref_map: dict[str, int] = {}
 
     # -- lexing helpers -------------------------------------------------
 
@@ -64,7 +66,8 @@ class _Parser:
 
     def _name(self) -> str:
         start = self.pos
-        while self._peek().isalnum() or self._peek() in "-_":
+        # note: `"" in "-_"` is True (substring test) — compare explicitly
+        while self._peek().isalnum() or self._peek() in ("-", "_"):
             self.pos += 1
         if start == self.pos:
             raise GrammarParseError(f"expected name at {self.pos}")
@@ -164,7 +167,7 @@ class _Parser:
                     raise GrammarParseError("expected )")
                 self.pos += 1
                 seq.append(El(ElType.RULE_REF, self._ref_id(self._new_rule(base, alts))))
-            elif c.isalnum() or c in "-_":
+            elif c.isalnum() or c in ("-", "_"):
                 seq.append(El(ElType.RULE_REF, self._ref_id(self._name())))
             else:
                 break
@@ -246,9 +249,6 @@ class _Parser:
     _ref_ids: dict[str, int]
 
     def _ref_id(self, name: str) -> int:
-        if not hasattr(self, "_ref_names"):
-            self._ref_names: list[str] = []
-            self._ref_map: dict[str, int] = {}
         if name not in self._ref_map:
             self._ref_map[name] = len(self._ref_names)
             self._ref_names.append(name)
@@ -284,7 +284,7 @@ class Grammar:
     def __init__(self, gbnf: str, root: str = "root"):
         p = _Parser(gbnf)
         rules = p.parse()
-        self.rule_names = getattr(p, "_ref_names", [])
+        self.rule_names = list(p._ref_names)
         self.rules_by_id: list[list[list[El]]] = []
         for name in self.rule_names:
             if name not in rules:

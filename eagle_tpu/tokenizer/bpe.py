@@ -143,6 +143,22 @@ class BPETokenizer:
                     buf.append(b)
         return buf.decode("utf-8", errors="replace")
 
+    def piece(self, tid: int) -> str:
+        tt = self.token_types[tid]
+        if tt in (TokenType.CONTROL, TokenType.UNKNOWN):
+            return ""
+        buf = bytearray()
+        for ch in self.tokens[tid]:
+            b = _BYTE_DEC.get(ch)
+            if b is None:
+                buf.extend(ch.encode("utf-8"))
+            else:
+                buf.append(b)
+        try:
+            return buf.decode("utf-8")
+        except UnicodeDecodeError:
+            return ""
+
     # ------------------------------------------------------------------
 
     @staticmethod

@@ -166,6 +166,18 @@ class SPMTokenizer:
             text = text[1:]
         return text
 
+    def piece(self, tid: int) -> str:
+        """Raw text a single token contributes (for grammar matching)."""
+        tt = self.token_types[tid]
+        if tt == TokenType.BYTE:
+            try:
+                return bytes([int(self.tokens[tid][3:5], 16)]).decode("utf-8")
+            except UnicodeDecodeError:
+                return ""
+        if tt in (TokenType.CONTROL, TokenType.UNKNOWN):
+            return ""
+        return self.tokens[tid].replace(SPM_SPACE, " ")
+
     # ------------------------------------------------------------------
 
     @staticmethod
