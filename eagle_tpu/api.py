@@ -79,14 +79,42 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    def _plain_generator(self) -> Generator:
+        """A non-speculative generator over the same target params (grammar
+        mode and fallback paths)."""
+        if not hasattr(self, "_plain"):
+            self._plain = Generator(
+                self.params, self.model_cfg, max_seq=self.cfg.max_seq,
+                compute_dtype=self.cfg.compute_dtype, kv_dtype=self.cfg.kv_dtype,
+                backend=self.cfg.backend, eos_id=self.tokenizer.eos_id,
+            )
+        return self._plain
+
     def generate_text(
         self,
         prompt: str,
         max_new_tokens: int = 256,
         sampler: SamplerConfig | None = None,
         seed: int = 0,
+        grammar: str | None = None,
+        json_schema: dict | str | None = None,
     ) -> tuple[str, dict]:
         ids = self.tokenizer.encode(prompt)
+        if grammar or json_schema:
+            from .runtime.grammar import Grammar
+            from .runtime.json_schema import json_schema_to_gbnf
+
+            gbnf = grammar or json_schema_to_gbnf(json_schema)
+            g = Grammar(gbnf)
+            gen = self._plain_generator()
+            out = gen.generate_constrained(
+                ids, g, self.tokenizer, max_new_tokens=max_new_tokens,
+                sampler=sampler or self.cfg.sampler, seed=seed,
+            )
+            text = self.tokenizer.decode(
+                [t for t in out if t != self.tokenizer.eos_id], skip_special=True
+            )
+            return text, {"constrained": True}
         if isinstance(self.engine, Generator):
             out = self.engine.generate(
                 ids, max_new_tokens=max_new_tokens,

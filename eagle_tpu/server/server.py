@@ -163,7 +163,22 @@ class InferenceServer:
         ids = self.engine.tokenizer.encode(prompt)
         self.metrics.tokens_prompt_total += len(ids)
 
-        if self.batch_worker is not None:
+        grammar = body.get("grammar")
+        schema = body.get("json_schema") or (
+            body.get("response_format", {}).get("schema")
+            if isinstance(body.get("response_format"), dict)
+            else None
+        )
+        if grammar or schema:
+            def gwork():
+                text, st = self.engine.generate_text(
+                    prompt, max_new_tokens=max_new, sampler=sampler, seed=seed,
+                    grammar=grammar, json_schema=schema,
+                )
+                return self.engine.tokenizer.encode(text, add_bos=False), st
+
+            toks, stats = await self._run(gwork)
+        elif self.batch_worker is not None:
             toks, stats = await self._run_batched(ids, max_new, body)
         else:
 

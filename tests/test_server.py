@@ -270,3 +270,12 @@ def test_batched_server_concurrent_requests(batched_server):
     a = go("hello")
     b = go("hello")
     assert a["content"] == b["content"]
+
+
+def test_server_grammar_constrained(server):
+    res = _post(
+        server + "/completion",
+        {"prompt": "abc", "n_predict": 8, "temperature": 0,
+         "grammar": 'root ::= "abc" | "ab"'},
+    )
+    assert res["content"] in ("abc", "ab")
