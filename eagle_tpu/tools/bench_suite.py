@@ -1,0 +1,144 @@
+"""Benchmark matrix — the llama-bench / batched-bench equivalent.
+
+Measures prefill (pp) and decode (tg) throughput over batch/length
+combinations plus EAGLE speculative cycle latency, printing a markdown or
+JSON table (llama-bench's output styles).
+
+Usage:
+  python -m eagle_tpu.tools.bench_suite [--layers 32] [--json]
+      [--pp 128,512] [--tg 64] [--batch 1,8] [--spec]
+
+All timings use the slope method (two run lengths) so fixed host-sync latency
+(e.g. a TPU relay) is excluded."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _time_slope(fn, small: int, big: int):
+    """fn(n) runs n units and blocks; returns seconds/unit via slope."""
+    ts, tb = [], []
+    for _ in range(2):
+        t0 = time.time(); fn(small); ts.append(time.time() - t0)
+        t0 = time.time(); fn(big); tb.append(time.time() - t0)
+    return (min(tb) - min(ts)) / (big - small)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("eagle-tpu bench-suite")
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--pp", default="128")
+    ap.add_argument("--tg", default="64")
+    ap.add_argument("--batch", default="1")
+    ap.add_argument("--spec", action="store_true", help="include EAGLE cycle bench")
+    ap.add_argument("--n-draft", type=int, default=5)
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--max-seq", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    import pathlib
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.synth import VICUNA_7B, synth_eagle_params, synth_llama_params
+    from ..runtime.generate import Generator, pad_bucket
+    from ..runtime.sampling import SamplerConfig
+
+    cfg = dataclasses.replace(VICUNA_7B, n_layers=args.layers)
+    params = synth_llama_params(cfg, seed=0, on_device=True, packed=True,
+                                scale_dtype=jnp.bfloat16)
+    jax.block_until_ready(params["layers"]["wqkv"].q)
+    rows = []
+
+    # -- prefill throughput --------------------------------------------------
+    for t in (int(x) for x in args.pp.split(",")):
+        gen = Generator(params, cfg, max_seq=max(args.max_seq, 2 * t), batch=1,
+                        backend="pallas", eos_id=-1)
+        tokens = jnp.zeros((1, t), jnp.int32)
+
+        def run_pp(n, gen=gen, tokens=tokens, t=t):
+            for _ in range(n):
+                logits, _, _ = gen._prefill_jit(
+                    gen.params, gen.kv, tokens, jnp.asarray([t], np.int32), t=t
+                )
+            jax.block_until_ready(logits)
+            int(jnp.max(logits))
+
+        run_pp(1)  # compile
+        per = _time_slope(run_pp, 1, 4)
+        rows.append({"test": f"pp{t}", "t/s": round(t / per, 1)})
+
+    # -- decode throughput ---------------------------------------------------
+    tg = int(args.tg.split(",")[0])
+    for b in (int(x) for x in args.batch.split(",")):
+        gen = Generator(params, cfg, max_seq=args.max_seq, batch=b,
+                        backend="pallas", eos_id=-1)
+        scfg = SamplerConfig(greedy=True)
+        state = {"pos": 8, "tok": jnp.zeros((b,), jnp.int32)}
+        prompt = jnp.zeros((b, 8), jnp.int32)
+        gen.kv = gen.kv.with_tags(
+            jnp.tile(jnp.arange(8, dtype=jnp.int32), (b, 1)),
+            jnp.tile(jnp.arange(8, dtype=jnp.int32), (b, 1)),
+        )
+
+        def run_tg(n, gen=gen, b=b):
+            toks, gen.kv = gen._decode_jit(
+                gen.params, gen.kv, state["tok"], jnp.full((b,), state["pos"], jnp.int32),
+                jax.random.PRNGKey(0), SamplerConfig(greedy=True), n_steps=n,
+            )
+            state["pos"] += n
+            state["tok"] = toks[:, -1]
+            int(state["tok"][0])
+
+        run_tg(8)
+        per = _time_slope(run_tg, 8, tg)
+        rows.append({"test": f"tg{tg} b{b}", "t/s": round(b / per, 1)})
+
+    # -- speculative cycle ---------------------------------------------------
+    if args.spec:
+        from ..runtime.speculative import EagleChainEngine
+
+        dcfg = dataclasses.replace(cfg, n_layers=1, is_eagle=True)
+        dparams = synth_eagle_params(dcfg, seed=1)
+        dparams = jax.tree_util.tree_map(jnp.asarray, dparams)
+        eng = EagleChainEngine(params, dparams, cfg, dcfg, n_draft=args.n_draft,
+                               max_seq=args.max_seq, backend="pallas", eos_id=-1)
+        st = eng.fresh_state()
+        pt = jnp.zeros((1, 16), jnp.int32)
+        st = eng._prefill_jit(st, pt, jnp.asarray([8], np.int32), t=16)
+        box = {"st": st}
+
+        def run_cycle(n, eng=eng):
+            for _ in range(n):
+                res = eng._cycle_jit(box["st"])
+                box["st"] = res.state
+            int(np.asarray(res.n_out)[0])
+
+        run_cycle(1)
+        per = _time_slope(run_cycle, 2, 8)
+        rows.append({"test": f"spec-cycle k{args.n_draft}", "ms/cycle": round(per * 1e3, 2)})
+
+    if args.json:
+        print(json.dumps(rows))
+    else:
+        for r in rows:
+            print(" | ".join(f"{k}: {v}" for k, v in r.items()))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -67,7 +67,18 @@ def pick_type(name: str, shape: tuple[int, ...], scheme: str) -> GGMLType:
     return fallback_qtype(t, shape[-1]) if t not in (GGMLType.F16, GGMLType.F32) else t
 
 
-def quantize_gguf(src: str | Path, dst: str | Path, scheme: str = "Q4_K_M") -> dict:
+def quantize_gguf(
+    src: str | Path,
+    dst: str | Path,
+    scheme: str = "Q4_K_M",
+    search: bool = False,
+    imatrix_path: str | Path | None = None,
+) -> dict:
+    imatrix = None
+    if imatrix_path:
+        from .imatrix import load_imatrix
+
+        imatrix = load_imatrix(imatrix_path)
     reader = GGUFReader(src)
     writer = GGUFWriter(dst)
     for key, val in reader.metadata.items():
@@ -82,7 +93,16 @@ def quantize_gguf(src: str | Path, dst: str | Path, scheme: str = "Q4_K_M") -> d
     for name, info in reader.tensors.items():
         f32 = dequantize(reader.tensor_bytes(name), info.ggml_type, info.shape)
         target = pick_type(name, info.shape, scheme)
-        writer.add_tensor(name, f32, target)
+        if (search or imatrix is not None) and target in (GGMLType.Q4_K, GGMLType.Q5_K):
+            from ..quant.kquant_search import quantize_q4_k_search, quantize_q5_k_search
+            from .imatrix import imatrix_for
+
+            im = imatrix_for(name, imatrix) if imatrix is not None else None
+            enc = quantize_q4_k_search if target == GGMLType.Q4_K else quantize_q5_k_search
+            packed = enc(f32, imatrix=im)
+            writer.add_tensor(name, packed.astype(np.uint8), target, raw_shape=info.shape)
+        else:
+            writer.add_tensor(name, f32, target)
         stats["tensors"] += 1
         stats["bytes_in"] += info.nbytes
         stats["bytes_out"] += writer._tensors[-1][3].nbytes
@@ -96,9 +116,15 @@ def main(argv=None):
     if len(argv) < 2:
         print(__doc__)
         return 1
-    src, dst = argv[0], argv[1]
-    scheme = argv[2] if len(argv) > 2 else "Q4_K_M"
-    stats = quantize_gguf(src, dst, scheme)
+    args = [a for a in argv if not a.startswith("--")]
+    flags = [a for a in argv if a.startswith("--")]
+    src, dst = args[0], args[1]
+    scheme = args[2] if len(args) > 2 else "Q4_K_M"
+    imx = None
+    for f in flags:
+        if f.startswith("--imatrix="):
+            imx = f.split("=", 1)[1]
+    stats = quantize_gguf(src, dst, scheme, search="--search" in flags, imatrix_path=imx)
     print(
         f"quantized {stats['tensors']} tensors: "
         f"{stats['bytes_in']/1e6:.1f}MB -> {stats['bytes_out']/1e6:.1f}MB ({scheme})"

@@ -82,3 +82,50 @@ def test_pick_type_rules():
     assert pick_type("blk.0.attn_norm.weight", (64,), "Q4_K_M") == GGMLType.F32
     assert pick_type("blk.0.attn_v.weight", (256, 256), "Q4_K_M") == GGMLType.Q6_K
     assert pick_type("blk.0.ffn_up.weight", (512, 256), "Q4_K_M") == GGMLType.Q4_K
+
+
+def test_search_quantizer_beats_simple_kld(tiny, rng):
+    """The search encoder must yield lower KLD than the simple encoder."""
+    import numpy as np
+
+    from eagle_tpu.quant import blocks
+    from eagle_tpu.quant.kquant_search import quantize_q4_k_search
+
+    w = tiny.model.layers[0].mlp.down_proj.weight.detach().numpy().astype(np.float32)
+    simple = blocks.dequantize(blocks.quantize(w, GGMLType.Q4_K), GGMLType.Q4_K, w.shape)
+    srch = blocks.dequantize(quantize_q4_k_search(w), GGMLType.Q4_K, w.shape)
+    assert np.mean((srch - w) ** 2) < np.mean((simple - w) ** 2)
+
+
+def test_imatrix_collection_and_weighted_quant(tiny, rng, tmp_path):
+    from eagle_tpu.models.hf_convert import params_from_hf_llama
+    from eagle_tpu.tools.imatrix import collect_imatrix, imatrix_for, load_imatrix, save_imatrix
+
+    params, cfg = params_from_hf_llama(tiny)
+    # fuse like the loader does
+    from eagle_tpu.models.loader import fuse_layer_weights
+
+    params = dict(params, layers=fuse_layer_weights(params["layers"]))
+    chunks = [rng.integers(0, 256, size=32).astype(np.int32) for _ in range(2)]
+    im = collect_imatrix(params, cfg, chunks)
+    assert "blk.0.ffn_down.weight" in im and "output.weight" in im
+    assert im["blk.0.ffn_down.weight"].shape == (cfg.n_ff,)
+    assert (im["blk.0.ffn_down.weight"] >= 0).all()
+    p = tmp_path / "im.npz"
+    save_imatrix(im, p)
+    im2 = load_imatrix(p)
+    np.testing.assert_array_equal(im2["output.weight"], im["output.weight"])
+    # alias: attn_v shares attn_q's input stats
+    assert imatrix_for("blk.1.attn_v.weight", im) is not None
+
+
+def test_quantize_gguf_with_search(tiny, tmp_path):
+    from eagle_tpu.models.hf_convert import config_from_hf, convert_hf_to_gguf
+
+    src = tmp_path / "f32s.gguf"
+    dst = tmp_path / "q4s.gguf"
+    convert_hf_to_gguf(tiny.state_dict(), config_from_hf(tiny.config), src, qtype=GGMLType.F32)
+    stats = quantize_gguf(src, dst, "Q4_K_M", search=True)
+    assert stats["tensors"] > 0
+    r = GGUFReader(dst)
+    assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q4_K
