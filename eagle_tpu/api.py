@@ -27,6 +27,8 @@ from .tokenizer.spm import SPMTokenizer
 class EngineConfig:
     model_path: str | Path = ""
     draft_path: str | Path | None = None  # EAGLE gguf
+    lora_path: str | Path | None = None  # LoRA adapter gguf (merged at load)
+    lora_scale: float | None = None
     max_seq: int = 2048
     batch: int = 1  # >1 enables continuous-batching slots (needs draft_path)
     n_draft: int = 5  # chain draft length
@@ -43,6 +45,12 @@ class Engine:
         self.cfg = cfg
         self.batcher = None
         self.params, self.model_cfg, self.metadata = load_llama_params(cfg.model_path)
+        if cfg.lora_path:
+            from .tools.lora import apply_lora_to_params
+
+            self.params = apply_lora_to_params(
+                self.params, self.model_cfg, cfg.lora_path, scale_override=cfg.lora_scale
+            )
         from .tokenizer.bpe import tokenizer_from_gguf_metadata
 
         self.tokenizer = tokenizer_from_gguf_metadata(self.metadata)

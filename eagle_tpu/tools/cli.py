@@ -21,6 +21,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--n-draft", type=int, default=5, help="chain draft length")
     ap.add_argument("--tree", default=None, help="tree branching factors, e.g. 4,2,2")
     ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--lora", default=None, help="LoRA adapter GGUF (merged at load)")
+    ap.add_argument("--lora-scale", type=float, default=None)
+    ap.add_argument("--grammar", default=None, help="GBNF grammar constraining output")
+    ap.add_argument("--json-schema", default=None, help="JSON schema constraining output")
     ap.add_argument("--temp", type=float, default=0.8)
     ap.add_argument("--top-k", type=int, default=40)
     ap.add_argument("--top-p", type=float, default=0.95)
@@ -49,6 +53,8 @@ def main(argv=None):
     cfg = EngineConfig(
         model_path=args.model,
         draft_path=args.draft,
+        lora_path=args.lora,
+        lora_scale=args.lora_scale,
         n_draft=args.n_draft,
         tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
         max_seq=args.ctx,
@@ -62,7 +68,8 @@ def main(argv=None):
 
     t0 = time.time()
     text, stats = eng.generate_text(
-        args.prompt, max_new_tokens=args.n_predict, sampler=sampler, seed=args.seed
+        args.prompt, max_new_tokens=args.n_predict, sampler=sampler, seed=args.seed,
+        grammar=args.grammar, json_schema=args.json_schema,
     )
     dt = time.time() - t0
     print(text)

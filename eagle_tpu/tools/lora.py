@@ -1,0 +1,180 @@
+"""LoRA adapter support.
+
+Two paths, mirroring the reference:
+  - `merge_lora_gguf`: bake adapters into base weights and write a new GGUF —
+    the llama-export-lora equivalent (examples/export-lora).
+  - `load_lora` + `apply_lora_to_params`: merge at load time into the runtime
+    params (the effect of llama.cpp's runtime llm_build_lora_mm applied
+    statically; hot-swappable runtime application is a follow-up).
+
+Adapter files are GGUF with `<tensor>.lora_a` [r, K] / `<tensor>.lora_b`
+[N, r] pairs (convert_lora_to_gguf.py's layout) and
+`adapter.lora.alpha` metadata.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFReader
+from ..gguf.writer import GGUFWriter
+from ..quant.blocks import dequantize, quantize
+
+
+def load_lora(path: str | Path) -> tuple[dict[str, tuple[np.ndarray, np.ndarray]], float]:
+    """Returns ({base_tensor_name: (A [r,K], B [N,r])}, scale)."""
+    r = GGUFReader(path)
+    alpha = float(r.metadata.get("adapter.lora.alpha", 16.0))
+    pairs: dict[str, dict[str, np.ndarray]] = {}
+    rank = None
+    for name in r.tensors:
+        if name.endswith(".lora_a"):
+            base = name[: -len(".lora_a")]
+            pairs.setdefault(base, {})["a"] = r.tensor_f32(name)
+        elif name.endswith(".lora_b"):
+            base = name[: -len(".lora_b")]
+            pairs.setdefault(base, {})["b"] = r.tensor_f32(name)
+    out = {}
+    for base, ab in pairs.items():
+        if "a" in ab and "b" in ab:
+            out[base] = (ab["a"], ab["b"])
+            rank = ab["a"].shape[0]
+    scale = alpha / rank if rank else 1.0
+    return out, scale
+
+
+def merge_lora_gguf(
+    base_path: str | Path,
+    lora_path: str | Path,
+    out_path: str | Path,
+    scale_override: float | None = None,
+) -> int:
+    """Write base GGUF with LoRA deltas merged (same per-tensor types)."""
+    adapters, scale = load_lora(lora_path)
+    if scale_override is not None:
+        scale = scale_override
+    reader = GGUFReader(base_path)
+    writer = GGUFWriter(out_path)
+    for key, val in reader.metadata.items():
+        writer.add(key, val)
+    n_merged = 0
+    for name, info in reader.tensors.items():
+        base_name = name[: -len(".weight")] if name.endswith(".weight") else name
+        w = dequantize(reader.tensor_bytes(name), info.ggml_type, info.shape)
+        if base_name in adapters:
+            a, b = adapters[base_name]
+            w = w + scale * (b.astype(np.float64) @ a.astype(np.float64)).astype(np.float32)
+            n_merged += 1
+        writer.add_tensor(name, w, info.ggml_type)
+    writer.write()
+    reader.close()
+    return n_merged
+
+
+def apply_lora_to_params(
+    params: dict[str, Any],
+    cfg,
+    lora_path: str | Path,
+    scale_override: float | None = None,
+) -> dict[str, Any]:
+    """Merge a LoRA adapter into loaded runtime params (QTensor weights are
+    dequantized, updated, and requantized in their original format)."""
+    import jax.numpy as jnp
+
+    from ..models.loader import LayerKeyMap, unpermute_rows
+    from ..quant.qtensor import QTensor, quantize_array
+
+    adapters, scale = load_lora(lora_path)
+    if scale_override is not None:
+        scale = scale_override
+
+    gguf_to_ours = {v[: -len(".weight")]: k for k, v in LayerKeyMap.items()}
+    q_perm = unpermute_rows(cfg.n_q_dim, cfg.n_heads)
+    k_perm = unpermute_rows(cfg.n_kv_dim, cfg.n_kv_heads)
+
+    # group adapters by layer
+    per_layer: dict[int, dict[str, np.ndarray]] = {}
+    for base, (a, b) in adapters.items():
+        parts = base.split(".")
+        if parts[0] != "blk":
+            continue
+        li = int(parts[1])
+        key = gguf_to_ours.get(".".join(parts[2:]))
+        if key is None:
+            continue
+        if key == "wq":
+            b = b[q_perm]
+        elif key == "wk":
+            b = b[k_perm]
+        per_layer.setdefault(li, {})[key] = scale * (b @ a)
+
+    layers = dict(params["layers"])
+    fused = "wqkv" in layers
+
+    def delta_for(li: int, key: str, n: int, k: int) -> np.ndarray:
+        return per_layer.get(li, {}).get(key, np.zeros((n, k), np.float32))
+
+    def update(name: str, subkeys: list[str]):
+        t = layers[name]
+        L = t.q.shape[0] if isinstance(t, QTensor) else t.shape[0]
+        new_stack = []
+        for li in range(L):
+            if isinstance(t, QTensor):
+                tl = QTensor(t.q[li], t.scale[li],
+                             None if t.bias is None else t.bias[li],
+                             t.group, t.ggml_type, t.layout, t.packed)
+                w = np.asarray(tl.dequantize())
+            else:
+                w = np.asarray(t[li])
+            n_total, kk = w.shape
+            deltas = []
+            if name == "wqkv":
+                deltas = [delta_for(li, "wq", cfg.n_q_dim, kk),
+                          delta_for(li, "wk", cfg.n_kv_dim, kk),
+                          delta_for(li, "wv", cfg.n_kv_dim, kk)]
+            elif name == "w_gate_up":
+                deltas = [delta_for(li, "w_gate", cfg.n_ff, kk),
+                          delta_for(li, "w_up", cfg.n_ff, kk)]
+            else:
+                deltas = [delta_for(li, name, n_total, kk)]
+            w = w + np.concatenate(deltas, axis=0)
+            if isinstance(t, QTensor):
+                nt = quantize_array(w, GGMLType(t.ggml_type), layout=t.layout)
+                if t.packed:
+                    nt = nt.pack_nibbles()
+                new_stack.append(nt)
+            else:
+                new_stack.append(w)
+        from ..models.loader import _stack
+
+        stacked = _stack(new_stack) if not isinstance(t, QTensor) else QTensor(
+            q=np.stack([x.q for x in new_stack]),
+            scale=np.stack([x.scale for x in new_stack]),
+            bias=None if new_stack[0].bias is None else np.stack([x.bias for x in new_stack]),
+            group=new_stack[0].group, ggml_type=new_stack[0].ggml_type,
+            layout=new_stack[0].layout, packed=new_stack[0].packed,
+        )
+        layers[name] = jax.tree_util.tree_map(jnp.asarray, stacked) if isinstance(stacked, QTensor) else jnp.asarray(stacked)
+
+    import jax
+
+    relevant = set()
+    for d in per_layer.values():
+        relevant.update(d.keys())
+    if fused:
+        names = set()
+        if relevant & {"wq", "wk", "wv"}:
+            names.add("wqkv")
+        if relevant & {"w_gate", "w_up"}:
+            names.add("w_gate_up")
+        names |= relevant & {"wo", "w_down"}
+    else:
+        names = relevant
+    for name in names:
+        if name in layers:
+            update(name, [])
+    return dict(params, layers=layers)
