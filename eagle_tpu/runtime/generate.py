@@ -163,8 +163,13 @@ class Generator:
         seed: int = 0,
         chunk: int = 32,
         stop_at_eos: bool = True,
+        context_shift_keep: int | None = None,
     ) -> list[int]:
-        """Single-sequence generation. Returns generated token ids."""
+        """Single-sequence generation. Returns generated token ids.
+
+        `context_shift_keep`: when set, generation past max_seq evicts half of
+        the non-kept context (llama.cpp's --keep / context-shift behavior)
+        instead of stopping."""
         scfg = sampler or SamplerConfig(greedy=True)
         prompt = np.asarray(prompt_tokens, dtype=np.int32)
         n = len(prompt)
@@ -184,6 +189,17 @@ class Generator:
         pos = n
         tok = first
         while len(out) < max_new_tokens:
+            if context_shift_keep is not None and pos + chunk + 1 >= self.max_seq:
+                from ..ops.rope import rope_freqs
+                from .kvcache import context_shift
+
+                n_discard = (self.max_seq - context_shift_keep) // 2
+                inv_freq = rope_freqs(self.cfg.rope_dim, self.cfg.rope_base,
+                                      self.cfg.rope_scale_factor)
+                self.kv = context_shift(self.kv, inv_freq, context_shift_keep, n_discard)
+                pos -= n_discard
+            elif pos + chunk + 1 >= self.max_seq:
+                break
             steps = min(chunk, max_new_tokens - len(out))
             key, sub = jax.random.split(key)
             toks, self.kv = self._decode_jit(

@@ -58,6 +58,42 @@ class KVCache:
         return dataclasses.replace(self, slot_pos=new_tags)
 
 
+def context_shift(kv: KVCache, inv_freq: jax.Array, n_keep: int, n_discard: int) -> KVCache:
+    """Evict `n_discard` tokens after the first `n_keep`, slide the rest down,
+    and re-rotate the cached keys by -n_discard positions.
+
+    The functional equivalent of llama.cpp's context shift (main.cpp:553-577:
+    kv_cache_seq_rm + seq_add and the deferred K-shift RoPE graph,
+    build_k_shift src/llama.cpp:1334-1370) — here it is one jitted tensor
+    program: a slice-roll of the cache rows plus a rope of the moved keys.
+    Keeps the slot==position invariant the engines rely on."""
+    from ..ops.rope import apply_rope
+
+    s = kv.max_seq
+    start = n_keep + n_discard
+
+    def shift_rows(buf, rotate: bool):
+        # buf: [L, B, S, H, D]
+        moved = buf[:, :, start:]
+        if rotate:
+            l, b, t, h, d = moved.shape
+            flat = moved.reshape(l * b, t, h, d)
+            neg = jnp.full((l * b, t), -n_discard, jnp.int32)
+            flat = apply_rope(flat, neg, inv_freq).astype(buf.dtype)
+            moved = flat.reshape(l, b, t, h, d)
+        return jax.lax.dynamic_update_slice_in_dim(buf, moved, n_keep, axis=2)
+
+    k = shift_rows(kv.k, rotate=True)
+    v = shift_rows(kv.v, rotate=False)
+    tags = kv.slot_pos
+    moved_tags = jnp.where(tags[:, start:] >= 0, tags[:, start:] - n_discard, -1)
+    tags = jax.lax.dynamic_update_slice_in_dim(tags, moved_tags, n_keep, axis=1)
+    # invalidate the tail that slid away
+    s_iota = jnp.arange(s, dtype=jnp.int32)[None, :]
+    tags = jnp.where(s_iota >= s - n_discard, -1, tags)
+    return dataclasses.replace(kv, k=k, v=v, slot_pos=tags)
+
+
 def causal_mask_from_tags(slot_pos: jax.Array, q_positions: jax.Array) -> jax.Array:
     """Boolean attention mask [B, T, S]: slot visible iff non-empty and its
     position <= the query token's position (mirrors the reference's

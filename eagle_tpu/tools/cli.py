@@ -75,7 +75,7 @@ def main(argv=None):
     print(text)
     n = len(eng.tokenizer.encode(text, add_bos=False))
     print(f"[perf] {dt:.2f}s", file=sys.stderr)
-    if stats:
+    if stats and "accept_rate" in stats:
         print(
             f"[speculative] accept_rate={stats['accept_rate']:.3f} "
             f"mean_accept_len={stats['mean_accept_len']:.2f} cycles={stats['n_cycles']}",

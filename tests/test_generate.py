@@ -78,3 +78,64 @@ def test_sampled_generation_reproducible(tiny, rng):
     a = g1.generate(prompt, max_new_tokens=8, sampler=scfg, seed=42, stop_at_eos=False)
     b = g2.generate(prompt, max_new_tokens=8, sampler=scfg, seed=42, stop_at_eos=False)
     assert a == b
+
+
+def test_context_shift_matches_truncated_prefill(tiny, rng):
+    """After a shift, continued decoding must equal decoding from a fresh
+    prefill of the kept+shifted tokens (rope consistency)."""
+    import jax
+    import numpy as np
+
+    from eagle_tpu.ops.rope import rope_freqs
+    from eagle_tpu.runtime.kvcache import KVCache, causal_mask_from_tags, context_shift
+    from eagle_tpu.models.llama import llama_forward
+
+    # 1-layer model: with >1 layers the evicted tokens' influence is baked into
+    # the survivors' deep-layer K/V (context shift is approximate there — same
+    # semantics as llama.cpp's shift); with 1 layer equivalence is exact.
+    from eagle_tpu.models.hf_convert import params_from_hf_llama
+
+    torch.manual_seed(13)
+    hf1 = transformers.LlamaForCausalLM(
+        transformers.LlamaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+            attn_implementation="eager",
+        )
+    ).eval()
+    params, mcfg = params_from_hf_llama(hf1)
+    toks = rng.integers(0, 128, size=10).astype(np.int32)
+    n_keep, n_discard = 2, 4
+
+    def prefill(tokens, max_seq=32):
+        kv = KVCache.create(mcfg.n_layers, 1, max_seq, mcfg.n_kv_heads, mcfg.head_dim, jnp.float32)
+        t = len(tokens)
+        pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+        kv = kv.with_tags(pos, pos)
+        mask = causal_mask_from_tags(kv.slot_pos, pos)
+        out = llama_forward(params, mcfg, jnp.asarray(tokens[None, :]), pos, kv, pos,
+                            mask, compute_dtype=jnp.float32)
+        return out.kv
+
+    # path A: full prefill then shift
+    kv_a = prefill(toks)
+    inv_freq = rope_freqs(mcfg.rope_dim, mcfg.rope_base, mcfg.rope_scale_factor)
+    kv_a = context_shift(kv_a, inv_freq, n_keep, n_discard)
+
+    # path B: fresh prefill of the kept tokens
+    kept = np.concatenate([toks[:n_keep], toks[n_keep + n_discard:]])
+    kv_b = prefill(kept)
+
+    # decode the same next token from both
+    nxt = jnp.asarray([[7]], jnp.int32)
+    p = jnp.asarray([[len(kept)]], jnp.int32)
+
+    def step(kv):
+        kv = kv.with_tags(p, p)
+        mask = causal_mask_from_tags(kv.slot_pos, p)
+        return np.asarray(
+            llama_forward(params, mcfg, nxt, p, kv, p, mask, compute_dtype=jnp.float32).logits
+        )
+
+    la, lb = step(kv_a), step(kv_b)
+    np.testing.assert_allclose(la, lb, atol=2e-4, rtol=1e-4)
