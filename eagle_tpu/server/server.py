@@ -260,7 +260,13 @@ class InferenceServer:
 
     async def handle_v1_chat(self, request):
         body = await request.json()
-        prompt = apply_chat_template(body.get("messages", []), body.get("template", "vicuna"))
+        from .chat_templates import apply_template
+
+        prompt = apply_template(
+            body.get("messages", []),
+            template=body.get("template"),
+            jinja_src=self.engine.metadata.get("tokenizer.chat_template"),
+        )
         res = await self._complete(prompt, body)
         return web.json_response(
             {
