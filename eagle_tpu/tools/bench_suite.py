@@ -72,10 +72,10 @@ def main(argv=None):
 
         def run_pp(n, gen=gen, tokens=tokens, t=t):
             for _ in range(n):
-                logits, _, _ = gen._prefill_jit(
+                # kv is donated by the jit — must thread the returned buffer
+                logits, _, gen.kv = gen._prefill_jit(
                     gen.params, gen.kv, tokens, jnp.asarray([t], np.int32), t=t
                 )
-            jax.block_until_ready(logits)
             int(jnp.max(logits))
 
         run_pp(1)  # compile

@@ -94,3 +94,37 @@ def test_stats_consistent(target, draft, rng):
     assert stats["n_accepted"] <= stats["n_drafted"]
     assert 1.0 <= stats["mean_accept_len"] <= eng.K + 1
     assert len(out) >= 1
+
+
+def test_lookup_decoding_equals_plain(target, rng):
+    """Prompt-lookup/ngram speculation is also output-invariant."""
+    from eagle_tpu.runtime.lookup import LookupEngine, NgramCache, prompt_lookup_draft
+
+    tparams, tcfg = target
+    # repetitive prompt so lookup actually drafts
+    base = rng.integers(0, 128, size=4).tolist()
+    prompt = base * 3
+    plain = Generator(tparams, tcfg, max_seq=256, compute_dtype=jnp.float32, eos_id=-1)
+    want = plain.generate(prompt, max_new_tokens=15, stop_at_eos=False)
+
+    eng = LookupEngine(tparams, tcfg, n_draft=4, max_seq=256,
+                       compute_dtype=jnp.float32, kv_dtype=jnp.float32, eos_id=-1)
+    got, stats = eng.generate(prompt, max_new_tokens=15, stop_at_eos=False)
+    assert got == want, (got, want, stats)
+
+
+def test_prompt_lookup_draft_matches():
+    from eagle_tpu.runtime.lookup import prompt_lookup_draft
+
+    ctx = [1, 2, 3, 9, 1, 2]
+    assert prompt_lookup_draft(ctx, 2) == [3, 9]
+    assert prompt_lookup_draft([5, 6, 7], 2) == []
+
+
+def test_ngram_cache():
+    from eagle_tpu.runtime.lookup import NgramCache
+
+    c = NgramCache(2, 3)
+    c.update([1, 2, 3, 1, 2, 3, 1, 2])
+    assert c.draft([1, 2], 1) == [3]
+    assert c.draft([9, 9], 1) == []
