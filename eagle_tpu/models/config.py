@@ -31,6 +31,10 @@ class ModelConfig:
     # layer fed by ReLU(FC([embed; hidden])), no attn_norm / output_norm weight,
     # lm_head borrowed from the target model.
     is_eagle: bool = False
+    # qwen2-style attention q/k/v biases
+    attn_bias: bool = False
+    # sliding-window attention (mistral-v1/gemma2 style); 0 = disabled
+    swa_window: int = 0
 
     @property
     def n_q_dim(self) -> int:
@@ -74,4 +78,6 @@ class ModelConfig:
             rope_scaling=md.get(Keys.Rope.SCALING_TYPE.format(arch=arch)),
             rope_scale_factor=float(md.get(Keys.Rope.SCALING_FACTOR.format(arch=arch), 1.0)),
             is_eagle=(arch == "eagle"),
+            attn_bias=(arch in ("qwen2", "qwen2moe", "starcoder2")),
+            swa_window=int(md.get(f"{arch}.attention.sliding_window", 0) or 0),
         )

@@ -188,6 +188,10 @@ def convert_hf_to_gguf(
 
             perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
             put(f"blk.{i}.{LayerKeyMap[ours]}", f"{lp}.{i}.{suffix}", perm)
+        # qwen2-style attention biases
+        put(f"blk.{i}.attn_q.bias", f"{lp}.{i}.self_attn.q_proj.bias", q_perm)
+        put(f"blk.{i}.attn_k.bias", f"{lp}.{i}.self_attn.k_proj.bias", k_perm)
+        put(f"blk.{i}.attn_v.bias", f"{lp}.{i}.self_attn.v_proj.bias")
     if not is_eagle:
         put("output_norm.weight", "model.norm.weight")
         put("output.weight", "lm_head.weight")

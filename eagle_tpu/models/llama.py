@@ -67,6 +67,8 @@ def _layer_step(
 
     if "wqkv" in layer:
         qkv = qmatmul(attn_in, layer["wqkv"], backend, compute_dtype)
+        if "bqkv" in layer:  # qwen2-style attention biases
+            qkv = qkv + layer["bqkv"].astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h_kv, dh)

@@ -123,6 +123,16 @@ def load_llama_params(
             perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
             layers[ours].append(_load_tensor(reader, name, row_perm=perm, layout="kn"))
 
+    # optional attention biases (qwen2 family)
+    if f"blk.0.attn_q.bias" in reader.tensors:
+        biases = []
+        for i in range(cfg.n_layers):
+            bq = reader.tensor_f32(f"blk.{i}.attn_q.bias")[q_perm]
+            bk = reader.tensor_f32(f"blk.{i}.attn_k.bias")[k_perm]
+            bv = reader.tensor_f32(f"blk.{i}.attn_v.bias")
+            biases.append(np.concatenate([bq, bk, bv]))
+        layers["bqkv"] = [b for b in biases]
+
     stacked = {k: _stack(v) for k, v in layers.items()}
     if fuse:
         stacked = fuse_layer_weights(stacked)

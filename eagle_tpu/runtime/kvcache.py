@@ -94,10 +94,16 @@ def context_shift(kv: KVCache, inv_freq: jax.Array, n_keep: int, n_discard: int)
     return dataclasses.replace(kv, k=k, v=v, slot_pos=tags)
 
 
-def causal_mask_from_tags(slot_pos: jax.Array, q_positions: jax.Array) -> jax.Array:
+def causal_mask_from_tags(
+    slot_pos: jax.Array, q_positions: jax.Array, swa_window: int = 0
+) -> jax.Array:
     """Boolean attention mask [B, T, S]: slot visible iff non-empty and its
     position <= the query token's position (mirrors the reference's
-    cell-position mask, llama-context.cpp:136-200)."""
-    return (slot_pos[:, None, :] >= 0) & (
+    cell-position mask, llama-context.cpp:136-200). `swa_window` > 0 adds the
+    sliding-window constraint (inp_KQ_mask_swa, src/llama-context.h:103)."""
+    vis = (slot_pos[:, None, :] >= 0) & (
         slot_pos[:, None, :] <= q_positions[:, :, None]
     )
+    if swa_window > 0:
+        vis = vis & (q_positions[:, :, None] - slot_pos[:, None, :] < swa_window)
+    return vis
