@@ -42,8 +42,11 @@ def perplexity(
     n_ctx: int = 512,
     compute_dtype=jnp.bfloat16,
     backend: str | None = None,
+    bos_id: int | None = None,
 ) -> dict[str, float]:
-    """PPL over a token stream (1-D array)."""
+    """PPL over a token stream (1-D array). `bos_id` replaces each chunk's
+    first token with BOS (llama-perplexity's add_bos behavior,
+    examples/perplexity/perplexity.cpp:565-570)."""
     tokens = np.asarray(tokens, np.int32)
     n_chunks = len(tokens) // n_ctx
     assert n_chunks >= 1, "need at least one full n_ctx chunk"
@@ -54,7 +57,9 @@ def perplexity(
     )
     nll, count = 0.0, 0
     for c in range(n_chunks):
-        chunk = tokens[c * n_ctx : (c + 1) * n_ctx][None, :]
+        chunk = tokens[c * n_ctx : (c + 1) * n_ctx][None, :].copy()
+        if bos_id is not None:
+            chunk[0, 0] = bos_id
         lp = np.asarray(fwd(params, jnp.asarray(chunk)))[0]  # [n_ctx, V]
         targets = chunk[0, first + 1 :]
         nll -= lp[first:-1][np.arange(len(targets)), targets].sum()
