@@ -135,3 +135,42 @@ class Engine:
             [t for t in out if t != self.tokenizer.eos_id], skip_special=True
         )
         return text, stats
+
+
+    # ------------------------------------------------------------------
+
+    def embed(self, texts: list[str], pooling: str = "mean", normalize: bool = True):
+        """Sequence embeddings (llama-embedding equivalent: pooled hidden
+        states; pooling mean|last)."""
+        import jax
+        import numpy as np
+
+        from .models.llama import llama_forward
+        from .runtime.generate import pad_bucket
+        from .runtime.kvcache import KVCache, causal_mask_from_tags
+
+        out = []
+        for text in texts:
+            ids = np.asarray(self.tokenizer.encode(text), np.int32)
+            t = pad_bucket(len(ids))
+            padded = np.zeros((1, t), np.int32)
+            padded[0, : len(ids)] = ids
+            kv = KVCache.create(
+                self.model_cfg.n_layers, 1, t, self.model_cfg.n_kv_heads,
+                self.model_cfg.head_dim, self.cfg.kv_dtype,
+            )
+            pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (1, 1))
+            valid = pos < len(ids)
+            kv = kv.with_tags(pos, pos, valid=valid)
+            mask = causal_mask_from_tags(kv.slot_pos, pos)
+            fo = llama_forward(
+                self.params, self.model_cfg, jnp.asarray(padded), pos, kv, pos, mask,
+                backend=self.cfg.backend, compute_dtype=self.cfg.compute_dtype,
+                return_logits=False,
+            )
+            h = np.asarray(fo.hidden)[0, : len(ids)]
+            v = h.mean(0) if pooling == "mean" else h[-1]
+            if normalize:
+                v = v / (np.linalg.norm(v) + 1e-9)
+            out.append(v.astype(np.float32))
+        return out

@@ -284,6 +284,23 @@ class InferenceServer:
             }
         )
 
+    async def handle_v1_embeddings(self, request):
+        body = await request.json()
+        inputs = body.get("input", body.get("content", ""))
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        vecs = await self._run(lambda: self.engine.embed(inputs))
+        return web.json_response(
+            {
+                "object": "list",
+                "model": self.model_name,
+                "data": [
+                    {"object": "embedding", "index": i, "embedding": v.tolist()}
+                    for i, v in enumerate(vecs)
+                ],
+            }
+        )
+
     # -- app ---------------------------------------------------------------
 
     def build_app(self):
@@ -296,6 +313,8 @@ class InferenceServer:
         app.router.add_post("/completion", self.handle_completion)
         app.router.add_post("/v1/completions", self.handle_v1_completions)
         app.router.add_post("/v1/chat/completions", self.handle_v1_chat)
+        app.router.add_post("/v1/embeddings", self.handle_v1_embeddings)
+        app.router.add_post("/embedding", self.handle_v1_embeddings)
 
         async def on_startup(app):
             self._worker_task = asyncio.create_task(self._worker())

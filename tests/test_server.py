@@ -279,3 +279,36 @@ def test_server_grammar_constrained(server):
          "grammar": 'root ::= "abc" | "ab"'},
     )
     assert res["content"] in ("abc", "ab")
+
+
+def test_server_embeddings(server):
+    res = _post(server + "/v1/embeddings", {"input": ["hello", "world"]})
+    assert len(res["data"]) == 2
+    v = np.asarray(res["data"][0]["embedding"])
+    assert v.shape == (32,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+
+def test_gguf_tools(tiny_gguf_pair, tmp_path, capsys):
+    from eagle_tpu.tools import gguf_tools
+
+    tgt, _ = tiny_gguf_pair
+    assert gguf_tools.dump(str(tgt), True) == 0
+    assert gguf_tools.hash_file(str(tgt)) == 0
+    out = capsys.readouterr().out
+    assert "TOTAL" in out
+    prefix = str(tmp_path / "shard")
+    assert gguf_tools.split(str(tgt), prefix, 8) == 0
+    import glob
+
+    shards = sorted(glob.glob(prefix + "*"))
+    assert len(shards) > 1
+    merged = str(tmp_path / "merged.gguf")
+    assert gguf_tools.merge(merged, shards) == 0
+    from eagle_tpu.gguf.reader import GGUFReader
+
+    a, b = GGUFReader(str(tgt)), GGUFReader(merged)
+    assert set(a.tensors) == set(b.tensors)
+    np.testing.assert_array_equal(
+        a.tensor_bytes("token_embd.weight"), b.tensor_bytes("token_embd.weight")
+    )
