@@ -60,10 +60,9 @@ def eagle_forward(
     x = jax.nn.relu(x)
 
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
-    layer = jax.tree_util.tree_map(lambda a: a[0], draft_params["layers"])
     x, k_c, v_c = _layer_step(
         cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
-        x, layer, kv.k[0], kv.v[0],
+        x, draft_params["layers"], jnp.int32(0), kv.k[0], kv.v[0],
     )
     kv = dataclasses.replace(kv, k=k_c[None], v=v_c[None])
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import gqa_attention
-from ..ops.matmul import qmatmul
+from ..ops.matmul import qmatmul, qmatmul_layer
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_freqs
 from ..quant.qtensor import QTensor
@@ -56,27 +56,33 @@ def _layer_step(
     compute_dtype,
     backend: str | None,
     x: jax.Array,  # [B, T, D] f32
-    layer: dict[str, Any],
+    layers: dict[str, Any],  # LAYER-STACKED weights
+    li: jax.Array,  # scalar layer index
     k_cache: jax.Array,  # [B, S, H_kv, Dh]
     v_cache: jax.Array,
 ):
+    """One transformer layer. Weights stay layer-stacked; matmuls address the
+    stack through `li` (scalar-prefetched on the pallas backend so no
+    dynamic-slice copies hit the decode path)."""
     b, t, _ = x.shape
     h, h_kv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    attn_in = rms_norm(x, layer.get("attn_norm"), cfg.rms_eps) if "attn_norm" in layer else x
+    attn_in = (
+        rms_norm(x, layers["attn_norm"][li], cfg.rms_eps) if "attn_norm" in layers else x
+    )
 
-    if "wqkv" in layer:
-        qkv = qmatmul(attn_in, layer["wqkv"], backend, compute_dtype)
-        if "bqkv" in layer:  # qwen2-style attention biases
-            qkv = qkv + layer["bqkv"].astype(qkv.dtype)
+    if "wqkv" in layers:
+        qkv = qmatmul_layer(attn_in, layers["wqkv"], li, backend, compute_dtype)
+        if "bqkv" in layers:  # qwen2-style attention biases
+            qkv = qkv + layers["bqkv"][li].astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h_kv, dh)
         v = v.reshape(b, t, h_kv, dh)
     else:
-        q = qmatmul(attn_in, layer["wq"], backend, compute_dtype).reshape(b, t, h, dh)
-        k = qmatmul(attn_in, layer["wk"], backend, compute_dtype).reshape(b, t, h_kv, dh)
-        v = qmatmul(attn_in, layer["wv"], backend, compute_dtype).reshape(b, t, h_kv, dh)
+        q = qmatmul_layer(attn_in, layers["wq"], li, backend, compute_dtype).reshape(b, t, h, dh)
+        k = qmatmul_layer(attn_in, layers["wk"], li, backend, compute_dtype).reshape(b, t, h_kv, dh)
+        v = qmatmul_layer(attn_in, layers["wv"], li, backend, compute_dtype).reshape(b, t, h_kv, dh)
 
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
@@ -86,16 +92,16 @@ def _layer_step(
     v_cache = v_cache.at[b_idx, slots].set(v.astype(v_cache.dtype))
 
     attn = gqa_attention(q, k_cache, v_cache, mask)
-    x = x + qmatmul(attn.reshape(b, t, h * dh), layer["wo"], backend, compute_dtype)
+    x = x + qmatmul_layer(attn.reshape(b, t, h * dh), layers["wo"], li, backend, compute_dtype)
 
-    ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
-    if "w_gate_up" in layer:
-        gate_up = qmatmul(ffn_in, layer["w_gate_up"], backend, compute_dtype)
+    ffn_in = rms_norm(x, layers["ffn_norm"][li], cfg.rms_eps)
+    if "w_gate_up" in layers:
+        gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
         gate, up = jnp.split(gate_up, 2, axis=-1)
     else:
-        gate = qmatmul(ffn_in, layer["w_gate"], backend, compute_dtype)
-        up = qmatmul(ffn_in, layer["w_up"], backend, compute_dtype)
-    x = x + qmatmul(jax.nn.silu(gate) * up, layer["w_down"], backend, compute_dtype)
+        gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
+        up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
+    x = x + qmatmul_layer(jax.nn.silu(gate) * up, layers["w_down"], li, backend, compute_dtype)
     return x, k_cache, v_cache
 
 
@@ -120,15 +126,19 @@ def llama_forward(
     on as the feature)."""
     x = embed_lookup(params["tok_embd"], tokens)
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    layers = params["layers"]
 
-    def scan_body(x, layer_and_cache):
-        layer, k_c, v_c = layer_and_cache
+    def scan_body(x, idx_and_cache):
+        li, k_c, v_c = idx_and_cache
         x, k_c, v_c = _layer_step(
-            cfg, inv_freq, positions, slots, mask, compute_dtype, backend, x, layer, k_c, v_c
+            cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
+            x, layers, li, k_c, v_c,
         )
         return x, (k_c, v_c)
 
-    x, (new_k, new_v) = jax.lax.scan(scan_body, x, (params["layers"], kv.k, kv.v))
+    x, (new_k, new_v) = jax.lax.scan(
+        scan_body, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), kv.k, kv.v)
+    )
 
     kv = dataclasses.replace(kv, k=new_k, v=new_v)
     hidden = rms_norm(x, params.get("output_norm"), cfg.rms_eps)

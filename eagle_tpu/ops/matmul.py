@@ -79,3 +79,29 @@ def qmatmul(
 
         return qmatmul_pallas(x, w, compute_dtype=compute_dtype)
     return _qmatmul_xla(x, w, compute_dtype=compute_dtype)
+
+
+def qmatmul_layer(
+    x: jax.Array,
+    w,
+    layer_idx: jax.Array,
+    backend: str | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Matmul against layer `layer_idx` of LAYER-STACKED weights.
+
+    On the pallas backend the layer index is scalar-prefetched into the kernel
+    so the stacked buffer is streamed directly (no dynamic-slice copy — worth
+    ~30% of decode time at 7B). Other paths slice then dispatch."""
+    backend = backend or _DEFAULT_BACKEND
+    if (
+        isinstance(w, QTensor)
+        and backend == "pallas"
+        and w.layout == "kn"
+        and w.q.ndim == 3
+    ):
+        from .pallas_qmm import qmatmul_pallas_stacked_nd
+
+        return qmatmul_pallas_stacked_nd(x, w, layer_idx, compute_dtype=compute_dtype)
+    w_l = jax.tree_util.tree_map(lambda a: a[layer_idx], w)
+    return qmatmul(x, w_l, backend, compute_dtype)

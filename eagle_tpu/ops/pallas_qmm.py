@@ -148,6 +148,114 @@ def qmatmul_pallas_2d(
     return out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k")
+)
+def qmatmul_pallas_stacked(
+    x: jax.Array,  # [B, K]
+    w: QTensor,  # layout "kn", stacked: q [L, K(
+    layer: jax.Array,  # scalar int32 — which layer's weights to use
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    tile_n: int = 256,
+    tile_k: int = 2048,
+) -> jax.Array:
+    """Layer-indexed matmul over layer-stacked weights.
+
+    Inside lax.scan over layers, `stacked_weights[l]` becomes an XLA
+    dynamic-slice that MATERIALIZES a copy of the whole layer (3x HBM traffic
+    on the decode critical path — measured at +6.5ms/token on 7B). Here the
+    layer index is a scalar-prefetch argument and the BlockSpec index_map
+    addresses the stacked array directly: the kernel streams from the original
+    buffer, no copy."""
+    assert w.layout == "kn"
+    g = w.group
+    L = w.q.shape[0]
+    if w.packed:
+        _, kq, n = w.q.shape
+        k = 2 * kq
+    else:
+        _, k, n = w.q.shape
+    b = x.shape[0]
+
+    tile_n = _pick_tile(n, tile_n, 128) if n % 128 == 0 else n
+    tile_k = _pick_tile(k, tile_k, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
+    if tile_k % g != 0:
+        tile_k = k
+    assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0
+
+    grid = (n // tile_n, k // tile_k)
+    q_block = (1, tile_k // 2, tile_n) if w.packed else (1, tile_k, tile_n)
+
+    # index_map signature: (*grid_ids, *scalar_prefetch_refs)
+    in_specs = [
+        pl.BlockSpec((b, tile_k), lambda i, j, l: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec(q_block, lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w.q, w.scale]
+    has_bias = w.bias is not None
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w.bias)
+
+    def kernel(l_ref, x_ref, q_ref, s_ref, *rest):
+        if has_bias:
+            b_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+            b_ref = None
+        _qmm_kernel(
+            x_ref,
+            _squeeze_lead(q_ref),
+            _squeeze_lead(s_ref),
+            None if b_ref is None else _squeeze_lead(b_ref),
+            o_ref,
+            group=g,
+            compute_dtype=compute_dtype,
+            packed=w.packed,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, tile_n), lambda l, i, j: (0, i), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=(k // (2 if w.packed else 1)) * n + (k // g) * n * 4 + b * k * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, *args[1:])
+    return out
+
+
+class _SqueezedRef:
+    """View of a Ref with a leading length-1 dim dropped (for the stacked
+    kernels to reuse _qmm_kernel unchanged)."""
+
+    def __init__(self, ref):
+        self._ref = ref
+        self.shape = ref.shape[1:]
+
+    def __getitem__(self, idx):
+        if idx == slice(None):
+            return self._ref[0]
+        return self._ref[(0,) + (idx if isinstance(idx, tuple) else (idx,))]
+
+
+def _squeeze_lead(ref):
+    return _SqueezedRef(ref)
+
+
 def qmatmul_pallas(
     x: jax.Array, w: QTensor, compute_dtype=jnp.bfloat16, interpret: bool = False
 ) -> jax.Array:
@@ -161,6 +269,24 @@ def qmatmul_pallas(
     if bp != b:
         xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
     out = qmatmul_pallas_2d(xb, w, compute_dtype=compute_dtype, interpret=interpret)
+    if bp != b:
+        out = out[:b]
+    return out.reshape(*lead, -1)
+
+
+def qmatmul_pallas_stacked_nd(
+    x: jax.Array, w: QTensor, layer: jax.Array, compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Leading-dims wrapper over qmatmul_pallas_stacked."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    xb = x.reshape(-1, k)
+    b = xb.shape[0]
+    bp = _round_up(max(b, 8), 8)
+    if bp != b:
+        xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
+    out = qmatmul_pallas_stacked(xb, w, layer, compute_dtype=compute_dtype, interpret=interpret)
     if bp != b:
         out = out[:b]
     return out.reshape(*lead, -1)

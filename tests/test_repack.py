@@ -133,3 +133,35 @@ def test_xla_path_handles_packed(rng):
     a = np.asarray(qmatmul(jnp.asarray(x), qt, backend="xla"))
     b = np.asarray(qmatmul(jnp.asarray(x), qt.pack_nibbles(), backend="xla"))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_pallas_stacked_matches_sliced(rng, packed):
+    """Scalar-prefetched layer indexing must equal slicing then matmul."""
+    from eagle_tpu.ops.pallas_qmm import qmatmul_pallas, qmatmul_pallas_stacked_nd
+
+    L, n, k = 3, 128, 512
+    ws = [(rng.standard_normal((n, k)) * 0.05).astype(np.float32) for _ in range(L)]
+    qts = [quantize_array(w, GGMLType.Q4_K, layout="kn") for w in ws]
+    if packed:
+        qts = [q.pack_nibbles() for q in qts]
+    import dataclasses
+
+    stacked = dataclasses.replace(
+        qts[0],
+        q=jnp.stack([t.q for t in qts]),
+        scale=jnp.stack([t.scale for t in qts]),
+        bias=jnp.stack([t.bias for t in qts]),
+    )
+    x = rng.standard_normal((2, k)).astype(np.float32)
+    for li in range(L):
+        want = np.asarray(
+            qmatmul_pallas(jnp.asarray(x), qts[li], compute_dtype=jnp.float32, interpret=True)
+        )
+        got = np.asarray(
+            qmatmul_pallas_stacked_nd(
+                jnp.asarray(x), stacked, jnp.int32(li), compute_dtype=jnp.float32,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
