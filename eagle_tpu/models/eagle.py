@@ -62,9 +62,9 @@ def eagle_forward(
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
     x, k_c, v_c = _layer_step(
         cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
-        x, draft_params["layers"], jnp.int32(0), kv.k[0], kv.v[0],
+        x, draft_params["layers"], jnp.int32(0), kv.k, kv.v,
     )
-    kv = dataclasses.replace(kv, k=k_c[None], v=v_c[None])
+    kv = dataclasses.replace(kv, k=k_c, v=v_c)
 
     feat_post = rms_norm(x, None, cfg.rms_eps)  # unweighted: no output_norm tensor
     logits = None

@@ -58,12 +58,15 @@ def _layer_step(
     x: jax.Array,  # [B, T, D] f32
     layers: dict[str, Any],  # LAYER-STACKED weights
     li: jax.Array,  # scalar layer index
-    k_cache: jax.Array,  # [B, S, H_kv, Dh]
+    k_cache: jax.Array,  # [L, B, S, H_kv, Dh] — FULL stacked cache
     v_cache: jax.Array,
 ):
     """One transformer layer. Weights stay layer-stacked; matmuls address the
     stack through `li` (scalar-prefetched on the pallas backend so no
-    dynamic-slice copies hit the decode path)."""
+    dynamic-slice copies hit the decode path). The KV cache is likewise
+    addressed in place ([li] scatter on write; the read slice fuses into the
+    attention contraction) instead of being sliced through scan xs/ys, which
+    would copy 2 x S x H x D bytes per layer per step."""
     b, t, _ = x.shape
     h, h_kv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -88,10 +91,10 @@ def _layer_step(
     k = apply_rope(k, positions, inv_freq)
 
     b_idx = jnp.arange(b)[:, None]
-    k_cache = k_cache.at[b_idx, slots].set(k.astype(k_cache.dtype))
-    v_cache = v_cache.at[b_idx, slots].set(v.astype(v_cache.dtype))
+    k_cache = k_cache.at[li, b_idx, slots].set(k.astype(k_cache.dtype))
+    v_cache = v_cache.at[li, b_idx, slots].set(v.astype(v_cache.dtype))
 
-    attn = gqa_attention(q, k_cache, v_cache, mask)
+    attn = gqa_attention(q, k_cache[li], v_cache[li], mask)
     x = x + qmatmul_layer(attn.reshape(b, t, h * dh), layers["wo"], li, backend, compute_dtype)
 
     ffn_in = rms_norm(x, layers["ffn_norm"][li], cfg.rms_eps)
@@ -128,16 +131,16 @@ def llama_forward(
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
     layers = params["layers"]
 
-    def scan_body(x, idx_and_cache):
-        li, k_c, v_c = idx_and_cache
-        x, k_c, v_c = _layer_step(
+    def scan_body(carry, li):
+        x, k_all, v_all = carry
+        x, k_all, v_all = _layer_step(
             cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
-            x, layers, li, k_c, v_c,
+            x, layers, li, k_all, v_all,
         )
-        return x, (k_c, v_c)
+        return (x, k_all, v_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        scan_body, x, (jnp.arange(cfg.n_layers, dtype=jnp.int32), kv.k, kv.v)
+    (x, new_k, new_v), _ = jax.lax.scan(
+        scan_body, (x, kv.k, kv.v), jnp.arange(cfg.n_layers, dtype=jnp.int32)
     )
 
     kv = dataclasses.replace(kv, k=new_k, v=new_v)
