@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import gqa_attention
 from ..ops.matmul import qmatmul, qmatmul_layer
+from ..ops.pallas_attention import flash_attention_cached, supports_flash
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_freqs
 from ..quant.qtensor import QTensor
@@ -90,11 +91,19 @@ def _layer_step(
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
 
-    b_idx = jnp.arange(b)[:, None]
-    k_cache = k_cache.at[li, b_idx, slots].set(k.astype(k_cache.dtype))
-    v_cache = v_cache.at[li, b_idx, slots].set(v.astype(v_cache.dtype))
+    b_idx = jnp.arange(b)[:, None, None]  # [B,1,1]
+    h_idx = jnp.arange(h_kv)[None, :, None]  # [1,H,1]
+    s_idx = slots[:, None, :]  # [B,1,T]
+    k_hm = k.transpose(0, 2, 1, 3)  # [B, H_kv, T, D]
+    v_hm = v.transpose(0, 2, 1, 3)
+    k_cache = k_cache.at[li, b_idx, h_idx, s_idx].set(k_hm.astype(k_cache.dtype))
+    v_cache = v_cache.at[li, b_idx, h_idx, s_idx].set(v_hm.astype(v_cache.dtype))
 
-    attn = gqa_attention(q, k_cache[li], v_cache[li], mask)
+    s_len = k_cache.shape[3]
+    if backend == "pallas" and supports_flash(t, h, h_kv, s_len, dh):
+        attn = flash_attention_cached(q, k_cache, v_cache, mask, li)
+    else:
+        attn = gqa_attention(q, k_cache[li], v_cache[li], mask)
     x = x + qmatmul_layer(attn.reshape(b, t, h * dh), layers["wo"], li, backend, compute_dtype)
 
     ffn_in = rms_norm(x, layers["ffn_norm"][li], cfg.rms_eps)

@@ -14,8 +14,8 @@ _NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free on fu
 
 def gqa_attention(
     q: jax.Array,  # [B, T, H, D]
-    k_cache: jax.Array,  # [B, S, H_kv, D]
-    v_cache: jax.Array,  # [B, S, H_kv, D]
+    k_cache: jax.Array,  # [B, H_kv, S, D] (head-major)
+    v_cache: jax.Array,  # [B, H_kv, S, D]
     mask: jax.Array,  # [B, T, S] bool
     scale: float | None = None,
 ) -> jax.Array:
@@ -25,7 +25,7 @@ def gqa_attention(
     accumulation — K/V are never materialized at f32 width (that would double
     the decode-critical HBM traffic); softmax is f32."""
     b, t, h, d = q.shape
-    h_kv = k_cache.shape[2]
+    h_kv = k_cache.shape[1]
     group = h // h_kv
     if scale is None:
         scale = d**-0.5
@@ -33,13 +33,13 @@ def gqa_attention(
     cdt = k_cache.dtype
     qc = q.astype(cdt).reshape(b, t, h_kv, group, d)
     scores = jnp.einsum(
-        "btkgd,bskd->bkgts", qc, k_cache, preferred_element_type=jnp.float32
+        "btkgd,bksd->bkgts", qc, k_cache, preferred_element_type=jnp.float32
     )
     scores = scores * scale
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
-        "bkgts,bskd->btkgd", probs.astype(cdt), v_cache,
+        "bkgts,bksd->btkgd", probs.astype(cdt), v_cache,
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, t, h, d)

@@ -1,0 +1,149 @@
+"""Fused decode/verify attention Pallas kernel (flash-style online softmax).
+
+Replaces the XLA einsum attention on the decode path: K/V stream from the
+layer-stacked head-major cache [L, B, H_kv, S, D] (layer picked by
+scalar-prefetch — no slice copies), scores+softmax+PV accumulate in VMEM over
+S blocks, nothing round-trips to HBM. The visibility mask (position tags /
+tree ancestors) is computed outside and streamed per block — so the same
+kernel serves causal decode, speculative verify, and tree attention.
+
+Counterpart of the reference's fattn kernels (ggml-cuda/fattn*.cu) built for
+the tagged-cache design."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _pick_tile(dim, target, multiple_of):
+    best = multiple_of
+    d = multiple_of
+    while d <= min(dim, target):
+        if dim % d == 0:
+            best = d
+        d += multiple_of
+    return best
+
+
+def _flash_kernel(l_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, s_ref, acc_ref, *, scale, n_sblocks):
+    s_idx = pl.program_id(2)
+
+    @pl.when(s_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        s_ref[:] = jnp.zeros_like(s_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [TGp, D]
+    k = k_ref[0, 0, 0]  # [SB, D]
+    v = v_ref[0, 0, 0]
+    mask = mask_ref[0]  # [TGp, SB] bool
+
+    scores = jax.lax.dot_general(
+        q.astype(k.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [TGp, SB]
+    scores = jnp.where(mask, scores, _NEG_INF)
+
+    m_prev = m_ref[:, :1]  # [TGp, 1]
+    m_cur = jnp.max(scores, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # [TGp, 1]
+    p = jnp.exp(scores - m_new)  # [TGp, SB]
+    s_new = s_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    s_ref[:] = jnp.broadcast_to(s_new, s_ref.shape)
+
+    @pl.when(s_idx == n_sblocks - 1)
+    def _():
+        denom = jnp.maximum(s_ref[:, :1], 1e-20)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "s_block"))
+def _flash_call(q_hm, k_cache, v_cache, mask_rows, layer, scale, interpret=False, s_block=512):
+    b, h_kv, tgp, d = q_hm.shape
+    L = k_cache.shape[0]
+    s = k_cache.shape[3]
+    sb = _pick_tile(s, s_block, 128)
+    grid = (b, h_kv, s // sb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tgp, d), lambda bi, hi, si, l: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, sb, d), lambda bi, hi, si, l: (l[0], bi, hi, si, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, sb, d), lambda bi, hi, si, l: (l[0], bi, hi, si, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tgp, sb), lambda bi, hi, si, l: (bi, 0, si), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tgp, d), lambda bi, hi, si, l: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tgp, 128), jnp.float32),
+            pltpu.VMEM((tgp, 128), jnp.float32),
+            pltpu.VMEM((tgp, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, n_sblocks=s // sb),
+        out_shape=jax.ShapeDtypeStruct((b, h_kv, tgp, d), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h_kv * tgp * s * d,
+            bytes_accessed=2 * b * h_kv * s * d * 2,
+            transcendentals=b * h_kv * tgp * s,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), q_hm, k_cache, v_cache, mask_rows)
+
+
+def flash_attention_cached(
+    q: jax.Array,  # [B, T, H, D]
+    k_cache: jax.Array,  # [L, B, H_kv, S, D]
+    v_cache: jax.Array,
+    mask: jax.Array,  # [B, T, S] bool
+    layer: jax.Array,  # scalar layer index
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [B, T, H, D] f32."""
+    b, t, h, d = q.shape
+    h_kv = k_cache.shape[2]
+    g = h // h_kv
+    if scale is None:
+        scale = d**-0.5
+    tg = t * g
+    tgp = _round_up(max(tg, 8), 8)
+
+    q_hm = q.reshape(b, t, h_kv, g, d).transpose(0, 2, 1, 3, 4).reshape(b, h_kv, tg, d)
+    mask_rows = jnp.repeat(mask, g, axis=1)  # [B, TG, S]
+    if tgp != tg:
+        q_hm = jnp.pad(q_hm, ((0, 0), (0, 0), (0, tgp - tg), (0, 0)))
+        mask_rows = jnp.pad(mask_rows, ((0, 0), (0, tgp - tg), (0, 0)))
+
+    out = _flash_call(q_hm, k_cache, v_cache, mask_rows, layer, scale, interpret=interpret)
+    out = out[:, :, :tg].reshape(b, h_kv, t, g, d).transpose(0, 2, 1, 3, 4)
+    return out.reshape(b, t, h, d)
+
+
+def supports_flash(t: int, h: int, h_kv: int, s: int, d: int) -> bool:
+    return s % 128 == 0 and d % 128 == 0 and t * (h // h_kv) <= 256

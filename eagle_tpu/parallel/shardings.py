@@ -110,8 +110,8 @@ def eagle_param_specs(params: dict[str, Any]) -> dict[str, Any]:
 
 def kv_cache_specs() -> dict[str, P]:
     return {
-        "k": P(None, DATA_AXIS, None, MODEL_AXIS, None),
-        "v": P(None, DATA_AXIS, None, MODEL_AXIS, None),
+        "k": P(None, DATA_AXIS, MODEL_AXIS, None, None),
+        "v": P(None, DATA_AXIS, MODEL_AXIS, None, None),
         "slot_pos": P(DATA_AXIS, None),
     }
 

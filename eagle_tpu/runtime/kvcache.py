@@ -23,19 +23,19 @@ import jax.numpy as jnp
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class KVCache:
-    k: jax.Array  # [L, B, S, H_kv, D]
-    v: jax.Array  # [L, B, S, H_kv, D]
+    k: jax.Array  # [L, B, H_kv, S, D]
+    v: jax.Array  # [L, B, H_kv, S, D]
     slot_pos: jax.Array  # [B, S] int32, position tag per slot, -1 = empty
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @staticmethod
     def create(n_layers, batch, max_seq, n_kv_heads, head_dim, dtype=jnp.bfloat16):
         return KVCache(
-            k=jnp.zeros((n_layers, batch, max_seq, n_kv_heads, head_dim), dtype),
-            v=jnp.zeros((n_layers, batch, max_seq, n_kv_heads, head_dim), dtype),
+            k=jnp.zeros((n_layers, batch, n_kv_heads, max_seq, head_dim), dtype),
+            v=jnp.zeros((n_layers, batch, n_kv_heads, max_seq, head_dim), dtype),
             slot_pos=jnp.full((batch, max_seq), -1, jnp.int32),
         )
 
@@ -73,15 +73,15 @@ def context_shift(kv: KVCache, inv_freq: jax.Array, n_keep: int, n_discard: int)
     start = n_keep + n_discard
 
     def shift_rows(buf, rotate: bool):
-        # buf: [L, B, S, H, D]
-        moved = buf[:, :, start:]
+        # buf: [L, B, H, S, D]
+        moved = buf[:, :, :, start:]
         if rotate:
-            l, b, t, h, d = moved.shape
-            flat = moved.reshape(l * b, t, h, d)
+            l, b, h, t, d = moved.shape
+            flat = moved.transpose(0, 1, 3, 2, 4).reshape(l * b, t, h, d)
             neg = jnp.full((l * b, t), -n_discard, jnp.int32)
             flat = apply_rope(flat, neg, inv_freq).astype(buf.dtype)
-            moved = flat.reshape(l, b, t, h, d)
-        return jax.lax.dynamic_update_slice_in_dim(buf, moved, n_keep, axis=2)
+            moved = flat.reshape(l, b, t, h, d).transpose(0, 1, 3, 2, 4)
+        return jax.lax.dynamic_update_slice_in_dim(buf, moved, n_keep, axis=3)
 
     k = shift_rows(kv.k, rotate=True)
     v = shift_rows(kv.v, rotate=False)

@@ -246,12 +246,23 @@ def _compact_kv(kv: KVCache, src: jax.Array, dst: jax.Array, keep: jax.Array) ->
     scatter makes in-window permutation safe."""
     b, p = src.shape
     b_idx = jnp.arange(b)[:, None]
-    # gather  [L, B, P, H, D]
-    k_rows = kv.k[:, b_idx, src]
-    v_rows = kv.v[:, b_idx, src]
+
+    # cache is [L, B, H, S, D]; move rows along the S axis
+    def gather_s(buf, idx):
+        ii = idx[None, :, None, :, None]
+        ii = jnp.broadcast_to(ii, buf.shape[:3] + (idx.shape[1], buf.shape[4]))
+        return jnp.take_along_axis(buf, ii, axis=3)
+
+    def scatter_s(buf, idx, rows):
+        ii = idx[None, :, None, :, None]
+        ii = jnp.broadcast_to(ii, rows.shape)
+        return jnp.put_along_axis(buf, ii, rows, axis=3, inplace=False)
+
+    k_rows = gather_s(kv.k, src)
+    v_rows = gather_s(kv.v, src)
     tag_rows = kv.slot_pos[b_idx, src]
     safe_dst = jnp.where(keep, dst, src)  # no-op writes for dropped rows
-    k = kv.k.at[:, b_idx, safe_dst].set(k_rows)
-    v = kv.v.at[:, b_idx, safe_dst].set(v_rows)
+    k = scatter_s(kv.k, safe_dst, k_rows)
+    v = scatter_s(kv.v, safe_dst, v_rows)
     tags = kv.slot_pos.at[b_idx, safe_dst].set(tag_rows)
     return dataclasses.replace(kv, k=k, v=v, slot_pos=tags)

@@ -68,8 +68,8 @@ def collect_imatrix(
             q = apply_rope(q.reshape(b, t, h, dh), positions, inv_freq)
             k = apply_rope(k.reshape(b, t, h_kv, dh), positions, inv_freq)
             v = v.reshape(b, t, h_kv, dh)
-            kc = kv.k[0].at[:, :t].set(k.astype(kv.k.dtype))
-            vc = kv.v[0].at[:, :t].set(v.astype(kv.v.dtype))
+            kc = kv.k[0].at[:, :, :t].set(k.transpose(0, 2, 1, 3).astype(kv.k.dtype))
+            vc = kv.v[0].at[:, :, :t].set(v.transpose(0, 2, 1, 3).astype(kv.v.dtype))
             attn = gqa_attention(q, kc, vc, mask).reshape(b, t, h * dh)
             add(f"blk.{i}.attn_output.weight", attn)
             x = x + qmatmul(attn, layer["wo"], None, compute_dtype)
