@@ -164,6 +164,7 @@ class Generator:
         chunk: int = 32,
         stop_at_eos: bool = True,
         context_shift_keep: int | None = None,
+        on_token=None,
     ) -> list[int]:
         """Single-sequence generation. Returns generated token ids.
 
@@ -184,6 +185,8 @@ class Generator:
         first = sample(logits, sub, scfg)
 
         out = [int(first[0])]
+        if on_token:
+            on_token(out[0])
         if stop_at_eos and out[-1] == self.eos_id:
             return out
         pos = n
@@ -209,6 +212,8 @@ class Generator:
             chunk_toks = np.asarray(toks)[0].tolist()
             for tk in chunk_toks:
                 out.append(int(tk))
+                if on_token:
+                    on_token(int(tk))
                 if stop_at_eos and tk == self.eos_id:
                     return out
             pos += steps

@@ -235,6 +235,7 @@ class EagleChainEngine:
         max_new_tokens: int = 128,
         seed: int = 0,
         stop_at_eos: bool = True,
+        on_token=None,
     ) -> tuple[list[int], dict]:
         """Returns (tokens, stats). Output is identical to non-speculative
         decoding with the same sampler (the draft only changes *speed*)."""
@@ -248,6 +249,8 @@ class EagleChainEngine:
         state = self._prefill_jit(state, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t)
 
         out = [int(np.asarray(state.last_token)[0])]
+        if on_token:
+            on_token(out[0])
         n_cycles = 0
         n_drafted = 0
         n_accepted = 0
@@ -263,6 +266,8 @@ class EagleChainEngine:
             n_accepted += int(np.asarray(res.n_accepted)[0])
             for tk in toks[:k]:
                 out.append(int(tk))
+                if on_token:
+                    on_token(int(tk))
                 if (stop_at_eos and tk == self.eos_id) or len(out) >= max_new_tokens:
                     break
         stats = {

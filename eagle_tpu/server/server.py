@@ -226,8 +226,61 @@ class InferenceServer:
         toks = await fut
         return toks, {"batched": True}
 
+    async def _stream_completion(self, request, prompt: str, body: dict):
+        """SSE streaming (llama.cpp's `stream: true` contract)."""
+        sampler = _sampler_from_request(body, self.engine.cfg.sampler)
+        max_new = int(body.get("max_tokens", body.get("n_predict", 128)))
+        seed = int(body.get("seed", 0))
+        self.metrics.requests_total += 1
+        ids = self.engine.tokenizer.encode(prompt)
+        loop = asyncio.get_event_loop()
+        q: asyncio.Queue = asyncio.Queue()
+
+        def on_token(tok):
+            loop.call_soon_threadsafe(q.put_nowait, tok)
+
+        def work():
+            eng = self.engine.engine
+            if self.engine.draft_params is not None:
+                toks, _ = eng.generate(ids, max_new_tokens=max_new, seed=seed, on_token=on_token)
+            else:
+                toks = eng.generate(
+                    ids, max_new_tokens=max_new, sampler=sampler, seed=seed, on_token=on_token
+                )
+            return toks
+
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        fut = loop.run_in_executor(None, work)
+        eos = self.engine.tokenizer.eos_id
+        sent = 0
+        while True:
+            try:
+                tok = await asyncio.wait_for(q.get(), timeout=0.2)
+            except asyncio.TimeoutError:
+                if fut.done() and q.empty():
+                    break
+                continue
+            sent += 1
+            piece = self.engine.tokenizer.piece(tok) if tok != eos else ""
+            payload = json.dumps({"content": piece, "token": int(tok), "stop": False})
+            await resp.write(f"data: {payload}\n\n".encode())
+            if tok == eos:
+                break
+        await fut
+        self.metrics.tokens_generated_total += sent
+        await resp.write(
+            f"data: {json.dumps({'content': '', 'stop': True, 'tokens_predicted': sent})}\n\n".encode()
+        )
+        await resp.write_eof()
+        return resp
+
     async def handle_completion(self, request):
         body = await request.json()
+        if body.get("stream"):
+            return await self._stream_completion(request, body.get("prompt", ""), body)
         res = await self._complete(body.get("prompt", ""), body)
         return web.json_response(
             {

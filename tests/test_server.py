@@ -312,3 +312,21 @@ def test_gguf_tools(tiny_gguf_pair, tmp_path, capsys):
     np.testing.assert_array_equal(
         a.tensor_bytes("token_embd.weight"), b.tensor_bytes("token_embd.weight")
     )
+
+
+def test_server_streaming(server):
+    req = urllib.request.Request(
+        server + "/completion",
+        json.dumps({"prompt": "hello", "n_predict": 5, "temperature": 0, "stream": True}).encode(),
+        {"Content-Type": "application/json"},
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[6:]))
+    assert events[-1]["stop"] is True
+    assert len(events) >= 2
+    assert any(not e["stop"] for e in events)
