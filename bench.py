@@ -94,7 +94,7 @@ def main():
     times = {}
     for steps in (args.warmup, args.steps, args.warmup, args.steps):
         t0 = time.time()
-        toks, gen2.kv = gen2._decode_jit(
+        toks, gen2.kv, _ = gen2._decode_jit(
             gen2.params, gen2.kv, tok, jnp.asarray([pos], jnp.int32), key, scfg,
             n_steps=steps,
         )

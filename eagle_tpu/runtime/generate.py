@@ -19,7 +19,7 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models.llama import llama_forward
 from ..runtime.kvcache import KVCache, causal_mask_from_tags
-from .sampling import SamplerConfig, sample
+from .sampling import SamplerConfig, SamplerState, sample, sample_stateful
 
 
 def pad_bucket(n: int, minimum: int = 16) -> int:
@@ -68,13 +68,14 @@ class Generator:
         b_idx = jnp.arange(b)
         return out.logits[b_idx, last], out.hidden[b_idx, last], out.kv
 
-    def _decode_chunk(self, params, kv: KVCache, first_token, start_pos, key, scfg: SamplerConfig, n_steps: int):
-        """Greedy/sampled decode of n_steps tokens inside one scan.
+    def _decode_chunk(self, params, kv: KVCache, first_token, start_pos, key, scfg: SamplerConfig, n_steps: int, sampler_state: SamplerState | None = None):
+        """Greedy/sampled decode of n_steps tokens inside one scan; with a
+        stateful sampler config, penalties/mirostat state rides the carry.
 
-        first_token [B], start_pos [B]. Returns (tokens [B, n_steps], kv)."""
+        first_token [B], start_pos [B]. Returns (tokens [B, n_steps], kv, state)."""
 
         def step(carry, _):
-            kv, tok, pos, key = carry
+            kv, tok, pos, key, sstate = carry
             p = pos[:, None]
             kv = kv.with_tags(p, p)
             mask = causal_mask_from_tags(kv.slot_pos, p)
@@ -84,13 +85,16 @@ class Generator:
             )
             kv = fo.kv
             key, sub = jax.random.split(key)
-            nxt = sample(fo.logits[:, 0], sub, scfg)
-            return (kv, nxt, pos + 1, key), nxt
+            if sstate is not None:
+                nxt, sstate = sample_stateful(fo.logits[:, 0], sub, scfg, sstate)
+            else:
+                nxt = sample(fo.logits[:, 0], sub, scfg)
+            return (kv, nxt, pos + 1, key, sstate), nxt
 
-        (kv, _, _, _), toks = jax.lax.scan(
-            step, (kv, first_token, start_pos, key), None, length=n_steps
+        (kv, _, _, _, sampler_state), toks = jax.lax.scan(
+            step, (kv, first_token, start_pos, key, sampler_state), None, length=n_steps
         )
-        return toks.T, kv  # [B, n_steps]
+        return toks.T, kv, sampler_state  # [B, n_steps]
 
     # ---- host API ---------------------------------------------------------
 
@@ -182,7 +186,21 @@ class Generator:
         )
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
-        first = sample(logits, sub, scfg)
+        sstate = (
+            SamplerState.create(self.batch, self.cfg.vocab_size, scfg.mirostat_tau)
+            if scfg.stateful
+            else None
+        )
+        if sstate is not None:
+            # count the prompt tokens into the penalty window
+            b_idx = np.zeros(n, np.int32)
+            sstate = dataclasses.replace(
+                sstate,
+                counts=sstate.counts.at[0, jnp.asarray(prompt)].add(1.0),
+            )
+            first, sstate = sample_stateful(logits, sub, scfg, sstate)
+        else:
+            first = sample(logits, sub, scfg)
 
         out = [int(first[0])]
         if on_token:
@@ -205,9 +223,9 @@ class Generator:
                 break
             steps = min(chunk, max_new_tokens - len(out))
             key, sub = jax.random.split(key)
-            toks, self.kv = self._decode_jit(
+            toks, self.kv, sstate = self._decode_jit(
                 self.params, self.kv, tok, jnp.full((self.batch,), pos, jnp.int32),
-                sub, scfg, n_steps=steps,
+                sub, scfg, n_steps=steps, sampler_state=sstate,
             )
             chunk_toks = np.asarray(toks)[0].tolist()
             for tk in chunk_toks:

@@ -19,6 +19,30 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SamplerState:
+    """Per-sequence mutable sampler state threaded through decode loops:
+    token occurrence counts (penalties window ~ whole context) and the
+    mirostat-v2 surprise target mu."""
+
+    counts: jax.Array  # [B, V] f32
+    mu: jax.Array  # [B] f32
+
+    @staticmethod
+    def create(batch: int, vocab: int, tau: float = 5.0):
+        return SamplerState(
+            counts=jnp.zeros((batch, vocab), jnp.float32),
+            mu=jnp.full((batch,), 2.0 * tau, jnp.float32),
+        )
+
+    def observe(self, tokens: jax.Array) -> "SamplerState":
+        b = tokens.shape[0]
+        return dataclasses.replace(
+            self, counts=self.counts.at[jnp.arange(b), tokens].add(1.0)
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
     temperature: float = 0.8
@@ -34,7 +58,15 @@ class SamplerConfig:
     penalty_present: float = 0.0
     #: tuple of (token_id, bias) pairs, applied first (llama_sampler_logit_bias)
     logit_bias: tuple = ()
+    # mirostat v2 (llama_sampler_mirostat_v2): 0 = off
+    mirostat: int = 0
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
     greedy: bool = False
+
+    @property
+    def stateful(self) -> bool:
+        return self.needs_penalties or self.mirostat == 2
 
     @property
     def needs_penalties(self) -> bool:
@@ -184,3 +216,49 @@ def sample(
     if cfg.greedy or cfg.temperature <= 0:
         return jnp.argmax(l, axis=-1).astype(jnp.int32)
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+
+def _mirostat_v2(logits: jax.Array, key: jax.Array, cfg: SamplerConfig, mu: jax.Array):
+    """llama_sampler_mirostat_v2: truncate tokens whose surprise (-log2 p)
+    exceeds mu, sample, then adapt mu toward the target entropy tau."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    surprise = -logp / jnp.log(2.0)  # [B, V]
+    keep = surprise <= mu[:, None]
+    # always keep the argmax
+    best = jnp.argmax(logits, axis=-1)
+    keep = keep.at[jnp.arange(logits.shape[0]), best].set(True)
+    l = jnp.where(keep, logits / jnp.maximum(cfg.temperature, 1e-6), _NEG_INF)
+    tok = jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+    obs = surprise[jnp.arange(logits.shape[0]), tok]
+    mu_new = mu - cfg.mirostat_eta * (obs - cfg.mirostat_tau)
+    return tok, mu_new
+
+
+def sample_stateful(
+    logits: jax.Array,  # [B, V]
+    key: jax.Array,
+    cfg: SamplerConfig,
+    state: SamplerState,
+) -> tuple[jax.Array, SamplerState]:
+    """Stateful chain step: penalties from state.counts, mirostat-v2 mu
+    adaptation, and count updates for the drawn token."""
+    key, tkey, mkey = jax.random.split(key, 3)
+    if cfg.mirostat == 2:
+        l = logits.astype(jnp.float32)
+        l = apply_logit_bias(l, cfg.logit_bias)
+        if cfg.needs_penalties:
+            l = jax.vmap(lambda lg, c: apply_penalties(lg, c, cfg))(l, state.counts)
+        tok, mu = _mirostat_v2(l, mkey, cfg, state.mu)
+        state = dataclasses.replace(state, mu=mu)
+    else:
+        if cfg.needs_penalties:
+            l = jax.vmap(
+                lambda lg, c: transform_logits(lg, cfg, c, key=tkey)
+            )(logits, state.counts)
+        else:
+            l = transform_logits(logits, cfg, key=tkey)
+        if cfg.greedy or cfg.temperature <= 0:
+            tok = jnp.argmax(l, axis=-1).astype(jnp.int32)
+        else:
+            tok = jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+    return tok, state.observe(tok)

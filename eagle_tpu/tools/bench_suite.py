@@ -96,7 +96,7 @@ def main(argv=None):
         )
 
         def run_tg(n, gen=gen, b=b):
-            toks, gen.kv = gen._decode_jit(
+            toks, gen.kv, _ = gen._decode_jit(
                 gen.params, gen.kv, state["tok"], jnp.full((b,), state["pos"], jnp.int32),
                 jax.random.PRNGKey(0), SamplerConfig(greedy=True), n_steps=n,
             )

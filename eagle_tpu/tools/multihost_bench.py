@@ -72,13 +72,13 @@ def main(argv=None):
         scfg = SamplerConfig(greedy=True)
         b = gen.batch
         tok = jnp.zeros((b,), jnp.int32)
-        toks, gen.kv = gen._decode_jit(
+        toks, gen.kv, _ = gen._decode_jit(
             gen.params, gen.kv, tok, jnp.full((b,), 1, jnp.int32),
             jax.random.PRNGKey(0), scfg, n_steps=4,
         )
         int(toks[0, 0])  # compile+sync
         t0 = time.time()
-        toks, gen.kv = gen._decode_jit(
+        toks, gen.kv, _ = gen._decode_jit(
             gen.params, gen.kv, toks[:, -1], jnp.full((b,), 5, jnp.int32),
             jax.random.PRNGKey(0), scfg, n_steps=args.steps,
         )

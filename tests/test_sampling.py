@@ -123,3 +123,52 @@ def test_xtc_disabled_when_single_candidate():
     l = logits_from_probs([0.9, 0.05, 0.05])
     out = np.asarray(xtc_mask(l, jax.random.PRNGKey(0), prob=1.0, threshold=0.2))
     assert out[0] > -1e29  # only one above threshold -> untouched
+
+
+def test_sample_stateful_penalties_suppress_repeats():
+    from eagle_tpu.runtime.sampling import SamplerConfig, SamplerState, sample_stateful
+
+    cfg = SamplerConfig(greedy=True, penalty_repeat=2.0)
+    state = SamplerState.create(1, 4)
+    l = jnp.asarray([[2.0, 1.9, 0.0, -1.0]])
+    t1, state = sample_stateful(l, jax.random.PRNGKey(0), cfg, state)
+    assert int(t1[0]) == 0
+    # token 0 now penalized (2.0 -> 1.0) so 1.9 wins
+    t2, state = sample_stateful(l, jax.random.PRNGKey(0), cfg, state)
+    assert int(t2[0]) == 1
+
+
+def test_mirostat_v2_adapts_mu():
+    from eagle_tpu.runtime.sampling import SamplerConfig, SamplerState, sample_stateful
+
+    cfg = SamplerConfig(temperature=1.0, mirostat=2, mirostat_tau=3.0, mirostat_eta=0.5)
+    state = SamplerState.create(1, 16, tau=3.0)
+    l = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16)).astype(np.float32))
+    mus = [float(state.mu[0])]
+    for i in range(5):
+        tok, state = sample_stateful(l, jax.random.PRNGKey(i), cfg, state)
+        mus.append(float(state.mu[0]))
+        assert 0 <= int(tok[0]) < 16
+    assert mus[0] != mus[-1]  # mu adapted
+
+
+def test_generator_with_penalties_runs():
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from eagle_tpu.models.hf_convert import params_from_hf_llama
+    from eagle_tpu.runtime.generate import Generator
+
+    torch.manual_seed(2)
+    hf = transformers.LlamaForCausalLM(
+        transformers.LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+            attn_implementation="eager",
+        )
+    ).eval()
+    params, cfg = params_from_hf_llama(hf)
+    gen = Generator(params, cfg, max_seq=64, compute_dtype=jnp.float32, eos_id=-1)
+    scfg = SamplerConfig(greedy=True, penalty_repeat=1.5)
+    out = gen.generate([1, 2, 3], max_new_tokens=8, sampler=scfg, stop_at_eos=False)
+    assert len(out) == 8
