@@ -114,6 +114,8 @@ def _layer_step(
         gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
         up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
     x = x + qmatmul_layer(jax.nn.silu(gate) * up, layers["w_down"], li, backend, compute_dtype)
+    if "cvec" in layers:  # control vector (llama_adapter_cvec.apply_to, src/llama-adapter.cpp)
+        x = x + layers["cvec"][li].astype(x.dtype)
     return x, k_cache, v_cache
 
 

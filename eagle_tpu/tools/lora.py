@@ -178,3 +178,29 @@ def apply_lora_to_params(
         if name in layers:
             update(name, [])
     return dict(params, layers=layers)
+
+
+def load_control_vector(path: str | Path, n_layers: int, n_embd: int, scale: float = 1.0):
+    """Load a control-vector GGUF (direction.<layer> tensors, the
+    cvector-generator output format) -> [L, D] numpy array to install as
+    params["layers"]["cvec"]. Missing layers are zero."""
+    r = GGUFReader(path)
+    out = np.zeros((n_layers, n_embd), np.float32)
+    for name, info in r.tensors.items():
+        if not name.startswith("direction."):
+            continue
+        li = int(name.split(".")[1])
+        # cvector files commonly index from 1
+        li = li - 1 if f"direction.0" not in r.tensors else li
+        if 0 <= li < n_layers:
+            out[li] = scale * r.tensor_f32(name)
+    return out
+
+
+def apply_control_vector(params, cfg, path: str | Path, scale: float = 1.0):
+    import jax.numpy as jnp
+
+    cv = load_control_vector(path, cfg.n_layers, cfg.n_embd, scale)
+    layers = dict(params["layers"])
+    layers["cvec"] = jnp.asarray(cv)
+    return dict(params, layers=layers)

@@ -105,3 +105,39 @@ def test_apply_lora_to_params_forward(base_gguf, rng):
         )
 
     np.testing.assert_allclose(fwd(params_a), fwd(params_b), atol=1e-4, rtol=1e-4)
+
+
+def test_control_vector(base_gguf, rng, tmp_path):
+    import jax.numpy as jnp
+
+    from eagle_tpu.gguf.constants import GGMLType
+    from eagle_tpu.models.loader import load_llama_params
+    from eagle_tpu.models.llama import llama_forward
+    from eagle_tpu.runtime.kvcache import KVCache, causal_mask_from_tags
+    from eagle_tpu.tools.lora import apply_control_vector
+
+    base, model, d = base_gguf
+    # write a cvector gguf
+    w = GGUFWriter(d / "cvec.gguf")
+    w.add("general.architecture", "controlvector")
+    dirs = rng.standard_normal((2, 64)).astype(np.float32) * 0.1
+    w.add_tensor("direction.1", dirs[0], GGMLType.F32)
+    w.add_tensor("direction.2", dirs[1], GGMLType.F32)
+    w.write()
+
+    params, cfg, _ = load_llama_params(base)
+    params_cv = apply_control_vector(params, cfg, d / "cvec.gguf", scale=1.0)
+    assert params_cv["layers"]["cvec"].shape == (2, 64)
+
+    tokens = jnp.asarray([[1, 5, 9]], jnp.int32)
+
+    def fwd(p):
+        kv = KVCache.create(cfg.n_layers, 1, 16, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+        pos = jnp.arange(3, dtype=jnp.int32)[None, :]
+        kv = kv.with_tags(pos, pos)
+        mask = causal_mask_from_tags(kv.slot_pos, pos)
+        return np.asarray(llama_forward(p, cfg, tokens, pos, kv, pos, mask,
+                                        compute_dtype=jnp.float32).logits)
+
+    a, b = fwd(params), fwd(params_cv)
+    assert np.abs(a - b).max() > 1e-4  # the vector steers the logits
