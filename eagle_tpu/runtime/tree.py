@@ -114,7 +114,6 @@ class EagleTreeEngine(EagleChainEngine):
     def __init__(self, *args, tree: TreeSpec | None = None, **kwargs):
         kwargs.setdefault("n_draft", 0)
         super().__init__(*args, **kwargs)
-        assert self.scfg.greedy, "tree engine currently implements greedy acceptance"
         self.tree = tree or TreeSpec()
         self.K = self.tree.n_nodes  # slot-window size for generate()'s overflow check
         self._anc = jnp.asarray(self.tree.ancestor)
@@ -178,7 +177,20 @@ class EagleTreeEngine(EagleChainEngine):
             tp, self.tcfg, node_tokens, v_pos, tgt_kv, v_slots, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
         )
-        t_argmax = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)  # [B, N]
+        # target decision per node: argmax (greedy) or one sampler-chain draw —
+        # the stochastic tree acceptance of the reference's tree example
+        # (examples/speculative/speculative-eagle.cpp:294-320), realized as
+        # sample-and-exact-match, which preserves the target distribution.
+        key, sub = jax.random.split(state.key)
+        if self.scfg.greedy:
+            t_argmax = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)  # [B, N]
+        else:
+            from .sampling import sample
+
+            keys = jax.random.split(sub, N)
+            t_argmax = jax.vmap(
+                lambda l, k: sample(l, k, self.scfg), in_axes=(1, 0), out_axes=1
+            )(tout.logits, keys)
 
         # ---- 3. greedy path acceptance walk (static depth loop) ----
         child_mat = jnp.asarray(self.tree.child_mat)  # [N, C]
@@ -232,7 +244,7 @@ class EagleTreeEngine(EagleChainEngine):
 
         new_state = SpecState(
             tgt_kv=tgt_kv, dft_kv=dft_kv, last_token=bonus,
-            feature=new_feature, n_past=new_m, key=state.key,
+            feature=new_feature, n_past=new_m, key=key,
         )
         return CycleOutput(
             state=new_state, tokens=out_tokens, n_out=n_acc + 1, n_accepted=n_acc

@@ -79,3 +79,26 @@ def test_tree_with_target_as_oracle_accepts(target, rng):
     out, stats = eng.generate(prompt, max_new_tokens=20, stop_at_eos=False)
     assert len(out) >= 20 or stats["n_cycles"] > 0
     assert stats["n_accepted"] >= 0
+
+
+def test_tree_sampled_acceptance_reproducible(target, draft, rng):
+    """Stochastic tree acceptance: reproducible with a seed, and emits valid
+    token streams."""
+    from eagle_tpu.runtime.sampling import SamplerConfig
+
+    tparams, tcfg = target
+    dparams, dcfg = draft
+    prompt = rng.integers(0, 128, size=7).tolist()
+    scfg = SamplerConfig(temperature=1.0, top_k=20)
+
+    def run():
+        eng = EagleTreeEngine(
+            tparams, dparams, tcfg, dcfg, tree=TreeSpec((2, 2)), max_seq=256,
+            compute_dtype=jnp.float32, kv_dtype=jnp.float32, eos_id=-1, sampler=scfg,
+        )
+        out, _ = eng.generate(prompt, max_new_tokens=10, seed=7, stop_at_eos=False)
+        return out
+
+    a, b = run(), run()
+    assert a == b
+    assert all(0 <= t < 128 for t in a)
