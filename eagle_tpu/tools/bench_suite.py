@@ -76,7 +76,7 @@ def main(argv=None):
                 logits, _, gen.kv = gen._prefill_jit(
                     gen.params, gen.kv, tokens, jnp.asarray([t], np.int32), t=t
                 )
-            int(jnp.max(logits))
+            float(jnp.nan_to_num(jnp.max(logits)))  # hard sync (NaN-tolerant: synthetic weights)
 
         run_pp(1)  # compile
         per = _time_slope(run_pp, 1, 4)
