@@ -94,6 +94,12 @@ def qmatmul_layer(
     so the stacked buffer is streamed directly (no dynamic-slice copy — worth
     ~30% of decode time at 7B). Other paths slice then dispatch."""
     backend = backend or _DEFAULT_BACKEND
+    if isinstance(w, QTensor) and w.q.ndim == 3 and w.q.shape[0] == 1:
+        # single-layer stack (EAGLE draft): index 0 statically — it's a free
+        # reshape, and the scalar-prefetch path triggers pathological Mosaic
+        # compiles inside the draft scan
+        w_l = jax.tree_util.tree_map(lambda a: a[0], w)
+        return qmatmul(x, w_l, backend, compute_dtype)
     if (
         isinstance(w, QTensor)
         and backend == "pallas"
