@@ -81,6 +81,8 @@ GGML_TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
     GGMLType.Q5_K: TypeTraits(QK_K, 4 + K_SCALE_SIZE + QK_K // 2 + QK_K // 8),
     GGMLType.Q6_K: TypeTraits(QK_K, 2 + QK_K // 16 + 3 * QK_K // 4),
     GGMLType.Q8_K: TypeTraits(QK_K, 4 + QK_K + QK_K // 16 * 2),
+    GGMLType.IQ4_NL: TypeTraits(32, 2 + 16),
+    GGMLType.IQ4_XS: TypeTraits(QK_K, 2 + 2 + QK_K // 64 + QK_K // 2),
 }
 
 
@@ -170,15 +172,27 @@ class TokenType(enum.IntEnum):
 
 # llama.cpp file-type ids (include/llama.h:143-183), used for general.file_type
 class LlamaFtype(enum.IntEnum):
+    """llama_ftype values (include/llama.h:143-183)."""
+
     ALL_F32 = 0
     MOSTLY_F16 = 1
     MOSTLY_Q4_0 = 2
+    MOSTLY_Q4_1 = 3
     MOSTLY_Q8_0 = 7
+    MOSTLY_Q5_0 = 8
+    MOSTLY_Q5_1 = 9
+    MOSTLY_Q2_K = 10
+    MOSTLY_Q3_K_S = 11
+    MOSTLY_Q3_K_M = 12
+    MOSTLY_Q3_K_L = 13
     MOSTLY_Q4_K_S = 14
     MOSTLY_Q4_K_M = 15
     MOSTLY_Q5_K_S = 16
     MOSTLY_Q5_K_M = 17
     MOSTLY_Q6_K = 18
+    MOSTLY_Q2_K_S = 21
+    MOSTLY_IQ4_NL = 25
+    MOSTLY_IQ4_XS = 30
     MOSTLY_BF16 = 32
 
 

@@ -148,6 +148,89 @@ def qmatmul_pallas_2d(
     return out
 
 
+def _qmm_kernel_i4(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype):
+    """int4-dtype variant: the nibble unpack is a hardware convert (i4 -> bf16)
+    instead of widen/shift/mask/concat on the VPU — ~2x fewer VPU ops per
+    weight, which is the decode bottleneck (dequant is VPU-bound, not
+    HBM-bound, at 7B shapes)."""
+    tk, tn = q_ref.shape
+    w = q_ref[:].astype(compute_dtype).reshape(tk // group, group, tn)
+    w = w * s_ref[:].astype(compute_dtype)[:, None, :]
+    if b_ref is not None:
+        w = w + b_ref[:].astype(compute_dtype)[:, None, :]
+    w = w.reshape(tk, tn)
+    acc = jax.lax.dot_general(
+        x_ref[:].astype(compute_dtype),
+        w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k")
+)
+def qmatmul_pallas_2d_i4(
+    x: jax.Array,  # [B, K]
+    w: QTensor,  # layout "kn", q dtype int4
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    tile_n: int = 256,
+    tile_k: int = 2048,
+) -> jax.Array:
+    assert w.layout == "kn" and w.q.dtype == jnp.int4
+    g = w.group
+    k, n = w.q.shape
+    b = x.shape[0]
+    tile_n = _pick_tile(n, tile_n, 128) if n % 128 == 0 else n
+    tile_k = _pick_tile(k, tile_k, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
+    if tile_k % g != 0:
+        tile_k = k
+    grid = (n // tile_n, k // tile_k)
+    in_specs = [
+        pl.BlockSpec((b, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w.q, w.scale]
+    has_bias = w.bias is not None
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w.bias)
+
+    def kernel(x_ref, q_ref, s_ref, *rest):
+        if has_bias:
+            b_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+            b_ref = None
+        _qmm_kernel_i4(x_ref, q_ref, s_ref, b_ref, o_ref, group=g, compute_dtype=compute_dtype)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n // 2 + (k // g) * n * 2 * (2 if has_bias else 1) + b * k * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+
+
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k")
 )

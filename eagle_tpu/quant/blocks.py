@@ -292,6 +292,397 @@ def _dequantize_q6_k(data: np.ndarray, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Q4_1 / Q5_0 / Q5_1 / Q8_1 — 32-value legacy blocks
+# (layouts: ggml/src/ggml-common.h:167-221; dequant: ggml-quants.c
+#  dequantize_row_q4_1/q5_0/q5_1)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_q4_1(x: np.ndarray) -> np.ndarray:
+    nb = x.size // 32
+    xb = x.reshape(nb, 32).astype(np.float32)
+    mn = xb.min(axis=1)
+    mx = xb.max(axis=1)
+    d = (mx - mn) / 15.0
+    id_ = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    xi = np.minimum(15, np.floor((xb - mn[:, None]) * id_[:, None] + 0.5)).astype(np.uint8)
+    out = np.empty((nb, 20), dtype=np.uint8)
+    out[:, 0:2] = _f16(d).view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = _f16(mn).view(np.uint8).reshape(nb, 2)
+    out[:, 4:] = xi[:, :16] | (xi[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def _dequantize_q4_1(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 20)
+    d = _f16_bytes_to_f32(blocks[:, 0:2])
+    m = _f16_bytes_to_f32(blocks[:, 2:4])
+    qs = blocks[:, 4:]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.float32)
+    return (q * d[:, None] + m[:, None]).reshape(-1)[:n]
+
+
+def _q5_high_bits(xi: np.ndarray) -> np.ndarray:
+    """5-bit values (nb, 32) -> little-endian qh bytes (nb, 4); bit i of the
+    u32 is the 5th bit of element i."""
+    bits = (xi >> 4) & 1  # (nb, 32)
+    weights = (1 << np.arange(32, dtype=np.uint32))[None, :]
+    qh = (bits.astype(np.uint32) * weights).sum(axis=1, dtype=np.uint32)
+    return qh.astype("<u4").view(np.uint8).reshape(-1, 4)
+
+
+def _q5_unpack(qs: np.ndarray, qh_bytes: np.ndarray) -> np.ndarray:
+    """(nb,16) nibbles + (nb,4) qh bytes -> (nb,32) 5-bit values in block order."""
+    qh = np.ascontiguousarray(qh_bytes).view("<u4").reshape(-1)
+    j = np.arange(16)
+    lo = (qs & 0xF) | ((((qh[:, None] >> j) & 1) << 4).astype(np.uint8))
+    hi = (qs >> 4) | ((((qh[:, None] >> (j + 16)) & 1) << 4).astype(np.uint8))
+    return np.concatenate([lo, hi], axis=1)
+
+
+def _quantize_q5_0(x: np.ndarray) -> np.ndarray:
+    nb = x.size // 32
+    xb = x.reshape(nb, 32).astype(np.float32)
+    idx = np.abs(xb).argmax(axis=1)
+    maxv = xb[np.arange(nb), idx]
+    d = maxv / -16.0
+    id_ = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    xi = np.minimum(31, np.floor(xb * id_[:, None] + 16.5).clip(0)).astype(np.uint8)
+    out = np.empty((nb, 22), dtype=np.uint8)
+    out[:, 0:2] = _f16(d).view(np.uint8).reshape(nb, 2)
+    out[:, 2:6] = _q5_high_bits(xi)
+    out[:, 6:] = (xi[:, :16] & 0xF) | ((xi[:, 16:] & 0xF) << 4)
+    return out.reshape(-1)
+
+
+def _dequantize_q5_0(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 22)
+    d = _f16_bytes_to_f32(blocks[:, 0:2])
+    q = _q5_unpack(blocks[:, 6:], blocks[:, 2:6]).astype(np.int32) - 16
+    return (q.astype(np.float32) * d[:, None]).reshape(-1)[:n]
+
+
+def _quantize_q5_1(x: np.ndarray) -> np.ndarray:
+    nb = x.size // 32
+    xb = x.reshape(nb, 32).astype(np.float32)
+    mn = xb.min(axis=1)
+    mx = xb.max(axis=1)
+    d = (mx - mn) / 31.0
+    id_ = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    xi = np.minimum(31, np.floor((xb - mn[:, None]) * id_[:, None] + 0.5)).astype(np.uint8)
+    out = np.empty((nb, 24), dtype=np.uint8)
+    out[:, 0:2] = _f16(d).view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = _f16(mn).view(np.uint8).reshape(nb, 2)
+    out[:, 4:8] = _q5_high_bits(xi)
+    out[:, 8:] = (xi[:, :16] & 0xF) | ((xi[:, 16:] & 0xF) << 4)
+    return out.reshape(-1)
+
+
+def _dequantize_q5_1(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 24)
+    d = _f16_bytes_to_f32(blocks[:, 0:2])
+    m = _f16_bytes_to_f32(blocks[:, 2:4])
+    q = _q5_unpack(blocks[:, 8:], blocks[:, 4:8]).astype(np.float32)
+    return (q * d[:, None] + m[:, None]).reshape(-1)[:n]
+
+
+def _quantize_q8_1(x: np.ndarray) -> np.ndarray:
+    nb = x.size // 32
+    xb = x.reshape(nb, 32).astype(np.float32)
+    amax = np.abs(xb).max(axis=1)
+    d = amax / 127.0
+    id_ = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = _nearest_int(xb * id_[:, None]).clip(-127, 127).astype(np.int8)
+    s = d * q.sum(axis=1, dtype=np.int32)
+    out = np.empty((nb, 36), dtype=np.uint8)
+    out[:, 0:2] = _f16(d).view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = _f16(s).view(np.uint8).reshape(nb, 2)
+    out[:, 4:] = q.view(np.uint8)
+    return out.reshape(-1)
+
+
+def _dequantize_q8_1(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 36)
+    d = _f16_bytes_to_f32(blocks[:, 0:2])
+    q = blocks[:, 4:].view(np.int8).astype(np.float32)
+    return (q * d[:, None]).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Q2_K — 16 groups of 16, 4-bit scale + 4-bit min per group, 2-bit quants
+# (layout ggml-common.h:246-261; dequant ggml-quants.c dequantize_row_q2_K)
+# ---------------------------------------------------------------------------
+
+# qs byte layout shared by Q2_K/Q3_K low bits: two 128-value chunks; within a
+# chunk, 4 shift levels x 32 bytes; group pair (2j, 2j+1) = bytes [0:16],
+# [16:32] at shift 2j.
+
+
+def _kq_chunked_unpack2(qs: np.ndarray) -> np.ndarray:
+    """(nb, 64) 2-bit packed -> (nb, 16, 16) group-ordered values."""
+    nb = qs.shape[0]
+    ch = qs.reshape(nb, 2, 32)  # chunk, byte
+    groups = []
+    for c in range(2):
+        for j in range(4):
+            blk = (ch[:, c] >> (2 * j)) & 3
+            groups.append(blk[:, :16])
+            groups.append(blk[:, 16:])
+    return np.stack(groups, axis=1)  # (nb, 16, 16)
+
+
+def _kq_chunked_pack2(q: np.ndarray) -> np.ndarray:
+    """(nb, 16, 16) group-ordered 2-bit values -> (nb, 64) packed."""
+    nb = q.shape[0]
+    out = np.zeros((nb, 2, 32), dtype=np.uint8)
+    gi = 0
+    for c in range(2):
+        for j in range(4):
+            out[:, c, :16] |= (q[:, gi] & 3) << (2 * j)
+            out[:, c, 16:] |= (q[:, gi + 1] & 3) << (2 * j)
+            gi += 2
+    return out.reshape(nb, 64)
+
+
+def _quantize_q2_k(x: np.ndarray) -> np.ndarray:
+    nb = x.size // QK_K
+    xg = x.reshape(nb, 16, 16).astype(np.float32)
+    gmin = np.minimum(xg.min(axis=2), 0.0)
+    gmax = np.maximum(xg.max(axis=2), 0.0)
+    scales = (gmax - gmin) / 3.0
+    mins = -gmin
+    d = scales.max(axis=1) / 15.0
+    dmin = mins.max(axis=1) / 15.0
+    d16 = _f16(d).astype(np.float32)
+    dmin16 = _f16(dmin).astype(np.float32)
+    inv_d = np.where(d16 > 0, 1.0 / np.where(d16 == 0, 1.0, d16), 0.0)
+    inv_m = np.where(dmin16 > 0, 1.0 / np.where(dmin16 == 0, 1.0, dmin16), 0.0)
+    ls = _nearest_int(scales * inv_d[:, None]).clip(0, 15).astype(np.uint8)
+    lm = _nearest_int(mins * inv_m[:, None]).clip(0, 15).astype(np.uint8)
+    eff_d = d16[:, None] * ls
+    eff_m = dmin16[:, None] * lm
+    inv_eff = np.where(eff_d > 0, 1.0 / np.where(eff_d == 0, 1.0, eff_d), 0.0)
+    q = _nearest_int((xg + eff_m[:, :, None]) * inv_eff[:, :, None]).clip(0, 3).astype(np.uint8)
+    out = np.empty((nb, 84), dtype=np.uint8)
+    out[:, 0:16] = ls | (lm << 4)
+    out[:, 16:80] = _kq_chunked_pack2(q)
+    out[:, 80:82] = _f16(d).view(np.uint8).reshape(nb, 2)
+    out[:, 82:84] = _f16(dmin).view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def _dequantize_q2_k(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 84)
+    d = _f16_bytes_to_f32(blocks[:, 80:82])
+    dmin = _f16_bytes_to_f32(blocks[:, 82:84])
+    sc = blocks[:, 0:16]
+    q = _kq_chunked_unpack2(blocks[:, 16:80]).astype(np.float32)  # (nb,16,16)
+    dl = d[:, None] * (sc & 0xF).astype(np.float32)
+    ml = dmin[:, None] * (sc >> 4).astype(np.float32)
+    vals = dl[:, :, None] * q - ml[:, :, None]
+    return vals.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Q3_K — 16 groups of 16, 6-bit signed scales, 3-bit quants (2-bit low in qs +
+# high bit in hmask, hbit clear => subtract 4)
+# (layout ggml-common.h:263-273; dequant ggml-quants.c dequantize_row_q3_K)
+# ---------------------------------------------------------------------------
+
+
+def _q3k_unpack_scales(scales: np.ndarray) -> np.ndarray:
+    """(nb, 12) -> (nb, 16) int8 6-bit scales (pre-bias, i.e. 0..63)."""
+    s = scales.astype(np.uint8)
+    out = np.empty(s.shape[:-1] + (16,), dtype=np.uint8)
+    hi = s[..., 8:12]  # 2-bit fields: scale i gets bits (2*(i//4)) of byte i%4
+    out[..., 0:4] = (s[..., 0:4] & 0xF) | (((hi >> 0) & 3) << 4)
+    out[..., 4:8] = (s[..., 4:8] & 0xF) | (((hi >> 2) & 3) << 4)
+    out[..., 8:12] = (s[..., 0:4] >> 4) | (((hi >> 4) & 3) << 4)
+    out[..., 12:16] = (s[..., 4:8] >> 4) | (((hi >> 6) & 3) << 4)
+    return out
+
+
+def _q3k_pack_scales(sc: np.ndarray) -> np.ndarray:
+    """(nb, 16) 6-bit values -> (nb, 12) packed."""
+    nb = sc.shape[0]
+    out = np.zeros((nb, 12), dtype=np.uint8)
+    out[:, 0:4] = (sc[:, 0:4] & 0xF) | ((sc[:, 8:12] & 0xF) << 4)
+    out[:, 4:8] = (sc[:, 4:8] & 0xF) | ((sc[:, 12:16] & 0xF) << 4)
+    out[:, 8:12] = (
+        ((sc[:, 0:4] >> 4) & 3)
+        | (((sc[:, 4:8] >> 4) & 3) << 2)
+        | (((sc[:, 8:12] >> 4) & 3) << 4)
+        | (((sc[:, 12:16] >> 4) & 3) << 6)
+    )
+    return out
+
+
+def _quantize_q3_k(x: np.ndarray) -> np.ndarray:
+    nb = x.size // QK_K
+    xg = x.reshape(nb, 16, 16).astype(np.float32)
+    absmax = np.abs(xg).max(axis=2)
+    gscale = absmax / 4.0  # q in [-4, 3]
+    smax = gscale.max(axis=1)
+    d = smax / 31.0  # 6-bit signed scale, positive half
+    d16 = _f16(d).astype(np.float32)
+    inv_d = np.where(d16 > 0, 1.0 / np.where(d16 == 0, 1.0, d16), 0.0)
+    sc = _nearest_int(gscale * inv_d[:, None]).clip(-32, 31)
+    eff = d16[:, None] * sc.astype(np.float32)
+    inv_eff = np.where(eff != 0, 1.0 / np.where(eff == 0, 1.0, eff), 0.0)
+    q = _nearest_int(xg * inv_eff[:, :, None]).clip(-4, 3) + 4  # [0, 7]
+    hbit = (q >> 2).astype(np.uint8)  # 1 => no subtraction
+    q2 = (q & 3).astype(np.uint8)
+    out = np.empty((nb, 110), dtype=np.uint8)
+    # hmask: bit (4*chunk + j) of hmask byte l covers group pair at that shift
+    hm = np.zeros((nb, 32), dtype=np.uint8)
+    gi = 0
+    for c in range(2):
+        for j in range(4):
+            hm[:, :16] |= hbit[:, gi] << (4 * c + j)
+            hm[:, 16:] |= hbit[:, gi + 1] << (4 * c + j)
+            gi += 2
+    out[:, 0:32] = hm
+    out[:, 32:96] = _kq_chunked_pack2(q2.reshape(nb, 16, 16))
+    out[:, 96:108] = _q3k_pack_scales(((sc + 32).astype(np.uint8)))
+    out[:, 108:110] = _f16(d).view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def _dequantize_q3_k(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 110)
+    nb = blocks.shape[0]
+    hm = blocks[:, 0:32]
+    q2 = _kq_chunked_unpack2(blocks[:, 32:96])  # (nb, 16, 16)
+    sc = _q3k_unpack_scales(blocks[:, 96:108]).astype(np.int32) - 32
+    d = _f16_bytes_to_f32(blocks[:, 108:110])
+    # rebuild high bits in group order
+    hb = np.empty((nb, 16, 16), dtype=np.uint8)
+    gi = 0
+    for c in range(2):
+        for j in range(4):
+            hb[:, gi] = (hm[:, :16] >> (4 * c + j)) & 1
+            hb[:, gi + 1] = (hm[:, 16:] >> (4 * c + j)) & 1
+            gi += 2
+    q = q2.astype(np.int32) - np.where(hb == 1, 0, 4)
+    vals = d[:, None, None] * sc[:, :, None].astype(np.float32) * q.astype(np.float32)
+    return vals.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# IQ4_NL / IQ4_XS — 4-bit codes into a fixed non-linear codebook
+# (table ggml-quants.c:2434 kvalues_iq4nl; dequant :2436-2466,4733)
+# ---------------------------------------------------------------------------
+
+KVALUES_IQ4NL = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.int8,
+)
+
+
+def _iq4_encode(scaled: np.ndarray) -> np.ndarray:
+    """Nearest-codebook-index encode of already-scaled values."""
+    kv = KVALUES_IQ4NL.astype(np.float32)
+    mid = (kv[:-1] + kv[1:]) / 2.0
+    return np.searchsorted(mid, scaled).astype(np.uint8)
+
+
+def _quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
+    nb = x.size // 32
+    xb = x.reshape(nb, 32).astype(np.float32)
+    maxpos = np.maximum(xb.max(axis=1), 0.0)
+    maxneg = np.maximum(-xb.min(axis=1), 0.0)
+    d = np.maximum(maxpos / 113.0, maxneg / 127.0)
+    d16 = _f16(d).astype(np.float32)
+    id_ = np.where(d16 > 0, 1.0 / np.where(d16 == 0, 1.0, d16), 0.0)
+    qi = _iq4_encode(xb * id_[:, None])
+    out = np.empty((nb, 18), dtype=np.uint8)
+    out[:, 0:2] = _f16(d).view(np.uint8).reshape(nb, 2)
+    out[:, 2:] = qi[:, :16] | (qi[:, 16:] << 4)
+    return out.reshape(-1)
+
+
+def _dequantize_iq4_nl(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 18)
+    d = _f16_bytes_to_f32(blocks[:, 0:2])
+    qs = blocks[:, 2:]
+    q = np.concatenate(
+        [KVALUES_IQ4NL[qs & 0xF], KVALUES_IQ4NL[qs >> 4]], axis=1
+    ).astype(np.float32)
+    return (q * d[:, None]).reshape(-1)[:n]
+
+
+def _quantize_iq4_xs(x: np.ndarray) -> np.ndarray:
+    nb = x.size // QK_K
+    xg = x.reshape(nb, 8, 32).astype(np.float32)
+    maxpos = np.maximum(xg.max(axis=2), 0.0)
+    maxneg = np.maximum(-xg.min(axis=2), 0.0)
+    gscale = np.maximum(maxpos / 113.0, maxneg / 127.0)
+    d = gscale.max(axis=1) / 31.0
+    d16 = _f16(d).astype(np.float32)
+    inv_d = np.where(d16 > 0, 1.0 / np.where(d16 == 0, 1.0, d16), 0.0)
+    ls = _nearest_int(gscale * inv_d[:, None]).clip(-32, 31)
+    eff = d16[:, None] * ls.astype(np.float32)
+    inv_eff = np.where(eff != 0, 1.0 / np.where(eff == 0, 1.0, eff), 0.0)
+    qi = _iq4_encode(xg * inv_eff[:, :, None]).reshape(nb, 8, 32)
+    ls_u = (ls + 32).astype(np.uint16)  # [0, 63]
+    out = np.empty((nb, 136), dtype=np.uint8)
+    out[:, 0:2] = _f16(d).view(np.uint8).reshape(nb, 2)
+    scales_h = np.zeros(nb, dtype=np.uint16)
+    for ib in range(8):
+        scales_h |= ((ls_u[:, ib] >> 4) & 3) << (2 * ib)
+    out[:, 2:4] = scales_h.astype("<u2").view(np.uint8).reshape(nb, 2)
+    out[:, 4:8] = ((ls_u[:, 0::2] & 0xF) | ((ls_u[:, 1::2] & 0xF) << 4)).astype(np.uint8)
+    out[:, 8:] = (qi[:, :, :16] | (qi[:, :, 16:] << 4)).reshape(nb, 128)
+    return out.reshape(-1)
+
+
+def _dequantize_iq4_xs(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 136)
+    nb = blocks.shape[0]
+    d = _f16_bytes_to_f32(blocks[:, 0:2])
+    scales_h = np.ascontiguousarray(blocks[:, 2:4]).view("<u2").reshape(nb).astype(np.int32)
+    scales_l = blocks[:, 4:8]
+    ib = np.arange(8)
+    ls_lo = np.where(ib % 2 == 0, scales_l[:, ib // 2] & 0xF, scales_l[:, ib // 2] >> 4)
+    ls = (ls_lo.astype(np.int32) | (((scales_h[:, None] >> (2 * ib)) & 3) << 4)) - 32
+    qs = blocks[:, 8:].reshape(nb, 8, 16)
+    q = np.concatenate(
+        [KVALUES_IQ4NL[qs & 0xF], KVALUES_IQ4NL[qs >> 4]], axis=2
+    ).astype(np.float32)
+    vals = d[:, None, None] * ls[:, :, None].astype(np.float32) * q
+    return vals.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Q8_K — activation quantization for integer dot products (f32 scale, int8
+# quants, per-16 sums). Never a GGUF storage type; used on-device for the
+# int8 MXU path. (layout ggml-common.h:325-330)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_q8_k(x: np.ndarray) -> np.ndarray:
+    nb = x.size // QK_K
+    xb = x.reshape(nb, QK_K).astype(np.float32)
+    amax = np.abs(xb).max(axis=1)
+    d = amax / 127.0
+    id_ = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = _nearest_int(xb * id_[:, None]).clip(-127, 127).astype(np.int8)
+    bsums = q.reshape(nb, 16, 16).sum(axis=2, dtype=np.int16)
+    out = np.empty((nb, 292), dtype=np.uint8)
+    out[:, 0:4] = d.astype("<f4").view(np.uint8).reshape(nb, 4)
+    out[:, 4:260] = q.view(np.uint8)
+    out[:, 260:] = bsums.astype("<i2").view(np.uint8).reshape(nb, 32)
+    return out.reshape(-1)
+
+
+def _dequantize_q8_k(data: np.ndarray, n: int) -> np.ndarray:
+    blocks = data.reshape(-1, 292)
+    d = np.ascontiguousarray(blocks[:, 0:4]).view("<f4").reshape(-1)
+    q = blocks[:, 4:260].view(np.int8).astype(np.float32)
+    return (q * d[:, None]).reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
 # Float passthrough types
 # ---------------------------------------------------------------------------
 
@@ -331,10 +722,19 @@ _QUANTIZERS = {
     GGMLType.F16: _quantize_f16,
     GGMLType.BF16: _quantize_bf16,
     GGMLType.Q4_0: _quantize_q4_0,
+    GGMLType.Q4_1: _quantize_q4_1,
+    GGMLType.Q5_0: _quantize_q5_0,
+    GGMLType.Q5_1: _quantize_q5_1,
     GGMLType.Q8_0: _quantize_q8_0,
+    GGMLType.Q8_1: _quantize_q8_1,
+    GGMLType.Q2_K: _quantize_q2_k,
+    GGMLType.Q3_K: _quantize_q3_k,
     GGMLType.Q4_K: _quantize_q4_k,
     GGMLType.Q5_K: _quantize_q5_k,
     GGMLType.Q6_K: _quantize_q6_k,
+    GGMLType.Q8_K: _quantize_q8_k,
+    GGMLType.IQ4_NL: _quantize_iq4_nl,
+    GGMLType.IQ4_XS: _quantize_iq4_xs,
 }
 
 _DEQUANTIZERS = {
@@ -342,10 +742,19 @@ _DEQUANTIZERS = {
     GGMLType.F16: _dequantize_f16,
     GGMLType.BF16: _dequantize_bf16,
     GGMLType.Q4_0: _dequantize_q4_0,
+    GGMLType.Q4_1: _dequantize_q4_1,
+    GGMLType.Q5_0: _dequantize_q5_0,
+    GGMLType.Q5_1: _dequantize_q5_1,
     GGMLType.Q8_0: _dequantize_q8_0,
+    GGMLType.Q8_1: _dequantize_q8_1,
+    GGMLType.Q2_K: _dequantize_q2_k,
+    GGMLType.Q3_K: _dequantize_q3_k,
     GGMLType.Q4_K: _dequantize_q4_k,
     GGMLType.Q5_K: _dequantize_q5_k,
     GGMLType.Q6_K: _dequantize_q6_k,
+    GGMLType.Q8_K: _dequantize_q8_k,
+    GGMLType.IQ4_NL: _dequantize_iq4_nl,
+    GGMLType.IQ4_XS: _dequantize_iq4_xs,
 }
 
 SUPPORTED_QUANT_TYPES = tuple(sorted(_QUANTIZERS, key=int))

@@ -189,12 +189,110 @@ def _repack_q6_k(data: np.ndarray, n: int, k: int):
     return q.reshape(n, k), scale.reshape(n, k // 16), None, 16
 
 
+def _repack_q4_1(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 20)
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    m = _b._f16_bytes_to_f32(bl[:, 2:4])
+    qs = bl[:, 4:]
+    q = np.concatenate([qs & 0xF, qs >> 4], axis=1).astype(np.int8)
+    return q.reshape(n, k), d.reshape(n, k // 32), m.reshape(n, k // 32).astype(np.float32), 32
+
+
+def _repack_q5_0(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 22)
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    q = _b._q5_unpack(bl[:, 6:], bl[:, 2:6]).astype(np.int8)  # [0, 31]
+    return (
+        q.reshape(n, k),
+        d.reshape(n, k // 32),
+        (-16.0 * d).reshape(n, k // 32).astype(np.float32),
+        32,
+    )
+
+
+def _repack_q5_1(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 24)
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    m = _b._f16_bytes_to_f32(bl[:, 2:4])
+    q = _b._q5_unpack(bl[:, 8:], bl[:, 4:8]).astype(np.int8)
+    return q.reshape(n, k), d.reshape(n, k // 32), m.reshape(n, k // 32).astype(np.float32), 32
+
+
+def _repack_q8_1(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 36)
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    q = bl[:, 4:].view(np.int8)
+    return q.reshape(n, k), d.reshape(n, k // 32), None, 32
+
+
+def _repack_q2_k(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 84)
+    d = _b._f16_bytes_to_f32(bl[:, 80:82])
+    dmin = _b._f16_bytes_to_f32(bl[:, 82:84])
+    sc = bl[:, 0:16]
+    q = _b._kq_chunked_unpack2(bl[:, 16:80]).astype(np.int8)  # (nb, 16, 16)
+    scale = (d[:, None] * (sc & 0xF).astype(np.float32)).astype(np.float32)
+    bias = (-(dmin[:, None] * (sc >> 4).astype(np.float32))).astype(np.float32)
+    return q.reshape(n, k), scale.reshape(n, k // 16), bias.reshape(n, k // 16), 16
+
+
+def _repack_q3_k(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 110)
+    nb = bl.shape[0]
+    hm = bl[:, 0:32]
+    q2 = _b._kq_chunked_unpack2(bl[:, 32:96])
+    sc = _b._q3k_unpack_scales(bl[:, 96:108]).astype(np.int32) - 32
+    d = _b._f16_bytes_to_f32(bl[:, 108:110])
+    hb = np.empty((nb, 16, 16), dtype=np.uint8)
+    gi = 0
+    for c in range(2):
+        for j in range(4):
+            hb[:, gi] = (hm[:, :16] >> (4 * c + j)) & 1
+            hb[:, gi + 1] = (hm[:, 16:] >> (4 * c + j)) & 1
+            gi += 2
+    q = (q2.astype(np.int16) - np.where(hb == 1, 0, 4)).astype(np.int8)
+    scale = (d[:, None] * sc.astype(np.float32)).astype(np.float32)
+    return q.reshape(n, k), scale.reshape(n, k // 16), None, 16
+
+
+def _repack_iq4_nl(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 18)
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    qs = bl[:, 2:]
+    # codebook applied at repack: codes become plain int8 affine values
+    q = np.concatenate([_b.KVALUES_IQ4NL[qs & 0xF], _b.KVALUES_IQ4NL[qs >> 4]], axis=1)
+    return q.reshape(n, k), d.reshape(n, k // 32), None, 32
+
+
+def _repack_iq4_xs(data: np.ndarray, n: int, k: int):
+    bl = data.reshape(-1, 136)
+    nb = bl.shape[0]
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    scales_h = np.ascontiguousarray(bl[:, 2:4]).view("<u2").reshape(nb).astype(np.int32)
+    scales_l = bl[:, 4:8]
+    ib = np.arange(8)
+    ls_lo = np.where(ib % 2 == 0, scales_l[:, ib // 2] & 0xF, scales_l[:, ib // 2] >> 4)
+    ls = (ls_lo.astype(np.int32) | (((scales_h[:, None] >> (2 * ib)) & 3) << 4)) - 32
+    qs = bl[:, 8:].reshape(nb, 8, 16)
+    q = np.concatenate([_b.KVALUES_IQ4NL[qs & 0xF], _b.KVALUES_IQ4NL[qs >> 4]], axis=2)
+    scale = (d[:, None] * ls.astype(np.float32)).astype(np.float32)
+    return q.reshape(n, k), scale.reshape(n, k // 32), None, 32
+
+
 _REPACKERS = {
     GGMLType.Q8_0: _repack_q8_0,
+    GGMLType.Q8_1: _repack_q8_1,
     GGMLType.Q4_0: _repack_q4_0,
+    GGMLType.Q4_1: _repack_q4_1,
+    GGMLType.Q5_0: _repack_q5_0,
+    GGMLType.Q5_1: _repack_q5_1,
+    GGMLType.Q2_K: _repack_q2_k,
+    GGMLType.Q3_K: _repack_q3_k,
     GGMLType.Q4_K: _repack_q4_k,
     GGMLType.Q5_K: _repack_q5_k,
     GGMLType.Q6_K: _repack_q6_k,
+    GGMLType.IQ4_NL: _repack_iq4_nl,
+    GGMLType.IQ4_XS: _repack_iq4_xs,
 }
 
 REPACKABLE_TYPES = tuple(sorted(_REPACKERS, key=int))

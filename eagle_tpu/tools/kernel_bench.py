@@ -1,0 +1,143 @@
+"""Quantized-matmul kernel microbenchmarks (decode roofline study).
+
+Separates the three candidate costs of the fused dequant-matmul on the decode
+path: HBM streaming (roofline), VPU dequantization work (shift/mask/convert/
+scale per weight), and per-pallas-call fixed overhead. Each variant runs the
+same logical matmul x[B,K] @ W[K,N] chained n times inside ONE jitted scan
+(weights threaded as arguments, never closure constants) so relay sync cost
+cancels in the slope.
+
+Usage: python -m eagle_tpu.tools.kernel_bench [--variants v1,v2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import pathlib
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--n", type=int, default=11008)
+    ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--group", type=int, default=32)
+    ap.add_argument("--small", type=int, default=4)
+    ap.add_argument("--big", type=int, default=16)
+    ap.add_argument("--variants", default="packed,int8,int4,dense,split4")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.pallas_qmm import qmatmul_pallas_2d
+    from ..quant.qtensor import QTensor
+
+    K, N, B, G = args.k, args.n, args.b, args.group
+    rng = np.random.default_rng(0)
+
+    q_codes = rng.integers(0, 16, size=(K, N), dtype=np.int8)
+    scale = (rng.standard_normal((K // G, N)) * 0.01).astype(np.float32)
+    bias = (rng.standard_normal((K // G, N)) * 0.001).astype(np.float32)
+
+    qt_int8 = QTensor(
+        q=jnp.asarray(q_codes), scale=jnp.asarray(scale, jnp.bfloat16),
+        bias=jnp.asarray(bias, jnp.bfloat16), group=G, layout="kn",
+    )
+    qt_packed = QTensor(
+        q=jnp.asarray(np.asarray(qt_int8.q)), scale=qt_int8.scale,
+        bias=qt_int8.bias, group=G, layout="kn",
+    ).pack_nibbles()
+    qt_packed = QTensor(
+        q=jnp.asarray(qt_packed.q), scale=qt_packed.scale, bias=qt_packed.bias,
+        group=G, layout="kn", packed=True,
+    )
+    # int4 dtype variant: hardware does the nibble unpack in the convert
+    q_i4 = jnp.asarray(q_codes - 8, jnp.int4)  # signed int4 range
+    qt_i4 = QTensor(q=q_i4, scale=qt_int8.scale, bias=qt_int8.bias, group=G, layout="kn")
+    w_dense = jnp.asarray(rng.standard_normal((K, N)) * 0.01, jnp.bfloat16)
+
+    x0 = jnp.asarray(rng.standard_normal((B, K)) * 0.1, jnp.float32)
+
+    def chain(matmul_fn, n_steps):
+        def step(x, _):
+            out = matmul_fn(x)
+            # fold output back into x: depends on every output element, bounded
+            x = x + jnp.tanh(jnp.sum(out, axis=-1, keepdims=True)) * 1e-3
+            return x, None
+
+        def run(x, *weights):
+            x, _ = jax.lax.scan(lambda c, s: step(c, s), x, None, length=n_steps)
+            return jnp.sum(x)
+
+        return run
+
+    def bench(name, matmul_fn, weights, bytes_per_call):
+        fns = {}
+        for n_steps in (args.small, args.big):
+            fns[n_steps] = jax.jit(chain(matmul_fn, n_steps))
+        times = {args.small: [], args.big: []}
+        # compile both first
+        for n_steps, f in fns.items():
+            np.asarray(f(x0, *weights))
+        for _ in range(3):
+            for n_steps, f in fns.items():
+                t0 = time.time()
+                np.asarray(f(x0, *weights))
+                times[n_steps].append(time.time() - t0)
+        per = (min(times[args.big]) - min(times[args.small])) / (args.big - args.small)
+        gbs = bytes_per_call / per / 1e9
+        print(f"{name:>10}: {per*1e6:8.1f} us/call  {gbs:7.1f} GB/s effective")
+        return per
+
+    sdt = 2  # bf16 scales+bias
+    bytes_q4 = K * N // 2 + (K // G) * N * sdt * 2
+    bytes_q8 = K * N + (K // G) * N * sdt * 2
+    bytes_dense = K * N * 2
+
+    variants = args.variants.split(",")
+    if "dense" in variants:
+        bench("dense-bf16",
+              lambda x, w=w_dense: jax.lax.dot_general(
+                  x.astype(jnp.bfloat16), w,
+                  dimension_numbers=(((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32),
+              (), bytes_dense)
+    if "packed" in variants:
+        bench("q4-packed", lambda x: qmatmul_pallas_2d(x, qt_packed), (), bytes_q4)
+    if "int8" in variants:
+        bench("q4-int8", lambda x: qmatmul_pallas_2d(x, qt_int8), (), bytes_q8)
+    if "int4" in variants:
+        from ..ops.pallas_qmm import qmatmul_pallas_2d_i4
+
+        bench("q4-int4dt", lambda x: qmatmul_pallas_2d_i4(x, qt_i4), (), bytes_q4)
+    if "split4" in variants:
+        def split4(x):
+            outs = []
+            for i in range(4):
+                wq = QTensor(
+                    q=qt_packed.q[:, i * N // 4:(i + 1) * N // 4],
+                    scale=qt_packed.scale[:, i * N // 4:(i + 1) * N // 4],
+                    bias=qt_packed.bias[:, i * N // 4:(i + 1) * N // 4],
+                    group=G, layout="kn", packed=True,
+                )
+                outs.append(qmatmul_pallas_2d(x, wq))
+            return jnp.concatenate(outs, axis=-1)
+
+        bench("q4-split4", split4, (), bytes_q4)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

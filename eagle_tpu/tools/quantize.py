@@ -23,29 +23,57 @@ from ..quant.blocks import dequantize, quantize
 # ftype name -> (default type, output.weight type, embeddings type)
 SCHEMES = {
     "Q4_0": (GGMLType.Q4_0, GGMLType.Q6_K, GGMLType.Q4_0),
+    "Q4_1": (GGMLType.Q4_1, GGMLType.Q6_K, GGMLType.Q4_1),
+    "Q5_0": (GGMLType.Q5_0, GGMLType.Q6_K, GGMLType.Q5_0),
+    "Q5_1": (GGMLType.Q5_1, GGMLType.Q6_K, GGMLType.Q5_1),
     "Q8_0": (GGMLType.Q8_0, GGMLType.Q8_0, GGMLType.Q8_0),
+    "Q2_K": (GGMLType.Q2_K, GGMLType.Q6_K, GGMLType.Q2_K),
+    "Q2_K_S": (GGMLType.Q2_K, GGMLType.Q6_K, GGMLType.Q2_K),
+    "Q3_K_S": (GGMLType.Q3_K, GGMLType.Q6_K, GGMLType.Q3_K),
+    "Q3_K_M": (GGMLType.Q3_K, GGMLType.Q6_K, GGMLType.Q3_K),
+    "Q3_K_L": (GGMLType.Q3_K, GGMLType.Q6_K, GGMLType.Q5_K),
     "Q4_K_S": (GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q4_K),
     "Q4_K_M": (GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q4_K),
     "Q5_K_S": (GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q5_K),
     "Q5_K_M": (GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.Q5_K),
     "Q6_K": (GGMLType.Q6_K, GGMLType.Q6_K, GGMLType.Q6_K),
+    "IQ4_NL": (GGMLType.IQ4_NL, GGMLType.Q6_K, GGMLType.IQ4_NL),
+    "IQ4_XS": (GGMLType.IQ4_XS, GGMLType.Q6_K, GGMLType.IQ4_XS),
     "F16": (GGMLType.F16, GGMLType.F16, GGMLType.F16),
 }
 
 FTYPE_IDS = {
     "Q4_0": LlamaFtype.MOSTLY_Q4_0,
+    "Q4_1": LlamaFtype.MOSTLY_Q4_1,
+    "Q5_0": LlamaFtype.MOSTLY_Q5_0,
+    "Q5_1": LlamaFtype.MOSTLY_Q5_1,
     "Q8_0": LlamaFtype.MOSTLY_Q8_0,
+    "Q2_K": LlamaFtype.MOSTLY_Q2_K,
+    "Q2_K_S": LlamaFtype.MOSTLY_Q2_K_S,
+    "Q3_K_S": LlamaFtype.MOSTLY_Q3_K_S,
+    "Q3_K_M": LlamaFtype.MOSTLY_Q3_K_M,
+    "Q3_K_L": LlamaFtype.MOSTLY_Q3_K_L,
     "Q4_K_S": LlamaFtype.MOSTLY_Q4_K_S,
     "Q4_K_M": LlamaFtype.MOSTLY_Q4_K_M,
     "Q5_K_S": LlamaFtype.MOSTLY_Q5_K_S,
     "Q5_K_M": LlamaFtype.MOSTLY_Q5_K_M,
     "Q6_K": LlamaFtype.MOSTLY_Q6_K,
+    "IQ4_NL": LlamaFtype.MOSTLY_IQ4_NL,
+    "IQ4_XS": LlamaFtype.MOSTLY_IQ4_XS,
     "F16": LlamaFtype.MOSTLY_F16,
 }
 
-# In the _M ("medium") variants llama.cpp bumps attn_v and the first/last
-# ffn_down layers to Q6_K; we apply the same to attn_v.
-_M_BUMP = {"Q4_K_M": GGMLType.Q6_K, "Q5_K_M": GGMLType.Q6_K}
+# In the _M ("medium") variants llama.cpp bumps attn_v (and the first/last
+# ffn_down layers) to a higher-precision type (llama-quant.cpp
+# llama_tensor_get_type); we apply the same to attn_v.
+_M_BUMP = {
+    "Q2_K": GGMLType.Q4_K,
+    "Q2_K_S": GGMLType.Q4_K,
+    "Q3_K_M": GGMLType.Q5_K,
+    "Q3_K_L": GGMLType.Q5_K,
+    "Q4_K_M": GGMLType.Q6_K,
+    "Q5_K_M": GGMLType.Q6_K,
+}
 
 
 def pick_type(name: str, shape: tuple[int, ...], scheme: str) -> GGMLType:

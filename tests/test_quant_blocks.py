@@ -10,10 +10,17 @@ from eagle_tpu.quant import blocks
 
 QTYPES = [
     GGMLType.Q4_0,
+    GGMLType.Q4_1,
+    GGMLType.Q5_0,
+    GGMLType.Q5_1,
     GGMLType.Q8_0,
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
     GGMLType.Q4_K,
     GGMLType.Q5_K,
     GGMLType.Q6_K,
+    GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
 ]
 
 # max acceptable round-trip RMSE relative to data std (thresholds in the spirit
@@ -24,10 +31,17 @@ QTYPES = [
 # above the pure-gaussian floor for every format — including in ggml itself)
 RTOL = {
     GGMLType.Q4_0: 0.15,
+    GGMLType.Q4_1: 0.12,
+    GGMLType.Q5_0: 0.08,
+    GGMLType.Q5_1: 0.06,
     GGMLType.Q8_0: 0.03,
+    GGMLType.Q2_K: 0.40,
+    GGMLType.Q3_K: 0.26,
     GGMLType.Q4_K: 0.11,
     GGMLType.Q5_K: 0.06,
     GGMLType.Q6_K: 0.09,
+    GGMLType.IQ4_NL: 0.13,
+    GGMLType.IQ4_XS: 0.13,
 }
 
 
@@ -93,6 +107,21 @@ def test_float_passthrough(rng, ftype):
         np.testing.assert_array_equal(x.astype(np.float16).astype(np.float32), y)
     else:
         assert np.abs(x - y).max() < 0.02
+
+
+def test_q8_k_round_trip(rng):
+    """Q8_K is the activation-quant format for integer dot products (never a
+    GGUF storage type, ggml-common.h:325-330) — round-trip + bsum invariants."""
+    n = 256 * 4
+    x = synthetic(rng, n)
+    packed = blocks.quantize(x, GGMLType.Q8_K)
+    y = blocks.dequantize(packed, GGMLType.Q8_K, (n,))
+    rmse = np.sqrt(np.mean((x - y) ** 2)) / np.std(x)
+    assert rmse < 0.03
+    bl = packed.reshape(-1, 292)
+    q = bl[:, 4:260].view(np.int8).astype(np.int32)
+    bsums = np.ascontiguousarray(bl[:, 260:]).view("<i2").reshape(-1, 16)
+    np.testing.assert_array_equal(q.reshape(-1, 16, 16).sum(axis=2), bsums)
 
 
 def test_q8_0_exact_small_ints():
