@@ -122,14 +122,17 @@ class Generator:
         logits, _, self.kv = self._prefill_jit(
             self.params, self.kv, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t
         )
+        from .grammar import TokenTrie
+
         pieces = [tokenizer.piece(i) for i in range(self.cfg.vocab_size)]
+        trie = TokenTrie(pieces)
         rng = np.random.default_rng(seed)
         out: list[int] = []
         pos = n
         for _ in range(max_new_tokens):
             l = np.asarray(transform_logits(logits[0], scfg)).astype(np.float64)
-            mask = np.asarray(grammar.allowed_mask(pieces))
-            if grammar.can_end and tokenizer.eos_id >= 0:
+            mask = grammar.token_mask(trie)
+            if (grammar.awaiting_trigger or grammar.can_end) and tokenizer.eos_id >= 0:
                 mask[tokenizer.eos_id] = True
             l[~mask] = -np.inf
             if scfg.greedy or scfg.temperature <= 0:
@@ -141,7 +144,7 @@ class Generator:
             out.append(tok)
             if tok == tokenizer.eos_id:
                 break
-            grammar.accept_text(pieces[tok])
+            grammar.accept_token(tok, pieces[tok])
             if pos + 1 >= self.max_seq:
                 break
             p_arr = jnp.full((self.batch, 1), pos, jnp.int32)

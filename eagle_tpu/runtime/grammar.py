@@ -278,10 +278,59 @@ def _class_matches(seq: list[El], i: int, cp: int) -> tuple[bool, int]:
     return (found != neg), j
 
 
-class Grammar:
-    """Pushdown automaton state over a parsed grammar (llama_grammar)."""
+class TokenTrie:
+    """Codepoint prefix trie over the vocabulary, built once per tokenizer.
 
-    def __init__(self, gbnf: str, root: str = "root"):
+    Per-step token masking walks this trie instead of testing every vocab
+    piece independently: automaton advances are shared across all tokens with
+    a common prefix and dead subtrees are pruned at their first rejected
+    character. This is the production-speed equivalent of the reference's
+    incremental candidate application (llama_grammar_apply_impl,
+    src/llama-grammar.cpp:1120) — sublinear in vocab size, where the naive
+    per-piece check is O(V * len * stacks) per token."""
+
+    __slots__ = ("children", "tokens", "n_vocab")
+
+    def __init__(self, pieces: list[str]):
+        # nodes as parallel dicts: node id -> {cp: child_id}, node id -> [tok]
+        self.children: list[dict[int, int]] = [{}]
+        self.tokens: list[list[int]] = [[]]
+        self.n_vocab = len(pieces)
+        for tid, piece in enumerate(pieces):
+            if not piece:
+                continue
+            node = 0
+            for ch in piece:
+                cp = ord(ch)
+                nxt = self.children[node].get(cp)
+                if nxt is None:
+                    nxt = len(self.children)
+                    self.children[node][cp] = nxt
+                    self.children.append({})
+                    self.tokens.append([])
+                node = nxt
+            self.tokens[node].append(tid)
+
+
+class Grammar:
+    """Pushdown automaton state over a parsed grammar (llama_grammar).
+
+    `lazy` grammars (llama_grammar.h:118-121) start dormant: tokens are
+    unconstrained until a trigger token or trigger word appears in the
+    output, at which point the automaton activates and consumes the text
+    from the trigger onward."""
+
+    def __init__(self, gbnf: str, root: str = "root", *, lazy: bool = False,
+                 trigger_tokens: list[int] | None = None,
+                 trigger_words: list[str] | None = None):
+        self.lazy = lazy
+        self.awaiting_trigger = lazy
+        self.trigger_tokens = set(trigger_tokens or [])
+        self.trigger_words = list(trigger_words or [])
+        self.trigger_buffer = ""
+        self._init_rules(gbnf, root)
+
+    def _init_rules(self, gbnf: str, root: str):
         p = _Parser(gbnf)
         rules = p.parse()
         self.rule_names = list(p._ref_names)
@@ -370,5 +419,66 @@ class Grammar:
 
     def allowed_mask(self, pieces: list[str]) -> list[bool]:
         """For each vocab piece, whether appending it keeps the grammar alive
-        (llama_grammar_apply_impl)."""
+        (llama_grammar_apply_impl). Naive per-piece reference path — use
+        token_mask(TokenTrie) on real vocabularies."""
+        if self.awaiting_trigger:
+            return [True] * len(pieces)
         return [bool(p) and self.accepts_text(p) for p in pieces]
+
+    def token_mask(self, trie: TokenTrie):
+        """Boolean numpy mask [n_vocab] of tokens the grammar allows next.
+
+        DFS over the vocab trie carrying the automaton stacks; each trie edge
+        advances the stacks once for every token sharing that prefix, and a
+        rejected edge prunes its whole subtree."""
+        import numpy as np
+
+        mask = np.zeros(trie.n_vocab, dtype=bool)
+        if self.awaiting_trigger:
+            mask[:] = True
+            return mask
+        children, tokens = trie.children, trie.tokens
+        work = [(0, self.stacks)]
+        while work:
+            node, stacks = work.pop()
+            for cp, child in children[node].items():
+                new = []
+                seen = set()
+                for st in stacks:
+                    for ns in self._advance(st, cp):
+                        if ns not in seen:
+                            seen.add(ns)
+                            new.append(ns)
+                if not new:
+                    continue
+                toks = tokens[child]
+                if toks:
+                    mask[toks] = True
+                if children[child]:
+                    work.append((child, new))
+        return mask
+
+    # -- lazy/trigger handling (llama_grammar.h:118-121) -----------------
+
+    def accept_token(self, tok_id: int, piece: str):
+        """Advance on a sampled token, handling lazy-trigger activation:
+        trigger tokens activate immediately (the piece is consumed from its
+        start); trigger words activate at their match position within the
+        accumulated output."""
+        if not self.awaiting_trigger:
+            self.accept_text(piece)
+            return
+        if tok_id in self.trigger_tokens:
+            self.awaiting_trigger = False
+            self.trigger_buffer = ""
+            self.accept_text(piece)
+            return
+        self.trigger_buffer += piece
+        for word in self.trigger_words:
+            idx = self.trigger_buffer.find(word)
+            if idx >= 0:
+                self.awaiting_trigger = False
+                text = self.trigger_buffer[idx:]
+                self.trigger_buffer = ""
+                self.accept_text(text)
+                return

@@ -102,6 +102,89 @@ ws ::= [ \t\n]*
     assert not g.accepts_text("[1,2]", partial=False)  # root must be object
 
 
+def _json_grammar():
+    return Grammar(
+        'root ::= object\n'
+        'object ::= "{" ws ( string ":" ws value ("," ws string ":" ws value)* )? "}"\n'
+        'value ::= object | array | string | number | "true" | "false" | "null"\n'
+        'array ::= "[" ws ( value ("," ws value)* )? "]" ws\n'
+        'string ::= "\\"" [^"\\\\]* "\\"" ws\n'
+        'number ::= "-"? [0-9]+ ("." [0-9]+)? ws\n'
+        'ws ::= [ \\t\\n]*\n'
+    )
+
+
+def _fake_vocab(n=32000, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pieces = ['{', '}', '[', ']', '"', ':', ',', ' ', 'true', 'false', 'null',
+              '":', '",', '{"', '"}']
+    alphabet = list('abcdefghijklmnopqrstuvwxyz0123456789 .-_"{}[]:,')
+    while len(pieces) < n:
+        ln = int(rng.integers(1, 8))
+        pieces.append(''.join(rng.choice(alphabet) for _ in range(ln)))
+    return pieces
+
+
+def test_token_mask_matches_naive():
+    from eagle_tpu.runtime.grammar import TokenTrie
+
+    g = _json_grammar()
+    pieces = _fake_vocab(n=800)
+    trie = TokenTrie(pieces)
+    g.accept_text('{"a')
+    fast = g.token_mask(trie)
+    naive = g.allowed_mask(pieces)
+    assert list(fast) == naive
+
+
+def test_token_mask_speed_32k_vocab():
+    """Production bar (VERDICT #5): grammar masking over a 32k vocab must be
+    milliseconds, not seconds, per token."""
+    import time
+
+    from eagle_tpu.runtime.grammar import TokenTrie
+
+    g = _json_grammar()
+    pieces = _fake_vocab(n=32000)
+    trie = TokenTrie(pieces)
+    g.accept_text('{"key": ')
+    t0 = time.time()
+    steps = 20
+    for _ in range(steps):
+        g.token_mask(trie)
+    per = (time.time() - t0) / steps
+    assert per < 0.05, f"{per*1e3:.1f} ms/token"
+
+
+def test_lazy_grammar_trigger_word():
+    g = Grammar('root ::= "{" [a-z]* "}"', lazy=True, trigger_words=["{"])
+    from eagle_tpu.runtime.grammar import TokenTrie
+
+    pieces = ["Hello", " world", "{", "ab", "}", "zz9"]
+    trie = TokenTrie(pieces)
+    assert g.awaiting_trigger
+    assert g.token_mask(trie).all()  # unconstrained before trigger
+    g.accept_token(0, "Hello")
+    assert g.awaiting_trigger
+    g.accept_token(2, "{")  # trigger word appears -> activates, consumes "{"
+    assert not g.awaiting_trigger
+    mask = g.token_mask(trie)
+    assert mask[3] and mask[4]  # "ab", "}"
+    assert not mask[0] and not mask[5]  # "Hello" (uppercase), "zz9" (digit)
+
+
+def test_lazy_grammar_trigger_token():
+    g = Grammar('root ::= "<tool>" [a-z]+ "</tool>"', lazy=True, trigger_tokens=[7])
+    g.accept_token(3, "free text ")
+    assert g.awaiting_trigger
+    g.accept_token(7, "<tool>")
+    assert not g.awaiting_trigger
+    g.accept_token(1, "abc")
+    assert g.accepts_text("</tool>")
+
+
 def test_constrained_generation_obeys_grammar():
     """End-to-end: a random tiny model forced through root ::= "yes" | "no"."""
     pytest.importorskip("torch")
