@@ -60,11 +60,11 @@ def eagle_forward(
     x = jax.nn.relu(x)
 
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
-    x, k_c, v_c = _layer_step(
+    x, k_c, v_c, k_s, v_s = _layer_step(
         cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
-        x, draft_params["layers"], jnp.int32(0), kv.k, kv.v,
+        x, draft_params["layers"], jnp.int32(0), kv.k, kv.v, kv.k_scale, kv.v_scale,
     )
-    kv = dataclasses.replace(kv, k=k_c, v=v_c)
+    kv = dataclasses.replace(kv, k=k_c, v=v_c, k_scale=k_s, v_scale=v_s)
 
     feat_post = rms_norm(x, None, cfg.rms_eps)  # unweighted: no output_norm tensor
     logits = None

@@ -61,6 +61,8 @@ def _layer_step(
     li: jax.Array,  # scalar layer index
     k_cache: jax.Array,  # [L, B, S, H_kv, Dh] — FULL stacked cache
     v_cache: jax.Array,
+    k_scale: jax.Array | None = None,  # [L, B, H_kv, S] — int8 KV only
+    v_scale: jax.Array | None = None,
 ):
     """One transformer layer. Weights stay layer-stacked; matmuls address the
     stack through `li` (scalar-prefetched on the pallas backend so no
@@ -96,14 +98,30 @@ def _layer_step(
     s_idx = slots[:, None, :]  # [B,1,T]
     k_hm = k.transpose(0, 2, 1, 3)  # [B, H_kv, T, D]
     v_hm = v.transpose(0, 2, 1, 3)
-    k_cache = k_cache.at[li, b_idx, h_idx, s_idx].set(k_hm.astype(k_cache.dtype))
-    v_cache = v_cache.at[li, b_idx, h_idx, s_idx].set(v_hm.astype(v_cache.dtype))
+    if k_scale is not None:  # int8 KV: per-vector absmax quantization on write
+        from ..runtime.kvcache import dequantize_kv, quantize_kv_vec
 
-    s_len = k_cache.shape[3]
-    if backend == "pallas" and supports_flash(t, h, h_kv, s_len, dh):
-        attn = flash_attention_cached(q, k_cache, v_cache, mask, li)
+        k_q, k_s = quantize_kv_vec(k_hm)
+        v_q, v_s = quantize_kv_vec(v_hm)
+        k_cache = k_cache.at[li, b_idx, h_idx, s_idx].set(k_q)
+        v_cache = v_cache.at[li, b_idx, h_idx, s_idx].set(v_q)
+        k_scale = k_scale.at[li, b_idx, h_idx, s_idx].set(k_s)
+        v_scale = v_scale.at[li, b_idx, h_idx, s_idx].set(v_s)
+        attn = gqa_attention(
+            q,
+            dequantize_kv(k_cache[li], k_scale[li]),
+            dequantize_kv(v_cache[li], v_scale[li]),
+            mask,
+        )
     else:
-        attn = gqa_attention(q, k_cache[li], v_cache[li], mask)
+        k_cache = k_cache.at[li, b_idx, h_idx, s_idx].set(k_hm.astype(k_cache.dtype))
+        v_cache = v_cache.at[li, b_idx, h_idx, s_idx].set(v_hm.astype(v_cache.dtype))
+
+        s_len = k_cache.shape[3]
+        if backend == "pallas" and supports_flash(t, h, h_kv, s_len, dh):
+            attn = flash_attention_cached(q, k_cache, v_cache, mask, li)
+        else:
+            attn = gqa_attention(q, k_cache[li], v_cache[li], mask)
     x = x + qmatmul_layer(attn.reshape(b, t, h * dh), layers["wo"], li, backend, compute_dtype)
 
     ffn_in = rms_norm(x, layers["ffn_norm"][li], cfg.rms_eps)
@@ -116,7 +134,7 @@ def _layer_step(
     x = x + qmatmul_layer(jax.nn.silu(gate) * up, layers["w_down"], li, backend, compute_dtype)
     if "cvec" in layers:  # control vector (llama_adapter_cvec.apply_to, src/llama-adapter.cpp)
         x = x + layers["cvec"][li].astype(x.dtype)
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_scale, v_scale
 
 
 def llama_forward(
@@ -143,18 +161,19 @@ def llama_forward(
     layers = params["layers"]
 
     def scan_body(carry, li):
-        x, k_all, v_all = carry
-        x, k_all, v_all = _layer_step(
+        x, k_all, v_all, k_s, v_s = carry
+        x, k_all, v_all, k_s, v_s = _layer_step(
             cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
-            x, layers, li, k_all, v_all,
+            x, layers, li, k_all, v_all, k_s, v_s,
         )
-        return (x, k_all, v_all), None
+        return (x, k_all, v_all, k_s, v_s), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        scan_body, (x, kv.k, kv.v), jnp.arange(cfg.n_layers, dtype=jnp.int32)
+    (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        scan_body, (x, kv.k, kv.v, kv.k_scale, kv.v_scale),
+        jnp.arange(cfg.n_layers, dtype=jnp.int32),
     )
 
-    kv = dataclasses.replace(kv, k=new_k, v=new_v)
+    kv = dataclasses.replace(kv, k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs)
     hidden = rms_norm(x, params.get("output_norm"), cfg.rms_eps)
     logits = None
     if return_logits:

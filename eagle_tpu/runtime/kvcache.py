@@ -26,16 +26,34 @@ class KVCache:
     k: jax.Array  # [L, B, H_kv, S, D]
     v: jax.Array  # [L, B, H_kv, S, D]
     slot_pos: jax.Array  # [B, S] int32, position tag per slot, -1 = empty
+    #: int8 KV quantization (the reference's type_k/type_v,
+    #: src/llama-kv-cache.h:49-50): when k/v are int8 these hold per-vector
+    #: (per layer/batch/head/slot) absmax scales; None for float caches.
+    k_scale: jax.Array | None = None  # [L, B, H_kv, S] f32
+    v_scale: jax.Array | None = None
 
     @property
     def max_seq(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
     @staticmethod
     def create(n_layers, batch, max_seq, n_kv_heads, head_dim, dtype=jnp.bfloat16):
+        shape = (n_layers, batch, n_kv_heads, max_seq, head_dim)
+        if dtype == jnp.int8:
+            return KVCache(
+                k=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(shape, jnp.int8),
+                slot_pos=jnp.full((batch, max_seq), -1, jnp.int32),
+                k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                v_scale=jnp.zeros(shape[:-1], jnp.float32),
+            )
         return KVCache(
-            k=jnp.zeros((n_layers, batch, n_kv_heads, max_seq, head_dim), dtype),
-            v=jnp.zeros((n_layers, batch, n_kv_heads, max_seq, head_dim), dtype),
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
             slot_pos=jnp.full((batch, max_seq), -1, jnp.int32),
         )
 
@@ -58,6 +76,21 @@ class KVCache:
         return dataclasses.replace(self, slot_pos=new_tags)
 
 
+def quantize_kv_vec(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-vector symmetric int8: x [..., D] -> (codes int8 [..., D],
+    scale f32 [...])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.where(scale == 0, 1.0, scale), 0.0)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) * inv[..., None]), -127, 127)
+    return codes.astype(jnp.int8), scale
+
+
+def dequantize_kv(codes: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """codes int8 [..., D] x scale [...] -> dense [..., D] in `dtype`."""
+    return (codes.astype(dtype) * scale.astype(dtype)[..., None])
+
+
 def context_shift(kv: KVCache, inv_freq: jax.Array, n_keep: int, n_discard: int) -> KVCache:
     """Evict `n_discard` tokens after the first `n_keep`, slide the rest down,
     and re-rotate the cached keys by -n_discard positions.
@@ -72,26 +105,40 @@ def context_shift(kv: KVCache, inv_freq: jax.Array, n_keep: int, n_discard: int)
     s = kv.max_seq
     start = n_keep + n_discard
 
-    def shift_rows(buf, rotate: bool):
+    def shift_rows(buf, rotate: bool, scale=None):
         # buf: [L, B, H, S, D]
         moved = buf[:, :, :, start:]
+        new_scale = None
         if rotate:
             l, b, h, t, d = moved.shape
+            if scale is not None:  # int8 cache: dequant -> rotate -> requant
+                moved = dequantize_kv(moved, scale[:, :, :, start:], jnp.float32)
             flat = moved.transpose(0, 1, 3, 2, 4).reshape(l * b, t, h, d)
             neg = jnp.full((l * b, t), -n_discard, jnp.int32)
-            flat = apply_rope(flat, neg, inv_freq).astype(buf.dtype)
+            flat = apply_rope(flat, neg, inv_freq)
             moved = flat.reshape(l, b, t, h, d).transpose(0, 1, 3, 2, 4)
-        return jax.lax.dynamic_update_slice_in_dim(buf, moved, n_keep, axis=3)
+            if scale is not None:
+                moved, sc = quantize_kv_vec(moved)
+                new_scale = jax.lax.dynamic_update_slice_in_dim(scale, sc, n_keep, axis=3)
+            else:
+                moved = moved.astype(buf.dtype)
+        elif scale is not None:
+            new_scale = jax.lax.dynamic_update_slice_in_dim(
+                scale, scale[:, :, :, start:], n_keep, axis=3
+            )
+        return jax.lax.dynamic_update_slice_in_dim(buf, moved, n_keep, axis=3), new_scale
 
-    k = shift_rows(kv.k, rotate=True)
-    v = shift_rows(kv.v, rotate=False)
+    k, k_scale = shift_rows(kv.k, rotate=True, scale=kv.k_scale)
+    v, v_scale = shift_rows(kv.v, rotate=False, scale=kv.v_scale)
     tags = kv.slot_pos
     moved_tags = jnp.where(tags[:, start:] >= 0, tags[:, start:] - n_discard, -1)
     tags = jax.lax.dynamic_update_slice_in_dim(tags, moved_tags, n_keep, axis=1)
     # invalidate the tail that slid away
     s_iota = jnp.arange(s, dtype=jnp.int32)[None, :]
     tags = jnp.where(s_iota >= s - n_discard, -1, tags)
-    return dataclasses.replace(kv, k=k, v=v, slot_pos=tags)
+    return dataclasses.replace(
+        kv, k=k, v=v, slot_pos=tags, k_scale=k_scale, v_scale=v_scale
+    )
 
 
 def causal_mask_from_tags(

@@ -63,8 +63,9 @@ def main(argv=None):
         q=jnp.asarray(qt_packed.q), scale=qt_packed.scale, bias=qt_packed.bias,
         group=G, layout="kn", packed=True,
     )
-    # int4 dtype variant: hardware does the nibble unpack in the convert
-    q_i4 = jnp.asarray(q_codes - 8, jnp.int4)  # signed int4 range
+    # int4 dtype variant: hardware does the nibble unpack in the convert.
+    # (convert to int4 on device — the relay's host int4 path recurses)
+    q_i4 = jax.jit(lambda a: (a - 8).astype(jnp.int4))(jnp.asarray(q_codes))
     qt_i4 = QTensor(q=q_i4, scale=qt_int8.scale, bias=qt_int8.bias, group=G, layout="kn")
     w_dense = jnp.asarray(rng.standard_normal((K, N)) * 0.01, jnp.bfloat16)
 
