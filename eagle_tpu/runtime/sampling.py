@@ -218,6 +218,108 @@ def sample(
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BatchedSamplerParams:
+    """Per-slot sampler parameters as [B] arrays — the continuous batcher's
+    equivalent of llama-server's per-request sampling params
+    (server.cpp:272-278): every row of the batch samples under its own
+    temperature/top-k/top-p/min-p/penalties inside ONE compiled step.
+
+    All transforms are branchless: neutral values (top_k<=0, top_p>=1,
+    min_p<=0, penalty_repeat==1, ...) are exact no-ops per-row."""
+
+    temperature: jax.Array  # [B] f32; <= 0 with greedy=True -> argmax
+    top_k: jax.Array  # [B] i32; <= 0 disabled
+    top_p: jax.Array  # [B] f32; >= 1 disabled
+    min_p: jax.Array  # [B] f32; <= 0 disabled
+    penalty_repeat: jax.Array  # [B] f32; == 1 disabled
+    penalty_freq: jax.Array  # [B] f32
+    penalty_present: jax.Array  # [B] f32
+    greedy: jax.Array  # [B] bool
+    spec_k: jax.Array  # [B] i32: per-slot max accepted drafts per cycle
+
+    @staticmethod
+    def create(batch: int, default: "SamplerConfig | None" = None, n_draft: int = 5):
+        c = default or SamplerConfig(greedy=True)
+        f = lambda v: jnp.full((batch,), v, jnp.float32)
+        return BatchedSamplerParams(
+            temperature=f(c.temperature),
+            top_k=jnp.full((batch,), c.top_k, jnp.int32),
+            top_p=f(c.top_p),
+            min_p=f(c.min_p),
+            penalty_repeat=f(c.penalty_repeat),
+            penalty_freq=f(c.penalty_freq),
+            penalty_present=f(c.penalty_present),
+            greedy=jnp.full((batch,), bool(c.greedy), bool),
+            spec_k=jnp.full((batch,), n_draft, jnp.int32),
+        )
+
+    def set_row(self, i: int, cfg: "SamplerConfig", spec_k: int | None = None):
+        """Host-side: returns params with row i configured from `cfg`."""
+        upd = dict(
+            temperature=self.temperature.at[i].set(cfg.temperature),
+            top_k=self.top_k.at[i].set(cfg.top_k),
+            top_p=self.top_p.at[i].set(cfg.top_p),
+            min_p=self.min_p.at[i].set(cfg.min_p),
+            penalty_repeat=self.penalty_repeat.at[i].set(cfg.penalty_repeat),
+            penalty_freq=self.penalty_freq.at[i].set(cfg.penalty_freq),
+            penalty_present=self.penalty_present.at[i].set(cfg.penalty_present),
+            greedy=self.greedy.at[i].set(bool(cfg.greedy)),
+        )
+        if spec_k is not None:
+            upd["spec_k"] = self.spec_k.at[i].set(spec_k)
+        return dataclasses.replace(self, **upd)
+
+
+def _batched_transform(logits: jax.Array, bp: BatchedSamplerParams,
+                       counts: jax.Array | None) -> jax.Array:
+    """[B, V] logits -> transformed logits, rowwise params, branch-free."""
+    l = logits.astype(jnp.float32)
+    v = l.shape[-1]
+    if counts is not None:
+        seen = counts > 0
+        rep = bp.penalty_repeat[:, None]
+        l = jnp.where(seen, jnp.where(l > 0, l / rep, l * rep), l)
+        l = l - counts * bp.penalty_freq[:, None] - seen * bp.penalty_present[:, None]
+    # top-k with per-row k: threshold = k-th largest (disabled rows -> -inf)
+    sorted_desc = jnp.sort(l, axis=-1)[:, ::-1]
+    k_idx = jnp.clip(bp.top_k - 1, 0, v - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    k_on = (bp.top_k > 0)[:, None] & (bp.top_k < v)[:, None]
+    l = jnp.where(k_on & (l < kth), _NEG_INF, l)
+    # top-p per row
+    sorted_desc = jnp.sort(l, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = cum - probs < bp.top_p[:, None]
+    thr = jnp.min(jnp.where(keep_sorted, sorted_desc, jnp.inf), axis=-1, keepdims=True)
+    p_on = (bp.top_p < 1.0)[:, None]
+    l = jnp.where(p_on & (l < thr), _NEG_INF, l)
+    # min-p per row
+    pr = jax.nn.softmax(l, axis=-1)
+    cutoff = pr.max(axis=-1, keepdims=True) * bp.min_p[:, None]
+    m_on = (bp.min_p > 0)[:, None]
+    l = jnp.where(m_on & (pr < cutoff), _NEG_INF, l)
+    temp = jnp.maximum(bp.temperature, 1e-6)[:, None]
+    return l / temp
+
+
+def sample_batched(
+    logits: jax.Array,  # [B, V]
+    key: jax.Array,
+    bp: BatchedSamplerParams,
+    counts: jax.Array | None = None,
+) -> jax.Array:
+    """Per-row configured draw: greedy rows take argmax of the (penalized)
+    logits; sampling rows draw categorically from the transformed ones."""
+    l = _batched_transform(logits, bp, counts)
+    greedy_tok = jnp.argmax(jnp.where(l > _NEG_INF / 2, l, _NEG_INF), axis=-1)
+    samp_tok = jax.random.categorical(key, l, axis=-1)
+    greedy = bp.greedy | (bp.temperature <= 0)
+    return jnp.where(greedy, greedy_tok, samp_tok).astype(jnp.int32)
+
+
 def _mirostat_v2(logits: jax.Array, key: jax.Array, cfg: SamplerConfig, mu: jax.Array):
     """llama_sampler_mirostat_v2: truncate tokens whose surprise (-log2 p)
     exceeds mu, sample, then adapt mu toward the target entropy tau."""

@@ -2,15 +2,16 @@
 
 The TPU counterpart of llama-server's slot machinery (server.cpp:2764
 update_slots): a fixed batch of B slots, each an independent sequence in its
-own KV-cache row. New requests prefill into free slots (a B=1-shaped program
-writing one batch row); decode/speculation advances ALL active slots in one
-compiled step — inactive slots compute masked garbage into parked positions
-(static shapes beat idle FLOPs on TPU). Slot lifecycle, streaming, and
-EOS/limit handling live on the host; everything per-token is on device.
+own KV-cache row. Prompt prefill is CHUNKED: each scheduler step admits at
+most one chunk of one pending prompt and then runs the decode/speculation
+cycle for every generating slot — a long prompt never stalls the other slots
+for more than one chunk (the reference interleaves the same way in
+update_slots). Per-request sampler params occupy rows of the engine's
+BatchedSamplerParams (server.cpp:272-278), and requests can be aborted
+mid-generation (slot release, abort_callback semantics).
 
-Works with both the plain Generator-style decode and the EAGLE engines (their
-cycles are already batch-shaped: per-slot n_past, acceptance counts, rollback
-tags)."""
+Slot lifecycle, streaming, and EOS/limit handling live on the host;
+everything per-token is on device."""
 
 from __future__ import annotations
 
@@ -22,16 +23,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .generate import pad_bucket
-from .kvcache import KVCache, causal_mask_from_tags
-from .sampling import SamplerConfig, sample
+from .kvcache import KVCache
+from .sampling import SamplerConfig
 from .speculative import EagleChainEngine, SpecState
 
 
 @dataclass
 class Slot:
     id: int
-    state: str = "free"  # free | generating
+    state: str = "free"  # free | prefilling | generating
     request_id: str | None = None
     prompt_len: int = 0
     max_new: int = 0
@@ -39,6 +39,9 @@ class Slot:
     on_token: Callable | None = None  # streaming callback(token_id)
     eos_id: int = 2
     stop_at_eos: bool = True
+    # chunked-prefill progress
+    prompt: np.ndarray | None = None
+    consumed: int = 0
 
     @property
     def done(self) -> bool:
@@ -47,77 +50,98 @@ class Slot:
         return len(self.generated) >= self.max_new
 
 
+def _take_row_kv(kv: KVCache, slot) -> KVCache:
+    """B=1 view of one cache row (fresh tags — the row is being rebuilt)."""
+    def take(x):  # [L, B, ...] -> [L, 1, ...]
+        return jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=1)
+
+    return KVCache(
+        k=take(kv.k),
+        v=take(kv.v),
+        slot_pos=jax.lax.dynamic_slice_in_dim(kv.slot_pos, slot, 1, axis=0),
+        k_scale=None if kv.k_scale is None else take(kv.k_scale),
+        v_scale=None if kv.v_scale is None else take(kv.v_scale),
+    )
+
+
+def _put_row_kv(full: KVCache, row: KVCache, slot) -> KVCache:
+    def put(f, r):
+        return jax.lax.dynamic_update_slice_in_dim(f, r, slot, axis=1)
+
+    return KVCache(
+        k=put(full.k, row.k),
+        v=put(full.v, row.v),
+        slot_pos=jax.lax.dynamic_update_slice_in_dim(
+            full.slot_pos, row.slot_pos, slot, axis=0
+        ),
+        k_scale=None if full.k_scale is None else put(full.k_scale, row.k_scale),
+        v_scale=None if full.v_scale is None else put(full.v_scale, row.v_scale),
+    )
+
+
 class ContinuousBatcher:
     """Slot scheduler over a batched EagleChainEngine (speculative) — plain
     decoding falls out of n_draft=1 if no draft head is wanted."""
 
-    def __init__(self, engine: EagleChainEngine):
+    def __init__(self, engine: EagleChainEngine, prefill_chunk: int = 64):
         self.engine = engine
         self.batch = engine.batch
+        self.prefill_chunk = prefill_chunk
         self.slots = [Slot(id=i, eos_id=engine.eos_id) for i in range(self.batch)]
         self.state = engine.fresh_state()
         # parked inactive slots sit at n_past=1 so draft positions stay >= 0
         self.state = dataclasses.replace(
             self.state, n_past=jnp.ones((self.batch,), jnp.int32)
         )
-        self._prefill_one_c = jax.jit(self._prefill_one, static_argnames=("t",))
+        self._chunk_c = jax.jit(self._prefill_chunk_one, static_argnames=("ct",))
         self._active_mask = np.zeros(self.batch, bool)
+        self._prefill_queue: list[Slot] = []
 
     # ------------------------------------------------------------------
 
-    def _prefill_one(self, tp, dp, state: SpecState, tokens, n_valid, slot: jax.Array, t: int):
-        """Prefill a single batch row `slot` with `tokens` [t]; other rows
-        untouched. Reuses the engine's batched prefill on a B=1 view, then
-        scatters the results back into row `slot`."""
+    def _prefill_chunk_one(self, tp, dp, state: SpecState, tokens, start, n_valid,
+                           bs, slot: jax.Array, ct: int):
+        """Run one prompt chunk for batch row `slot` (B=1 view, scattered
+        back); other rows untouched."""
         eng = self.engine
+        first_tags = jnp.where(
+            start[None, :] == 0,
+            jnp.full_like(jax.lax.dynamic_slice_in_dim(state.tgt_kv.slot_pos, slot, 1, axis=0), -1),
+            jax.lax.dynamic_slice_in_dim(state.tgt_kv.slot_pos, slot, 1, axis=0),
+        )
+        sub_t = _take_row_kv(state.tgt_kv, slot)
+        sub_t = dataclasses.replace(sub_t, slot_pos=first_tags)
+        sub_d = _take_row_kv(state.dft_kv, slot)
+        d_tags = jnp.where(
+            start[None, :] == 0, jnp.full_like(sub_d.slot_pos, -1), sub_d.slot_pos
+        )
+        sub_d = dataclasses.replace(sub_d, slot_pos=d_tags)
 
-        def take_row(x):
+        def take1(x):
             return jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=0)
 
-        def put_row(full, row):
-            return jax.lax.dynamic_update_slice_in_dim(full, row, slot, axis=0)
-
         sub = SpecState(
-            tgt_kv=KVCache(
-                k=jnp.moveaxis(take_row(jnp.moveaxis(state.tgt_kv.k, 1, 0)), 0, 1),
-                v=jnp.moveaxis(take_row(jnp.moveaxis(state.tgt_kv.v, 1, 0)), 0, 1),
-                slot_pos=jnp.full_like(take_row(state.tgt_kv.slot_pos), -1),
-            ),
-            dft_kv=KVCache(
-                k=jnp.moveaxis(take_row(jnp.moveaxis(state.dft_kv.k, 1, 0)), 0, 1),
-                v=jnp.moveaxis(take_row(jnp.moveaxis(state.dft_kv.v, 1, 0)), 0, 1),
-                slot_pos=jnp.full_like(take_row(state.dft_kv.slot_pos), -1),
-            ),
-            last_token=take_row(state.last_token),
-            feature=take_row(state.feature),
-            n_past=take_row(state.n_past),
+            tgt_kv=sub_t, dft_kv=sub_d,
+            last_token=take1(state.last_token),
+            feature=take1(state.feature),
+            n_past=take1(state.n_past),
             key=state.key,
         )
-        saved_batch = eng.batch
-        eng.batch = 1
-        try:
-            new_sub = eng._prefill(tp, dp, sub, tokens[None, :], n_valid[None], t=t)
-        finally:
-            eng.batch = saved_batch
+        bs_row = jax.tree_util.tree_map(take1, bs)
+        new_sub = eng._prefill_chunk(
+            tp, dp, sub, tokens[None, :], start, n_valid, bs_row, ct=ct
+        )
+
+        def put1(f, r):
+            return jax.lax.dynamic_update_slice_in_dim(f, r, slot, axis=0)
+
         return dataclasses.replace(
             state,
-            tgt_kv=KVCache(
-                k=jnp.moveaxis(put_row(jnp.moveaxis(state.tgt_kv.k, 1, 0),
-                                       jnp.moveaxis(new_sub.tgt_kv.k, 1, 0)), 0, 1),
-                v=jnp.moveaxis(put_row(jnp.moveaxis(state.tgt_kv.v, 1, 0),
-                                       jnp.moveaxis(new_sub.tgt_kv.v, 1, 0)), 0, 1),
-                slot_pos=put_row(state.tgt_kv.slot_pos, new_sub.tgt_kv.slot_pos),
-            ),
-            dft_kv=KVCache(
-                k=jnp.moveaxis(put_row(jnp.moveaxis(state.dft_kv.k, 1, 0),
-                                       jnp.moveaxis(new_sub.dft_kv.k, 1, 0)), 0, 1),
-                v=jnp.moveaxis(put_row(jnp.moveaxis(state.dft_kv.v, 1, 0),
-                                       jnp.moveaxis(new_sub.dft_kv.v, 1, 0)), 0, 1),
-                slot_pos=put_row(state.dft_kv.slot_pos, new_sub.dft_kv.slot_pos),
-            ),
-            last_token=put_row(state.last_token, new_sub.last_token),
-            feature=put_row(state.feature, new_sub.feature),
-            n_past=put_row(state.n_past, new_sub.n_past),
+            tgt_kv=_put_row_kv(state.tgt_kv, new_sub.tgt_kv, slot),
+            dft_kv=_put_row_kv(state.dft_kv, new_sub.dft_kv, slot),
+            last_token=put1(state.last_token, new_sub.last_token),
+            feature=put1(state.feature, new_sub.feature),
+            n_past=put1(state.n_past, new_sub.n_past),
             key=new_sub.key,
         )
 
@@ -130,33 +154,46 @@ class ContinuousBatcher:
         request_id: str | None = None,
         on_token: Callable | None = None,
         stop_at_eos: bool = True,
+        sampler: SamplerConfig | None = None,
+        spec_k: int | None = None,
     ) -> Slot | None:
-        """Assign a request to a free slot (None if saturated) and prefill it."""
+        """Assign a request to a free slot (None if saturated) and queue its
+        prompt for chunked prefill. `sampler` configures the slot's row of the
+        engine's per-slot sampler params; `spec_k` caps accepted drafts/cycle
+        for this request (per-request speculative override)."""
         free = [s for s in self.slots if s.state == "free"]
         if not free:
             return None
         slot = free[0]
-        prompt = np.asarray(prompt_tokens, np.int32)
-        t = pad_bucket(len(prompt))
-        padded = np.zeros(t, np.int32)
-        padded[: len(prompt)] = prompt
-        self.state = self._prefill_one_c(
-            self.engine.tp, self.engine.dp, self.state,
-            jnp.asarray(padded), jnp.asarray(len(prompt), np.int32),
-            jnp.asarray(slot.id, np.int32), t=t,
-        )
-        slot.state = "generating"
+        slot.state = "prefilling"
         slot.request_id = request_id
-        slot.prompt_len = len(prompt)
+        slot.prompt = np.asarray(prompt_tokens, np.int32)
+        slot.consumed = 0
+        slot.prompt_len = len(slot.prompt)
         slot.max_new = max_new_tokens
         slot.generated = []
         slot.on_token = on_token
         slot.stop_at_eos = stop_at_eos
-        first = int(np.asarray(self.state.last_token)[slot.id])
-        self._emit(slot, first)
-        self._active_mask[slot.id] = True
-        self._maybe_finish(slot)
+        if sampler is not None or spec_k is not None:
+            self.engine.bsampler = self.engine.bsampler.set_row(
+                slot.id, sampler or SamplerConfig(greedy=True), spec_k=spec_k
+            )
+        self._prefill_queue.append(slot)
         return slot
+
+    def abort(self, request_id: str) -> bool:
+        """Release the slot serving `request_id` (mid-prefill or
+        mid-generation) — the slot-release path of server.cpp's cancel
+        handling; the KV row is reclaimed by the next request's prefill."""
+        for slot in self.slots:
+            if slot.request_id == request_id and slot.state != "free":
+                if slot in self._prefill_queue:
+                    self._prefill_queue.remove(slot)
+                slot.state = "free"
+                slot.prompt = None
+                self._active_mask[slot.id] = False
+                return True
+        return False
 
     def _emit(self, slot: Slot, token: int):
         slot.generated.append(token)
@@ -172,11 +209,45 @@ class ContinuousBatcher:
     def n_active(self) -> int:
         return int(self._active_mask.sum())
 
+    @property
+    def n_pending(self) -> int:
+        return len(self._prefill_queue)
+
+    def _advance_prefill(self):
+        """Process ONE chunk of the head-of-queue prompt."""
+        slot = self._prefill_queue[0]
+        prompt = slot.prompt
+        ct = self.prefill_chunk
+        chunk = np.zeros(ct, np.int32)
+        n = min(ct, len(prompt) - slot.consumed)
+        chunk[:n] = prompt[slot.consumed : slot.consumed + n]
+        self.state = self._chunk_c(
+            self.engine.tp, self.engine.dp, self.state,
+            jnp.asarray(chunk),
+            jnp.asarray([slot.consumed], np.int32),
+            jnp.asarray([len(prompt)], np.int32),
+            self.engine.bsampler,
+            jnp.asarray(slot.id, np.int32), ct=ct,
+        )
+        slot.consumed += n
+        if slot.consumed >= len(prompt):
+            self._prefill_queue.pop(0)
+            slot.state = "generating"
+            first = int(np.asarray(self.state.last_token)[slot.id])
+            self._emit(slot, first)
+            self._active_mask[slot.id] = True
+            self._maybe_finish(slot)
+
     def step(self):
-        """One speculative cycle across all slots."""
+        """One scheduler tick: at most one prefill chunk, then one speculative
+        cycle across all generating slots."""
+        if self._prefill_queue:
+            self._advance_prefill()
         if self.n_active == 0:
             return
-        res = self.engine._cycle_jit(self.state)
+        res = self.engine._cycle_jit(
+            self.state, active=jnp.asarray(self._active_mask)
+        )
         self.state = res.state
         toks = np.asarray(res.tokens)
         n_out = np.asarray(res.n_out)
@@ -199,6 +270,6 @@ class ContinuousBatcher:
 
     def run_until_done(self, max_steps: int = 10_000):
         steps = 0
-        while self.n_active > 0 and steps < max_steps:
+        while (self.n_active > 0 or self._prefill_queue) and steps < max_steps:
             self.step()
             steps += 1

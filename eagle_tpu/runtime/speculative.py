@@ -37,7 +37,7 @@ from ..models.eagle import eagle_forward
 from ..models.llama import llama_forward
 from .generate import pad_bucket
 from .kvcache import KVCache, causal_mask_from_tags
-from .sampling import SamplerConfig, sample
+from .sampling import BatchedSamplerParams, SamplerConfig, sample, sample_batched
 
 
 @jax.tree_util.register_dataclass
@@ -91,6 +91,11 @@ class EagleChainEngine:
         self.eos_id = eos_id
         self.kv_dtype = kv_dtype
 
+        #: per-slot sampler parameters (server.cpp:272-278 equivalent); rows
+        #: default to the engine-wide SamplerConfig. The batcher overwrites
+        #: rows per request via BatchedSamplerParams.set_row.
+        self.bsampler = BatchedSamplerParams.create(batch, self.scfg, n_draft=n_draft)
+
         # params are threaded as jit arguments (NOT captured in the closure:
         # closure-captured arrays become XLA constants, which bloats compiles
         # catastrophically for GB-scale weights)
@@ -99,7 +104,11 @@ class EagleChainEngine:
         self._prefill_jit = lambda state, tokens, n_valid, t: self._prefill_c(
             self.tp, self.dp, state, tokens, n_valid, t=t
         )
-        self._cycle_jit = lambda state: self._cycle_c(self.tp, self.dp, state)
+        self._cycle_jit = lambda state, bs=None, active=None: self._cycle_c(
+            self.tp, self.dp, state,
+            bs if bs is not None else self.bsampler,
+            active if active is not None else jnp.ones((self.batch,), bool),
+        )
 
     # ------------------------------------------------------------------
 
@@ -122,7 +131,7 @@ class EagleChainEngine:
             key=jax.random.PRNGKey(0),
         )
 
-    def _prefill(self, tp, dp, state: SpecState, tokens, n_valid, t: int):
+    def _prefill(self, tp, dp, state: SpecState, tokens, n_valid, t: int, bs=None):
         """Target prefill over the padded prompt + draft prefill over the
         shifted (token, feature) pairs. Samples the first output token."""
         b = tokens.shape[0]
@@ -152,7 +161,10 @@ class EagleChainEngine:
         b_idx = jnp.arange(b)
         last = n_valid - 1
         key, sub = jax.random.split(state.key)
-        first_tok = sample(tout.logits[b_idx, last], sub, self.scfg)
+        if bs is not None:
+            first_tok = sample_batched(tout.logits[b_idx, last], sub, bs)
+        else:
+            first_tok = sample(tout.logits[b_idx, last], sub, self.scfg)
         return dataclasses.replace(
             state,
             tgt_kv=tout.kv,
@@ -163,9 +175,63 @@ class EagleChainEngine:
             key=key,
         )
 
+    def _prefill_chunk(self, tp, dp, state: SpecState, tokens, start, n_valid, bs,
+                       ct: int):
+        """One prompt CHUNK [B, ct] at absolute positions start..start+ct: the
+        unit of chunked prefill, so the batcher can interleave long-prompt
+        admission with decode steps instead of stalling every generating slot
+        for a whole prompt (the reference interleaves in update_slots,
+        server.cpp:2764).
+
+        Draft pairs are shifted one back: pair (x_i, f_{i-1}) sits at draft
+        position i-1; the chunk-boundary feature comes from state.feature.
+        On the final chunk the first output token is sampled per-slot."""
+        b = tokens.shape[0]
+        b_idx = jnp.arange(b)
+        positions = start[:, None] + jnp.arange(ct, dtype=jnp.int32)[None, :]
+        valid = positions < n_valid[:, None]
+
+        tgt_kv = state.tgt_kv.with_tags(positions, positions, valid=valid)
+        mask = causal_mask_from_tags(tgt_kv.slot_pos, positions)
+        tout = llama_forward(
+            tp, self.tcfg, tokens, positions, tgt_kv, positions, mask,
+            backend=self.backend, compute_dtype=self.compute_dtype,
+        )
+        feats = self._pick_feature(tout.hidden, tout.hidden_pre)
+
+        # draft pair for token x_i uses f_{i-1}: boundary feature for i=start
+        d_feats = jnp.concatenate([state.feature[:, None], feats[:, :-1]], axis=1)
+        d_pos = positions - 1
+        d_valid = (d_pos >= 0) & (d_pos < (n_valid[:, None] - 1))
+        dft_kv = state.dft_kv.with_tags(d_pos, d_pos, valid=d_valid)
+        d_mask = causal_mask_from_tags(dft_kv.slot_pos, d_pos)
+        dout = eagle_forward(
+            dp, tp, self.dcfg, tokens, d_feats, d_pos, dft_kv, d_pos, d_mask,
+            backend=self.backend, compute_dtype=self.compute_dtype,
+            return_logits=False,
+        )
+
+        done = jnp.minimum(n_valid, start + ct)  # tokens processed so far
+        is_final = done >= n_valid
+        last_idx = jnp.clip(done - start - 1, 0, ct - 1)
+        key, sub = jax.random.split(state.key)
+        tok = sample_batched(tout.logits[b_idx, last_idx], sub, bs)
+        new_last = jnp.where(is_final, tok, state.last_token)
+        new_feature = feats[b_idx, last_idx]
+        return dataclasses.replace(
+            state,
+            tgt_kv=tout.kv,
+            dft_kv=dout.kv,
+            last_token=new_last,
+            feature=new_feature,
+            n_past=done,
+            key=key,
+        )
+
     # ------------------------------------------------------------------
 
-    def _cycle(self, tp, dp, state: SpecState) -> CycleOutput:
+    def _cycle(self, tp, dp, state: SpecState, bs: BatchedSamplerParams,
+               active: jax.Array) -> CycleOutput:
         b, K = self.batch, self.K
         b_idx = jnp.arange(b)
         m = state.n_past  # [B]
@@ -200,16 +266,16 @@ class EagleChainEngine:
         )
 
         # ---- 3. accept longest exact-match prefix ----
+        # per-slot sampler params (greedy rows reduce to argmax exactly)
         key, sub = jax.random.split(state.key)
-        if self.scfg.greedy:
-            t_true = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)  # [B, K+1]
-        else:
-            keys = jax.random.split(sub, K + 1)
-            t_true = jax.vmap(
-                lambda l, k: sample(l, k, self.scfg), in_axes=(1, 0), out_axes=1
-            )(tout.logits, keys)
+        keys = jax.random.split(sub, K + 1)
+        t_true = jax.vmap(
+            lambda l, k: sample_batched(l, k, bs), in_axes=(1, 0), out_axes=1
+        )(tout.logits, keys)
         match = drafts == t_true[:, :K]  # [B, K]
         n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
+        # per-slot speculative override (server request's speculative.n_max)
+        n_acc = jnp.minimum(n_acc, bs.spec_k)
 
         new_m = m + n_acc + 1
         feats = self._pick_feature(tout.hidden, tout.hidden_pre)
@@ -219,9 +285,23 @@ class EagleChainEngine:
         tgt_kv = tout.kv.rollback(keep_below=new_m)
         dft_kv = dft_kv.rollback(keep_below=new_m - 1)
 
+        # freeze INACTIVE rows (parked slots / slots mid-chunked-prefill): the
+        # cycle may scribble into their KV data slots, but their tags and
+        # scalar state must come through untouched so an in-progress prefill
+        # isn't corrupted by concurrent decode steps.
+        a = active
+        a2 = active[:, None]
         new_state = SpecState(
-            tgt_kv=tgt_kv, dft_kv=dft_kv, last_token=new_token,
-            feature=new_feature, n_past=new_m, key=key,
+            tgt_kv=dataclasses.replace(
+                tgt_kv, slot_pos=jnp.where(a2, tgt_kv.slot_pos, state.tgt_kv.slot_pos)
+            ),
+            dft_kv=dataclasses.replace(
+                dft_kv, slot_pos=jnp.where(a2, dft_kv.slot_pos, state.dft_kv.slot_pos)
+            ),
+            last_token=jnp.where(a, new_token, state.last_token),
+            feature=jnp.where(a2, new_feature, state.feature),
+            n_past=jnp.where(a, new_m, m),
+            key=key,
         )
         return CycleOutput(
             state=new_state, tokens=t_true, n_out=n_acc + 1, n_accepted=n_acc

@@ -25,8 +25,8 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=11008)
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--group", type=int, default=32)
-    ap.add_argument("--small", type=int, default=4)
-    ap.add_argument("--big", type=int, default=16)
+    ap.add_argument("--small", type=int, default=64)
+    ap.add_argument("--big", type=int, default=512)
     ap.add_argument("--variants", default="packed,int8,int4,dense,split4")
     args = ap.parse_args(argv)
 
@@ -72,14 +72,16 @@ def main(argv=None):
     x0 = jnp.asarray(rng.standard_normal((B, K)) * 0.1, jnp.float32)
 
     def chain(matmul_fn, n_steps):
-        def step(x, _):
-            out = matmul_fn(x)
-            # fold output back into x: depends on every output element, bounded
-            x = x + jnp.tanh(jnp.sum(out, axis=-1, keepdims=True)) * 1e-3
-            return x, None
-
+        # weights are jit ARGUMENTS (closure capture would bake GB-scale
+        # constants into the program and force host transfers)
         def run(x, *weights):
-            x, _ = jax.lax.scan(lambda c, s: step(c, s), x, None, length=n_steps)
+            def step(x, _):
+                out = matmul_fn(x, *weights)
+                # fold output back: depends on every output element, bounded
+                x = x + jnp.tanh(jnp.sum(out, axis=-1, keepdims=True)) * 1e-3
+                return x, None
+
+            x, _ = jax.lax.scan(step, x, None, length=n_steps)
             return jnp.sum(x)
 
         return run
@@ -89,8 +91,7 @@ def main(argv=None):
         for n_steps in (args.small, args.big):
             fns[n_steps] = jax.jit(chain(matmul_fn, n_steps))
         times = {args.small: [], args.big: []}
-        # compile both first
-        for n_steps, f in fns.items():
+        for n_steps, f in fns.items():  # compile both first
             np.asarray(f(x0, *weights))
         for _ in range(3):
             for n_steps, f in fns.items():
@@ -99,7 +100,7 @@ def main(argv=None):
                 times[n_steps].append(time.time() - t0)
         per = (min(times[args.big]) - min(times[args.small])) / (args.big - args.small)
         gbs = bytes_per_call / per / 1e9
-        print(f"{name:>10}: {per*1e6:8.1f} us/call  {gbs:7.1f} GB/s effective")
+        print(f"{name:>10}: {per*1e6:8.1f} us/call  {gbs:7.1f} GB/s effective", flush=True)
         return per
 
     sdt = 2  # bf16 scales+bias

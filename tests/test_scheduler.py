@@ -94,3 +94,80 @@ def test_saturation_returns_none(setup, rng):
     p = rng.integers(0, 128, size=4).tolist()
     assert batcher.submit(p, max_new_tokens=20, stop_at_eos=False) is not None
     assert batcher.submit(p, max_new_tokens=20, stop_at_eos=False) is None
+
+
+def test_chunked_prefill_interleaves_decode(setup, rng):
+    """A long prompt is admitted in chunks while the other slot keeps
+    emitting tokens at every step (VERDICT #4: no whole-prompt stall)."""
+    p_short = rng.integers(0, 128, size=4).tolist()
+    p_long = rng.integers(0, 128, size=100).tolist()
+    want_short = single_ref(setup, p_short, 20)
+    want_long = single_ref(setup, p_long, 6)
+
+    batcher = ContinuousBatcher(make_engine(setup, batch=2), prefill_chunk=16)
+    s1 = batcher.submit(p_short, max_new_tokens=20, stop_at_eos=False)
+    batcher.step()  # short prompt fully admitted (4 < 16)
+    assert s1.state == "generating"
+    progress = []
+    s2 = batcher.submit(p_long, max_new_tokens=6, stop_at_eos=False)
+    for _ in range(7):  # 100/16 -> 7 chunks
+        n_before = len(s1.generated)
+        batcher.step()
+        progress.append(len(s1.generated) - n_before)
+    # decode progressed during the long admission (interleaving, not stalling)
+    assert sum(progress[:6]) > 0
+    batcher.run_until_done(max_steps=100)
+    assert s1.generated[:20] == want_short
+    assert s2.generated[:6] == want_long
+
+
+def test_per_slot_sampler_configs(setup, rng):
+    """Greedy and high-temperature requests in the SAME batch: the greedy
+    slot must match single-sequence greedy output exactly, proving row-wise
+    sampler params take effect in the batched path (server.cpp:272-278)."""
+    from eagle_tpu.runtime.sampling import SamplerConfig
+
+    p1 = rng.integers(0, 128, size=6).tolist()
+    p2 = rng.integers(0, 128, size=6).tolist()
+    want1 = single_ref(setup, p1, 10)
+
+    batcher = ContinuousBatcher(make_engine(setup, batch=2))
+    s1 = batcher.submit(p1, max_new_tokens=10, stop_at_eos=False,
+                        sampler=SamplerConfig(greedy=True))
+    s2 = batcher.submit(p2, max_new_tokens=10, stop_at_eos=False,
+                        sampler=SamplerConfig(greedy=False, temperature=5.0,
+                                              top_k=0, top_p=1.0, min_p=0.0))
+    batcher.run_until_done(max_steps=100)
+    assert s1.generated[:10] == want1
+    assert len(s2.generated) == 10
+
+
+def test_abort_releases_slot(setup, rng):
+    batcher = ContinuousBatcher(make_engine(setup, batch=1))
+    p = rng.integers(0, 128, size=6).tolist()
+    s = batcher.submit(p, max_new_tokens=1000, stop_at_eos=False,
+                       request_id="r1")
+    for _ in range(3):
+        batcher.step()
+    assert s.state == "generating"
+    assert batcher.abort("r1")
+    assert s.state == "free" and batcher.n_active == 0
+    # slot is reusable afterwards
+    want = single_ref(setup, p, 5)
+    s2 = batcher.submit(p, max_new_tokens=5, stop_at_eos=False)
+    batcher.run_until_done(max_steps=60)
+    assert s2.generated[:5] == want
+
+
+def test_spec_k_override_caps_acceptance(setup, rng):
+    """Per-request speculative cap: with spec_k=0, every cycle emits exactly
+    one token (pure verification, no accepted drafts)."""
+    p = rng.integers(0, 128, size=5).tolist()
+    want = single_ref(setup, p, 8)
+    batcher = ContinuousBatcher(make_engine(setup, batch=1))
+    s = batcher.submit(p, max_new_tokens=8, stop_at_eos=False, spec_k=0)
+    batcher.step()  # prefill + first cycle
+    n_after_first_cycle = len(s.generated)
+    assert n_after_first_cycle <= 3  # first token + one cycle of <= 1+1
+    batcher.run_until_done(max_steps=100)
+    assert s.generated[:8] == want
