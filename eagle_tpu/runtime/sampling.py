@@ -23,29 +23,45 @@ _NEG_INF = -1e30
 @dataclasses.dataclass(frozen=True)
 class SamplerState:
     """Per-sequence mutable sampler state threaded through decode loops:
-    token occurrence counts (penalties window ~ whole context) and the
-    mirostat-v2 surprise target mu."""
+    token occurrence counts (penalties window ~ whole context), the
+    mirostat surprise target mu, and a recent-token ring for the DRY
+    sampler's suffix matching."""
 
     counts: jax.Array  # [B, V] f32
     mu: jax.Array  # [B] f32
+    recent: jax.Array  # [B, W] i32, last W tokens (left-padded with -1)
 
     @staticmethod
-    def create(batch: int, vocab: int, tau: float = 5.0):
+    def create(batch: int, vocab: int, tau: float = 5.0, window: int = 64):
         return SamplerState(
             counts=jnp.zeros((batch, vocab), jnp.float32),
             mu=jnp.full((batch,), 2.0 * tau, jnp.float32),
+            recent=jnp.full((batch, window), -1, jnp.int32),
         )
 
     def observe(self, tokens: jax.Array) -> "SamplerState":
         b = tokens.shape[0]
         return dataclasses.replace(
-            self, counts=self.counts.at[jnp.arange(b), tokens].add(1.0)
+            self,
+            counts=self.counts.at[jnp.arange(b), tokens].add(1.0),
+            recent=jnp.concatenate(
+                [self.recent[:, 1:], tokens[:, None].astype(jnp.int32)], axis=1
+            ),
         )
 
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
     temperature: float = 0.8
+    # DRY repetition penalty (llama_sampler_dry, src/llama-sampling.cpp:1773;
+    # penalty = multiplier * base^(repeat_len - allowed_length) for tokens
+    # that would extend a repeated sequence). 0 multiplier = disabled.
+    dry_multiplier: float = 0.0
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
+    #: token ids that break sequence matching (the reference processes
+    #: breaker *strings* into token sequences; here breakers are token ids)
+    dry_sequence_breakers: tuple = ()
     top_k: int = 40  # <= 0: disabled
     top_p: float = 0.95  # >= 1: disabled
     min_p: float = 0.05  # <= 0: disabled
@@ -59,6 +75,8 @@ class SamplerConfig:
     #: tuple of (token_id, bias) pairs, applied first (llama_sampler_logit_bias)
     logit_bias: tuple = ()
     # mirostat v2 (llama_sampler_mirostat_v2): 0 = off
+    # mirostat v1 uses the top-m surprise regression (llama_sampler_mirostat);
+    # v2 is the simplified truncation variant
     mirostat: int = 0
     mirostat_tau: float = 5.0
     mirostat_eta: float = 0.1
@@ -66,7 +84,7 @@ class SamplerConfig:
 
     @property
     def stateful(self) -> bool:
-        return self.needs_penalties or self.mirostat == 2
+        return self.needs_penalties or self.mirostat in (1, 2) or self.dry_multiplier > 0
 
     @property
     def needs_penalties(self) -> bool:
@@ -320,6 +338,84 @@ def sample_batched(
     return jnp.where(greedy, greedy_tok, samp_tok).astype(jnp.int32)
 
 
+def dry_penalty(logits: jax.Array, recent: jax.Array, cfg: SamplerConfig) -> jax.Array:
+    """DRY ("don't repeat yourself") repetition penalty
+    (llama_sampler_dry, src/llama-sampling.cpp:1773, orig. Koboldcpp PR#982).
+
+    For every candidate token z: find the longest suffix of the recent-token
+    window that also occurs earlier in the window immediately followed by z;
+    if that match length exceeds `dry_allowed_length`, subtract
+    multiplier * base^(len - allowed). Fully vectorized: match run-lengths
+    are computed for all window positions at once (O(W^2) elementwise work,
+    trivially parallel on the VPU — no Z-algorithm needed).
+
+    logits [V]; recent [W] (left-padded with -1)."""
+    w = recent.shape[0]
+    v = logits.shape[-1]
+    # breaker tokens must never match (reference: matching resets at breakers)
+    brk = jnp.zeros((w,), bool)
+    for b in cfg.dry_sequence_breakers:
+        brk = brk | (recent == b)
+    left = jnp.where(brk, -2, recent)  # -2 vs -3: breakers compare unequal
+    right = jnp.where(brk, -3, recent)
+    valid = recent >= 0
+
+    # l[i] = run length of left[i-1-j] == right[w-1-j] over j = 0..;
+    # i.e. how long the window suffix matches the text ending at position i
+    i_idx = jnp.arange(w)[:, None]  # candidate positions i
+    j_idx = jnp.arange(w)[None, :]  # depth into the suffix
+    li = i_idx - 1 - j_idx
+    ri = w - 1 - j_idx
+    ok = (li >= 0) & (li < ri)  # proper earlier occurrence, in-window
+    eq = jnp.where(
+        ok,
+        (left[jnp.clip(li, 0)] == right[ri]) & valid[jnp.clip(li, 0)] & valid[ri],
+        False,
+    )
+    run = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)  # [W] l(i)
+
+    # candidate z = recent[i] extends the match of length run[i]
+    cand = jnp.where((run > 0) & valid & ~brk, recent, v)  # v = out-of-range
+    pen_len = jnp.zeros((v + 1,), jnp.int32).at[cand].max(run)[:v]
+    fire = pen_len >= cfg.dry_allowed_length
+    pen = cfg.dry_multiplier * jnp.power(
+        cfg.dry_base, (pen_len - cfg.dry_allowed_length).astype(jnp.float32)
+    )
+    return jnp.where(fire, logits - pen, logits)
+
+
+def _mirostat_v1(logits: jax.Array, key: jax.Array, cfg: SamplerConfig, mu: jax.Array,
+                 m: int = 100):
+    """llama_sampler_mirostat (v1): estimate the Zipf exponent s_hat from the
+    top-m probabilities, derive the truncation k from the surprise target mu,
+    top-k sample, then adapt mu."""
+    b, v = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_p, _ = jax.lax.top_k(probs, m)  # [B, m]
+    # s_hat = sum(t_i * b_i) / sum(b_i^2), t_i = ln((i+2)/(i+1)),
+    # b_i = ln(p_i / p_{i+1})  (llama-sampling.cpp mirostat s_hat regression)
+    idx = jnp.arange(m - 1, dtype=jnp.float32)
+    t_i = jnp.log((idx + 2.0) / (idx + 1.0))
+    ratio = top_p[:, :-1] / jnp.maximum(top_p[:, 1:], 1e-10)
+    b_i = jnp.log(jnp.maximum(ratio, 1e-10))
+    s_hat = jnp.sum(t_i * b_i, axis=-1) / jnp.maximum(jnp.sum(b_i * b_i, axis=-1), 1e-10)
+    eps = s_hat - 1.0
+    k = jnp.power(
+        (eps * jnp.power(2.0, mu)) / (1.0 - jnp.power(jnp.float32(v), -eps)),
+        1.0 / jnp.maximum(s_hat, 1e-6),
+    )
+    k = jnp.clip(k, 1, v).astype(jnp.int32)  # [B]
+    # per-row k truncation: keep logits >= k-th largest
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    kth = jnp.take_along_axis(sorted_desc, jnp.clip(k - 1, 0, v - 1)[:, None], axis=-1)
+    l = jnp.where(logits < kth, _NEG_INF, logits) / jnp.maximum(cfg.temperature, 1e-6)
+    tok = jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    obs = -logp[jnp.arange(b), tok] / jnp.log(2.0)
+    mu_new = mu - cfg.mirostat_eta * (obs - cfg.mirostat_tau)
+    return tok, mu_new
+
+
 def _mirostat_v2(logits: jax.Array, key: jax.Array, cfg: SamplerConfig, mu: jax.Array):
     """llama_sampler_mirostat_v2: truncate tokens whose surprise (-log2 p)
     exceeds mu, sample, then adapt mu toward the target entropy tau."""
@@ -345,12 +441,15 @@ def sample_stateful(
     """Stateful chain step: penalties from state.counts, mirostat-v2 mu
     adaptation, and count updates for the drawn token."""
     key, tkey, mkey = jax.random.split(key, 3)
-    if cfg.mirostat == 2:
-        l = logits.astype(jnp.float32)
-        l = apply_logit_bias(l, cfg.logit_bias)
+    logits = logits.astype(jnp.float32)
+    if cfg.dry_multiplier > 0:
+        logits = jax.vmap(lambda lg, r: dry_penalty(lg, r, cfg))(logits, state.recent)
+    if cfg.mirostat in (1, 2):
+        l = apply_logit_bias(logits, cfg.logit_bias)
         if cfg.needs_penalties:
             l = jax.vmap(lambda lg, c: apply_penalties(lg, c, cfg))(l, state.counts)
-        tok, mu = _mirostat_v2(l, mkey, cfg, state.mu)
+        mfn = _mirostat_v1 if cfg.mirostat == 1 else _mirostat_v2
+        tok, mu = mfn(l, mkey, cfg, state.mu)
         state = dataclasses.replace(state, mu=mu)
     else:
         if cfg.needs_penalties:

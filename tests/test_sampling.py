@@ -172,3 +172,82 @@ def test_generator_with_penalties_runs():
     scfg = SamplerConfig(greedy=True, penalty_repeat=1.5)
     out = gen.generate([1, 2, 3], max_new_tokens=8, sampler=scfg, stop_at_eos=False)
     assert len(out) == 8
+
+
+def test_dry_penalizes_repetition_extension():
+    """Window '...A B C x A B' -> candidate C extends the 2-long repeated
+    sequence 'A B' and must be penalized; unrelated tokens untouched."""
+    from eagle_tpu.runtime.sampling import dry_penalty
+
+    A, B, C, X = 3, 4, 5, 9
+    recent = jnp.asarray([-1, -1, A, B, C, X, A, B], jnp.int32)
+    logits = jnp.zeros((16,), jnp.float32)
+    cfg = SamplerConfig(dry_multiplier=2.0, dry_base=1.75, dry_allowed_length=2)
+    out = np.asarray(dry_penalty(logits, recent, cfg))
+    assert out[C] < 0  # extends "A B" match of length 2 -> penalty 2*1.75^0
+    np.testing.assert_allclose(out[C], -2.0, rtol=1e-5)
+    assert out[X] == 0 and out[7] == 0
+
+
+def test_dry_longer_matches_penalized_harder():
+    from eagle_tpu.runtime.sampling import dry_penalty
+
+    A, B, C, D = 1, 2, 3, 4
+    recent = jnp.asarray([A, B, C, D, 9, A, B, C], jnp.int32)
+    logits = jnp.zeros((16,), jnp.float32)
+    cfg = SamplerConfig(dry_multiplier=1.0, dry_base=2.0, dry_allowed_length=2)
+    out = np.asarray(dry_penalty(logits, recent, cfg))
+    # D extends "A B C" (len 3): penalty = 1.0 * 2^(3-2) = 2
+    np.testing.assert_allclose(out[D], -2.0, rtol=1e-5)
+
+
+def test_dry_sequence_breakers_reset_matching():
+    from eagle_tpu.runtime.sampling import dry_penalty
+
+    A, B, C, BRK = 1, 2, 3, 7
+    recent = jnp.asarray([A, B, C, 9, A, BRK, A, B], jnp.int32)
+    logits = jnp.zeros((16,), jnp.float32)
+    cfg = SamplerConfig(dry_multiplier=1.0, dry_base=2.0, dry_allowed_length=2,
+                        dry_sequence_breakers=(BRK,))
+    out = np.asarray(dry_penalty(logits, recent, cfg))
+    # "A B" matches at position 0-1 -> C penalized (len 2, allowed 2 -> -1.0)
+    np.testing.assert_allclose(out[C], -1.0, rtol=1e-5)
+    # but nothing may match THROUGH the breaker: drop the early occurrence and
+    # the breaker-adjacent context must yield no penalty
+    recent2 = jnp.asarray([-1, -1, -1, 9, A, BRK, A, B], jnp.int32)
+    out2 = np.asarray(dry_penalty(logits, recent2, cfg))
+    assert (out2 == 0).all()
+
+
+def test_dry_in_stateful_chain_reduces_loops():
+    from eagle_tpu.runtime.sampling import SamplerState, sample_stateful
+
+    cfg = SamplerConfig(greedy=True, dry_multiplier=10.0, dry_base=2.0,
+                        dry_allowed_length=1)
+    state = SamplerState.create(1, 8, window=16)
+    # logits that always prefer token 2 -> greedy would loop "2 2 2 ..."
+    logits = jnp.zeros((1, 8), jnp.float32).at[0, 2].set(5.0).at[0, 3].set(4.0)
+    toks = []
+    key = jax.random.PRNGKey(0)
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        tok, state = sample_stateful(logits, sub, cfg, state)
+        toks.append(int(tok[0]))
+    assert 3 in toks  # DRY broke the 2-loop
+
+
+def test_mirostat_v1_adapts_and_samples():
+    from eagle_tpu.runtime.sampling import SamplerState, sample_stateful
+
+    rngk = jax.random.PRNGKey(0)
+    cfg = SamplerConfig(mirostat=1, mirostat_tau=4.0, temperature=1.0)
+    state = SamplerState.create(2, 128)
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((2, 128)) * 3,
+                         jnp.float32)
+    mus = []
+    for i in range(8):
+        rngk, sub = jax.random.split(rngk)
+        tok, state = sample_stateful(logits, sub, cfg, state)
+        mus.append(float(state.mu[0]))
+        assert 0 <= int(tok[0]) < 128
+    assert mus[0] != mus[-1]
