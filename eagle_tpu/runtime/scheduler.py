@@ -268,6 +268,58 @@ class ContinuousBatcher:
                 slot.state = "free"
                 self._active_mask[slot.id] = False
 
+    # -- per-slot state save/restore (server.cpp:3690,3760; the reference's
+    # -- tests/unit/test_slot_save.py scenario) ---------------------------
+
+    def save_slot(self, slot_id: int, path) -> dict:
+        """Persist one slot's full sequence state (KV row + counters) plus its
+        host-side progress; returns the saved metadata."""
+        from .state_io import save_seq_state
+
+        slot = self.slots[slot_id]
+        extra = {
+            "generated": list(slot.generated),
+            "prompt_len": slot.prompt_len,
+            "max_new": slot.max_new,
+            "stop_at_eos": slot.stop_at_eos,
+        }
+        save_seq_state(self.state, slot_id, path, extra=extra)
+        return extra
+
+    def restore_slot(self, path, slot_id: int | None = None):
+        """Load a saved sequence state into a free slot (paused — call
+        resume_slot to continue generating). Returns the Slot."""
+        from .state_io import load_seq_state
+
+        if slot_id is None:
+            free = [s for s in self.slots if s.state == "free"]
+            if not free:
+                return None
+            slot_id = free[0].id
+        self.state, extra = load_seq_state(self.state, slot_id, path)
+        slot = self.slots[slot_id]
+        slot.state = "restored"
+        slot.generated = list(extra.get("generated", []))
+        slot.prompt_len = int(extra.get("prompt_len", 0))
+        slot.max_new = int(extra.get("max_new", 0))
+        slot.stop_at_eos = bool(extra.get("stop_at_eos", True))
+        return slot
+
+    def resume_slot(self, slot_id: int, max_new_tokens: int | None = None,
+                    on_token: Callable | None = None,
+                    sampler: SamplerConfig | None = None):
+        """Continue generation on a restored slot (prompt-cache resume)."""
+        slot = self.slots[slot_id]
+        assert slot.state == "restored", slot.state
+        if max_new_tokens is not None:
+            slot.max_new = max_new_tokens
+        slot.on_token = on_token
+        if sampler is not None:
+            self.engine.bsampler = self.engine.bsampler.set_row(slot_id, sampler)
+        slot.state = "generating"
+        self._active_mask[slot_id] = True
+        return slot
+
     def run_until_done(self, max_steps: int = 10_000):
         steps = 0
         while (self.n_active > 0 or self._prefill_queue) and steps < max_steps:

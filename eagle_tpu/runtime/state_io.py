@@ -40,6 +40,67 @@ def save_state(state, path: str | Path, extra: dict | None = None):
     Path(path).write_bytes(buf.getvalue())
 
 
+def extract_seq_state(state: SpecState, slot: int) -> SpecState:
+    """B=1 view of one sequence's full state (KV rows, counters, feature) —
+    the llama_state_seq_get_data equivalent (src/llama-context.cpp:2075+)."""
+    def kv_row(kv: KVCache) -> KVCache:
+        return KVCache(
+            k=kv.k[:, slot : slot + 1],
+            v=kv.v[:, slot : slot + 1],
+            slot_pos=kv.slot_pos[slot : slot + 1],
+            k_scale=None if kv.k_scale is None else kv.k_scale[:, slot : slot + 1],
+            v_scale=None if kv.v_scale is None else kv.v_scale[:, slot : slot + 1],
+        )
+
+    return SpecState(
+        tgt_kv=kv_row(state.tgt_kv),
+        dft_kv=kv_row(state.dft_kv),
+        last_token=state.last_token[slot : slot + 1],
+        feature=state.feature[slot : slot + 1],
+        n_past=state.n_past[slot : slot + 1],
+        key=state.key,
+    )
+
+
+def insert_seq_state(state: SpecState, sub: SpecState, slot: int) -> SpecState:
+    """Write a B=1 sequence state into batch row `slot`
+    (llama_state_seq_set_data): restores a saved prompt cache into any slot
+    of any same-shaped engine."""
+    def kv_put(full: KVCache, row: KVCache) -> KVCache:
+        return KVCache(
+            k=full.k.at[:, slot].set(row.k[:, 0]),
+            v=full.v.at[:, slot].set(row.v[:, 0]),
+            slot_pos=full.slot_pos.at[slot].set(row.slot_pos[0]),
+            k_scale=None if full.k_scale is None
+            else full.k_scale.at[:, slot].set(row.k_scale[:, 0]),
+            v_scale=None if full.v_scale is None
+            else full.v_scale.at[:, slot].set(row.v_scale[:, 0]),
+        )
+
+    return SpecState(
+        tgt_kv=kv_put(state.tgt_kv, sub.tgt_kv),
+        dft_kv=kv_put(state.dft_kv, sub.dft_kv),
+        last_token=state.last_token.at[slot].set(sub.last_token[0]),
+        feature=state.feature.at[slot].set(sub.feature[0]),
+        n_past=state.n_past.at[slot].set(sub.n_past[0]),
+        key=state.key,
+    )
+
+
+def save_seq_state(state: SpecState, slot: int, path: str | Path,
+                   extra: dict | None = None):
+    """Per-sequence save (llama_state_seq_save_file, server slot save
+    server.cpp:3690)."""
+    save_state(extract_seq_state(state, slot), path, extra=extra)
+
+
+def load_seq_state(state: SpecState, slot: int, path: str | Path):
+    """Per-sequence restore into `slot` (llama_state_seq_load_file, server
+    slot restore server.cpp:3760). Returns (new_state, extra_meta)."""
+    sub, extra = load_state(extract_seq_state(state, slot), path)
+    return insert_seq_state(state, sub, slot), extra
+
+
 def load_state(template, path: str | Path):
     """Restore a state saved by save_state; `template` supplies the pytree
     structure (e.g. engine.fresh_state()). Returns (state, extra_meta)."""

@@ -34,6 +34,7 @@ class BatcherWorker(threading.Thread):
         self.batcher = batcher
         self.requests: queue.Queue[BatchRequest] = queue.Queue()
         self._aborts: queue.Queue[str] = queue.Queue()
+        self._ops: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._wake = threading.Event()
 
@@ -45,6 +46,17 @@ class BatcherWorker(threading.Thread):
         """Request cancellation (slot release / abort_callback semantics)."""
         self._aborts.put(request_id)
         self._wake.set()
+
+    def call(self, fn):
+        """Run `fn(batcher)` on the worker thread between steps (slot
+        save/restore and other stateful ops must not race the step loop);
+        returns a concurrent future."""
+        import concurrent.futures
+
+        fut: concurrent.futures.Future = concurrent.futures.Future()
+        self._ops.put((fut, fn))
+        self._wake.set()
+        return fut
 
     def shutdown(self):
         self._stop.set()
@@ -97,6 +109,17 @@ class BatcherWorker(threading.Thread):
                         self.batcher.slots[sid].state = "free"
                         self.batcher._active_mask[sid] = False
                     live.pop(sid).on_done(self.batcher.slots[sid].generated)
+
+            # serialized stateful ops (slot save/restore)
+            while True:
+                try:
+                    fut, fn = self._ops.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    fut.set_result(fn(self.batcher))
+                except Exception as e:  # surface to the caller
+                    fut.set_exception(e)
 
             if self.batcher.n_active > 0 or self.batcher.n_pending > 0:
                 self.batcher.step()

@@ -354,6 +354,60 @@ class InferenceServer:
             }
         )
 
+    async def handle_slots(self, request):
+        """GET /slots — slot states (server.cpp /slots endpoint)."""
+        if self.batch_worker is None:
+            return web.json_response([], status=200)
+
+        def snap(b):
+            return [
+                {
+                    "id": s.id, "state": s.state, "request_id": s.request_id,
+                    "n_generated": len(s.generated), "prompt_len": s.prompt_len,
+                }
+                for s in b.slots
+            ]
+
+        data = await asyncio.get_event_loop().run_in_executor(
+            None, self.batch_worker.call(snap).result
+        )
+        return web.json_response(data)
+
+    async def handle_slot_action(self, request):
+        """POST /slots/{id}?action=save|restore|erase — per-slot state
+        save/restore (server.cpp:3690,3760; llama_state_seq_* underneath)."""
+        if self.batch_worker is None:
+            return web.json_response({"error": "no batcher"}, status=501)
+        slot_id = int(request.match_info["id"])
+        action = request.query.get("action", "")
+        body = await request.json() if request.can_read_body else {}
+        filename = body.get("filename", f"slot_{slot_id}.bin")
+
+        if action == "save":
+            fut = self.batch_worker.call(lambda b: b.save_slot(slot_id, filename))
+        elif action == "restore":
+            def restore(b):
+                s = b.restore_slot(filename, slot_id)
+                b.resume_slot(slot_id)
+                return {"id": s.id, "state": s.state, "n_generated": len(s.generated)}
+
+            fut = self.batch_worker.call(restore)
+        elif action == "erase":
+            def erase(b):
+                s = b.slots[slot_id]
+                if s.request_id:
+                    b.abort(s.request_id)
+                else:
+                    s.state = "free"
+                    b._active_mask[slot_id] = False
+                return {"id": slot_id, "state": "free"}
+
+            fut = self.batch_worker.call(erase)
+        else:
+            return web.json_response({"error": f"unknown action {action!r}"}, status=400)
+        res = await asyncio.get_event_loop().run_in_executor(None, fut.result)
+        return web.json_response({"id": slot_id, "result": res})
+
     # -- app ---------------------------------------------------------------
 
     def build_app(self):
@@ -368,6 +422,8 @@ class InferenceServer:
         app.router.add_post("/v1/chat/completions", self.handle_v1_chat)
         app.router.add_post("/v1/embeddings", self.handle_v1_embeddings)
         app.router.add_post("/embedding", self.handle_v1_embeddings)
+        app.router.add_get("/slots", self.handle_slots)
+        app.router.add_post("/slots/{id}", self.handle_slot_action)
 
         async def on_startup(app):
             self._worker_task = asyncio.create_task(self._worker())

@@ -51,23 +51,23 @@ def main(argv=None):
     scale = (rng.standard_normal((K // G, N)) * 0.01).astype(np.float32)
     bias = (rng.standard_normal((K // G, N)) * 0.001).astype(np.float32)
 
-    qt_int8 = QTensor(
-        q=jnp.asarray(q_codes), scale=jnp.asarray(scale, jnp.bfloat16),
-        bias=jnp.asarray(bias, jnp.bfloat16), group=G, layout="kn",
-    )
-    qt_packed = QTensor(
-        q=jnp.asarray(np.asarray(qt_int8.q)), scale=qt_int8.scale,
-        bias=qt_int8.bias, group=G, layout="kn",
-    ).pack_nibbles()
-    qt_packed = QTensor(
-        q=jnp.asarray(qt_packed.q), scale=qt_packed.scale, bias=qt_packed.bias,
-        group=G, layout="kn", packed=True,
-    )
+    # ALL packing in numpy first; upload each buffer exactly once (the relay
+    # moves ~20 MB/s and device->host downloads are worse — never round-trip)
+    scale_bf = jnp.asarray(scale.astype(np.float32), jnp.bfloat16)
+    bias_bf = jnp.asarray(bias.astype(np.float32), jnp.bfloat16)
+    qt_int8 = QTensor(q=jnp.asarray(q_codes), scale=scale_bf, bias=bias_bf,
+                      group=G, layout="kn")
+    half = G // 2
+    q_np = q_codes.astype(np.uint8).reshape(K // G, G, N)
+    packed_np = (q_np[:, :half] | (q_np[:, half:] << 4)).reshape(K // 2, N)
+    qt_packed = QTensor(q=jnp.asarray(packed_np.view(np.int8)), scale=scale_bf,
+                        bias=bias_bf, group=G, layout="kn", packed=True)
     # int4 dtype variant: hardware does the nibble unpack in the convert.
     # (convert to int4 on device — the relay's host int4 path recurses)
-    q_i4 = jax.jit(lambda a: (a - 8).astype(jnp.int4))(jnp.asarray(q_codes))
-    qt_i4 = QTensor(q=q_i4, scale=qt_int8.scale, bias=qt_int8.bias, group=G, layout="kn")
-    w_dense = jnp.asarray(rng.standard_normal((K, N)) * 0.01, jnp.bfloat16)
+    q_i4 = jax.jit(lambda a: (a - 8).astype(jnp.int4))(qt_int8.q)
+    qt_i4 = QTensor(q=q_i4, scale=scale_bf, bias=bias_bf, group=G, layout="kn")
+    w_dense = jnp.asarray((rng.standard_normal((K, N)) * 0.01).astype(np.float32),
+                          jnp.bfloat16)
 
     x0 = jnp.asarray(rng.standard_normal((B, K)) * 0.1, jnp.float32)
 
@@ -111,33 +111,38 @@ def main(argv=None):
     variants = args.variants.split(",")
     if "dense" in variants:
         bench("dense-bf16",
-              lambda x, w=w_dense: jax.lax.dot_general(
+              lambda x, w: jax.lax.dot_general(
                   x.astype(jnp.bfloat16), w,
                   dimension_numbers=(((1,), (0,)), ((), ())),
                   preferred_element_type=jnp.float32),
-              (), bytes_dense)
+              (w_dense,), bytes_dense)
     if "packed" in variants:
-        bench("q4-packed", lambda x: qmatmul_pallas_2d(x, qt_packed), (), bytes_q4)
+        bench("q4-packed", lambda x, w: qmatmul_pallas_2d(x, w), (qt_packed,), bytes_q4)
     if "int8" in variants:
-        bench("q4-int8", lambda x: qmatmul_pallas_2d(x, qt_int8), (), bytes_q8)
+        bench("q4-int8", lambda x, w: qmatmul_pallas_2d(x, w), (qt_int8,), bytes_q8)
     if "int4" in variants:
         from ..ops.pallas_qmm import qmatmul_pallas_2d_i4
 
-        bench("q4-int4dt", lambda x: qmatmul_pallas_2d_i4(x, qt_i4), (), bytes_q4)
+        bench("q4-int4dt", lambda x, w: qmatmul_pallas_2d_i4(x, w), (qt_i4,), bytes_q4)
     if "split4" in variants:
-        def split4(x):
-            outs = []
-            for i in range(4):
-                wq = QTensor(
-                    q=qt_packed.q[:, i * N // 4:(i + 1) * N // 4],
-                    scale=qt_packed.scale[:, i * N // 4:(i + 1) * N // 4],
-                    bias=qt_packed.bias[:, i * N // 4:(i + 1) * N // 4],
-                    group=G, layout="kn", packed=True,
-                )
-                outs.append(qmatmul_pallas_2d(x, wq))
-            return jnp.concatenate(outs, axis=-1)
-
-        bench("q4-split4", split4, (), bytes_q4)
+        # pre-slice ON DEVICE once; the 4 sub-tensors are separate jit args so
+        # each scan step launches 4 pallas calls over quarter-width weights
+        quarters = tuple(
+            QTensor(
+                q=jax.jit(lambda q, i=i: q[:, i * N // 4:(i + 1) * N // 4])(qt_packed.q),
+                scale=jax.jit(lambda s, i=i: s[:, i * N // 4:(i + 1) * N // 4])(qt_packed.scale),
+                bias=jax.jit(lambda b, i=i: b[:, i * N // 4:(i + 1) * N // 4])(qt_packed.bias),
+                group=G, layout="kn", packed=True,
+            )
+            for i in range(4)
+        )
+        bench(
+            "q4-split4",
+            lambda x, *ws: jnp.concatenate(
+                [qmatmul_pallas_2d(x, w) for w in ws], axis=-1
+            ),
+            quarters, bytes_q4,
+        )
     return 0
 
 

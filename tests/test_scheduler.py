@@ -171,3 +171,25 @@ def test_spec_k_override_caps_acceptance(setup, rng):
     assert n_after_first_cycle <= 3  # first token + one cycle of <= 1+1
     batcher.run_until_done(max_steps=100)
     assert s.generated[:8] == want
+
+
+def test_slot_save_restore_resume(setup, rng, tmp_path):
+    """The reference's test_slot_save.py scenario: save a slot mid-generation,
+    restore it into a FRESH batcher, resume — the continued stream must equal
+    uninterrupted generation (prompt-cache-across-restarts semantics)."""
+    p = rng.integers(0, 128, size=6).tolist()
+    want = single_ref(setup, p, 14)
+
+    b1 = ContinuousBatcher(make_engine(setup, batch=2))
+    s = b1.submit(p, max_new_tokens=6, stop_at_eos=False)
+    b1.run_until_done(max_steps=50)
+    got_first = list(s.generated)[:6]
+    assert got_first == want[:6]
+    b1.save_slot(s.id, tmp_path / "slot.bin")
+
+    b2 = ContinuousBatcher(make_engine(setup, batch=2))
+    s2 = b2.restore_slot(tmp_path / "slot.bin", slot_id=1)  # different slot
+    assert s2.state == "restored" and s2.generated[:6] == got_first
+    b2.resume_slot(1, max_new_tokens=14)
+    b2.run_until_done(max_steps=60)
+    assert s2.generated[:14] == want
