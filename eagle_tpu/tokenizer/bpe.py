@@ -28,14 +28,100 @@ def _bytes_to_unicode() -> dict[int, str]:
 _BYTE_ENC = _bytes_to_unicode()
 _BYTE_DEC = {v: k for k, v in _BYTE_ENC.items()}
 
-# pretokenizer regexes keyed by tokenizer.ggml.pre (subset of
-# llama.cpp's llama_vocab::tokenizer_pre handling)
-_PRE_PATTERNS = {
-    "gpt-2": r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
-    "llama3": r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""",
-    "qwen2": r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""",
+# pretokenizer regex LISTS keyed by tokenizer.ggml.pre. Regex strings are
+# format data mirrored from llama.cpp's tokenizer_pre dispatch
+# (src/llama-vocab.cpp:279-400) — they must match byte-for-byte for token
+# parity. Multiple regexes apply SEQUENTIALLY: each one further splits the
+# not-yet-matched spans (unicode_regex_split semantics).
+_GPT2 = r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+_LLAMA3 = r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"""
+_QWEN2 = r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+"""
+
+_PRE_REGEX_LISTS: dict[str, list[str]] = {
+    "default": [_GPT2],
+    "gpt-2": [_GPT2],
+    "llama3": [_LLAMA3],
+    "qwen2": [_QWEN2],
+    "falcon": [
+        r"""[\p{P}\$\+<=>\^~\|`]+""",
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)""",
+        r"""[0-9][0-9][0-9]""",
+    ],
+    "starcoder": [
+        r"""\p{N}""",
+        _GPT2,
+    ],
+    "deepseek-llm": [
+        "[\r\n]",
+        r"""\s?[A-Za-zµÀ-ÖØ-öø-ƺƼ-ƿǄ-ʓʕ-ʯͰ-ͳͶͷͻ-ͽͿΆΈ-ΊΌΎ-ΡΣ-ϵϷ-ҁҊ-ԯԱ-ՖႠ-ჅᎠ-Ᏽᏸ-ᏽᲐ-ᲺᲽ-Ჿᴀ-ᴫᵫ-ᵷᵹ-ᶚḀ-ἕἘ-Ἕἠ-ὅὈ-Ὅὐ-ὗὙὛὝὟ-ώᾀ-ᾴᾶ-ᾼιῂ-ῄῆ-ῌῐ-ΐῖ-Ίῠ-Ῥῲ-ῴῶ-ῼℂℇℊ-ℓℕℙ-ℝℤΩℨK-ℭℯ-ℴℹℼ-ℿⅅ-ⅉⅎↃↄⰀ-ⱻⱾ-ⳤⳫ-ⳮⳲⳳꙀ-ꙭꚀ-ꚛꜢ-ꝯꝱ-ꞇꞋ-ꞎꭰ-ꮿﬀ-ﬆﬓ-ﬗＡ-Ｚａ-ｚ𐐀-𐑏𐒰-𐓓𐓘-𐓻𐲀-𐲲𐳀-𐳲𑢠-𑣟𞤀-𞥃]+""",
+        r"""\s?[!-/:-~！-／：-～‘-‟　-。]+""",
+        r"""\s+$""",
+        r"""[一-龥ࠀ-一가-퟿]+""",
+        r"""\p{N}+""",
+    ],
+    "deepseek-coder": [
+        "[\r\n]",
+        r"""\s?\p{L}+""",
+        r"""\s?\p{P}+""",
+        r"""[一-龥ࠀ-一가-퟿]+""",
+        r"""\p{N}""",
+    ],
+    "deepseek-v3": [
+        r"""\p{N}{1,3}""",
+        r"""[一-龥぀-ゟ゠-ヿ]+""",
+        "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~][A-Za-z]+|[^\r\n\\p{L}\\p{P}\\p{S}]?[\\p{L}\\p{M}]+| ?[\\p{P}\\p{S}]+[\r\n]*|\\s*[\r\n]+|\\s+(?!\\S)|\\s+",
+    ],
+    "poro-chat": [r""" ?[^(\s|.,!?…。，、।۔،)]+"""],
+    "viking": [r""" ?[^(\s|.,!?…。，、।۔،)]+""", r"""\p{N}"""],
+    "chatglm-bpe": [_LLAMA3],
+    "tekken": [
+        r"""[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]*[\p{Ll}\p{Lm}\p{Lo}\p{M}]+|[^\r\n\p{L}\p{N}]?[\p{Lu}\p{Lt}\p{Lm}\p{Lo}\p{M}]+[\p{Ll}\p{Lm}\p{Lo}\p{M}]*|\p{N}| ?[^\s\p{L}\p{N}]+[\r\n/]*|\s*[\r\n]+|\s+(?!\S)|\s+""",
+    ],
+    "chameleon": [
+        r"""<sentinel:[0-9]+>""",
+        r"""(IMGIMG)((A|B|C|D|E|F|G|H|I){1,4})Z""",
+        "([\\t\\n]|    |  )",
+        r"""\p{N}""",
+        _GPT2,
+    ],
 }
-_PRE_PATTERNS["default"] = _PRE_PATTERNS["gpt-2"]
+# aliases sharing another family's pattern list (llama-vocab.cpp case labels)
+for _alias, _canon in {
+    "llama-v3": "llama3", "llama-bpe": "llama3", "dbrx": "llama3",
+    "smaug-bpe": "llama3", "falcon3": "llama3", "pixtral": "llama3",
+    "stablelm2": "qwen2", "refact": "starcoder", "command-r": "starcoder",
+    "smollm": "starcoder", "codeshell": "starcoder", "exaone": "starcoder",
+    "minerva-7b": "starcoder", "megrez": "qwen2",
+    "gpt2": "gpt-2", "mpt": "gpt-2", "olmo": "gpt-2", "jais": "gpt-2",
+    "phi-2": "gpt-2", "bloom": "poro-chat", "gpt3-finnish": "poro-chat",
+    "gigachat": "deepseek-v3", "deepseek-r1-qwen": "deepseek-llm",
+}.items():
+    _PRE_REGEX_LISTS[_alias] = _PRE_REGEX_LISTS[_canon]
+
+
+def regex_split(text: str, patterns: list) -> list[str]:
+    """Sequential regex splitting (unicode.cpp unicode_regex_split): each
+    pattern splits the still-unmatched spans; matched spans become atomic
+    pieces. Returns all pieces in order (matched and residual)."""
+    segments: list[tuple[str, bool]] = [(text, False)]
+    for pat in patterns:
+        out: list[tuple[str, bool]] = []
+        for seg, final in segments:
+            if final or not seg:
+                if seg:
+                    out.append((seg, final))
+                continue
+            last = 0
+            for m in pat.finditer(seg):
+                if m.start() > last:
+                    out.append((seg[last:m.start()], False))
+                if m.group():
+                    out.append((m.group(), True))
+                last = m.end()
+            if last < len(seg):
+                out.append((seg[last:], False))
+        segments = out
+    return [s for s, _ in segments if s]
 
 
 @dataclass
@@ -55,8 +141,8 @@ class BPETokenizer:
         for i, m in enumerate(self.merges):
             a, b = m.split(" ", 1)
             self.ranks[(a, b)] = i
-        pattern = _PRE_PATTERNS.get(self.pre, _PRE_PATTERNS["default"])
-        self._pre_re = _re.compile(pattern)
+        patterns = _PRE_REGEX_LISTS.get(self.pre, _PRE_REGEX_LISTS["default"])
+        self._pre_res = [_re.compile(p) for p in patterns]
         self.special_tokens = {
             t: i
             for i, (t, tt) in enumerate(zip(self.tokens, self.token_types))
@@ -117,7 +203,7 @@ class BPETokenizer:
             if is_tok:
                 ids.append(self.special_tokens[frag])
                 continue
-            for piece in self._pre_re.findall(frag):
+            for piece in regex_split(frag, self._pre_res):
                 mapped = "".join(_BYTE_ENC[b] for b in piece.encode("utf-8"))
                 ids.extend(self._bpe_word(mapped))
         if add_eos and self.eos_id >= 0:
@@ -177,7 +263,8 @@ class BPETokenizer:
 
 
 def tokenizer_from_gguf_metadata(md: dict):
-    """Factory: pick SPM or BPE from tokenizer.ggml.model."""
+    """Factory over the five tokenizer families (include/llama.h:69-74 vocab
+    types): SPM, BPE, WPM (bert), UGM (t5), RWKV."""
     model = md.get(Keys.Tokenizer.MODEL, "llama")
     if model in ("llama", "spm"):
         from .spm import SPMTokenizer
@@ -185,4 +272,16 @@ def tokenizer_from_gguf_metadata(md: dict):
         return SPMTokenizer.from_gguf_metadata(md)
     if model in ("gpt2", "bpe"):
         return BPETokenizer.from_gguf_metadata(md)
+    if model in ("bert", "wpm"):
+        from .wpm import WPMTokenizer
+
+        return WPMTokenizer.from_gguf_metadata(md)
+    if model in ("t5", "ugm"):
+        from .ugm import UGMTokenizer
+
+        return UGMTokenizer.from_gguf_metadata(md)
+    if model == "rwkv":
+        from .rwkv import RWKVTokenizer
+
+        return RWKVTokenizer.from_gguf_metadata(md)
     raise NotImplementedError(f"tokenizer model {model!r}")
