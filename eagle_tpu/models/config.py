@@ -35,6 +35,25 @@ class ModelConfig:
     attn_bias: bool = False
     # sliding-window attention (mistral-v1/gemma2 style); 0 = disabled
     swa_window: int = 0
+    #: layers where SWA applies: 0 = all layers (when swa_window > 0);
+    #: n > 0 = every n-th layer starting at 0 (gemma2 alternates, n=2)
+    swa_every: int = 0
+    # MoE (mixtral family): expert count / experts used per token
+    # (llm_build_moe_ffn, src/llama.cpp:1976)
+    n_expert: int = 0
+    n_expert_used: int = 0
+    # gemma2: logit softcapping (build_gemma2, src/llama.cpp)
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    # gemma2: post-attention / post-ffn norms (sandwich norms)
+    post_norms: bool = False
+    # gemma: embeddings scaled by sqrt(n_embd)
+    embd_scale: float = 1.0
+    # attention score scale override (gemma2 query_pre_attn_scalar);
+    # None = 1/sqrt(head_dim)
+    attn_scale: float | None = None
+    # FFN activation: "silu" (llama) | "gelu" (gemma)
+    act: str = "silu"
 
     @property
     def n_q_dim(self) -> int:
@@ -62,6 +81,7 @@ class ModelConfig:
         if vocab_size is None:
             vocab_size = len(md[Keys.Tokenizer.LIST])
         n_layers = int(k(Keys.LLM.BLOCK_COUNT))
+        is_gemma2 = arch == "gemma2"
         return ModelConfig(
             arch=arch,
             vocab_size=int(vocab_size),
@@ -80,4 +100,17 @@ class ModelConfig:
             is_eagle=(arch == "eagle"),
             attn_bias=(arch in ("qwen2", "qwen2moe", "starcoder2")),
             swa_window=int(md.get(f"{arch}.attention.sliding_window", 0) or 0),
+            swa_every=2 if is_gemma2 else 0,
+            n_expert=int(md.get(Keys.LLM.EXPERT_COUNT.format(arch=arch), 0) or 0),
+            n_expert_used=int(md.get(Keys.LLM.EXPERT_USED_COUNT.format(arch=arch), 0) or 0),
+            attn_softcap=float(md.get(f"{arch}.attn_logit_softcapping", 0.0) or 0.0),
+            final_softcap=float(md.get(f"{arch}.final_logit_softcapping", 0.0) or 0.0),
+            post_norms=is_gemma2,
+            embd_scale=float(n_embd) ** 0.5 if arch.startswith("gemma") else 1.0,
+            attn_scale=(
+                float(md[f"{arch}.attention.query_pre_attn_scalar"]) ** -0.5
+                if f"{arch}.attention.query_pre_attn_scalar" in md
+                else None
+            ),
+            act="gelu" if arch.startswith("gemma") else "silu",
         )

@@ -115,6 +115,142 @@ def params_from_hf_llama(model, quant_type: GGMLType | None = None) -> tuple[dic
     return params, cfg
 
 
+def params_from_hf_mixtral(model, dtype=None) -> tuple[dict, ModelConfig]:
+    """transformers MixtralForCausalLM -> runtime pytree (MoE FFN:
+    block_sparse_moe gate + per-expert w1/w3/w2 stacked to [L, E, ...])."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    hc = model.config
+    cfg = dataclasses.replace(
+        config_from_hf(hc), arch="mixtral",
+        n_expert=hc.num_local_experts, n_expert_used=hc.num_experts_per_tok,
+    )
+    sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+    L, E = cfg.n_layers, cfg.n_expert
+    layers: dict[str, list] = {
+        k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+                        "ffn_gate_inp", "w_gate_exps", "w_up_exps", "w_down_exps")
+    }
+    for i in range(L):
+        p = f"model.layers.{i}"
+        layers["attn_norm"].append(sd[f"{p}.input_layernorm.weight"])
+        layers["wq"].append(sd[f"{p}.self_attn.q_proj.weight"])
+        layers["wk"].append(sd[f"{p}.self_attn.k_proj.weight"])
+        layers["wv"].append(sd[f"{p}.self_attn.v_proj.weight"])
+        layers["wo"].append(sd[f"{p}.self_attn.o_proj.weight"])
+        layers["ffn_norm"].append(sd[f"{p}.post_attention_layernorm.weight"])
+        layers["ffn_gate_inp"].append(sd[f"{p}.block_sparse_moe.gate.weight"])
+        layers["w_gate_exps"].append(
+            np.stack([sd[f"{p}.block_sparse_moe.experts.{e}.w1.weight"] for e in range(E)])
+        )
+        layers["w_up_exps"].append(
+            np.stack([sd[f"{p}.block_sparse_moe.experts.{e}.w3.weight"] for e in range(E)])
+        )
+        layers["w_down_exps"].append(
+            np.stack([sd[f"{p}.block_sparse_moe.experts.{e}.w2.weight"] for e in range(E)])
+        )
+    params = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "output_norm": sd["model.norm.weight"],
+        "output": sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params), cfg
+
+
+def params_from_hf_gemma2(model) -> tuple[dict, ModelConfig]:
+    """transformers Gemma2ForCausalLM -> runtime pytree: sandwich norms,
+    (1+w) norm weights folded at conversion (the reference's converter does
+    the same), softcaps/attn-scale/SWA-alternation in the config."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    hc = model.config
+    cfg = dataclasses.replace(
+        config_from_hf(hc), arch="gemma2",
+        attn_softcap=float(getattr(hc, "attn_logit_softcapping", 0.0) or 0.0),
+        final_softcap=float(getattr(hc, "final_logit_softcapping", 0.0) or 0.0),
+        post_norms=True,
+        embd_scale=float(hc.hidden_size) ** 0.5,
+        attn_scale=float(hc.query_pre_attn_scalar) ** -0.5,
+        swa_window=int(getattr(hc, "sliding_window", 0) or 0),
+        swa_every=2,
+        act="gelu",
+    )
+    sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+
+    def norm(name):  # gemma rmsnorm computes x_hat * (1 + w)
+        return sd[name] + 1.0
+
+    layers: dict[str, list] = {
+        k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "post_attn_norm",
+                        "ffn_norm", "post_ffn_norm", "w_gate", "w_up", "w_down")
+    }
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}"
+        layers["attn_norm"].append(norm(f"{p}.input_layernorm.weight"))
+        layers["wq"].append(sd[f"{p}.self_attn.q_proj.weight"])
+        layers["wk"].append(sd[f"{p}.self_attn.k_proj.weight"])
+        layers["wv"].append(sd[f"{p}.self_attn.v_proj.weight"])
+        layers["wo"].append(sd[f"{p}.self_attn.o_proj.weight"])
+        layers["post_attn_norm"].append(norm(f"{p}.post_attention_layernorm.weight"))
+        layers["ffn_norm"].append(norm(f"{p}.pre_feedforward_layernorm.weight"))
+        layers["post_ffn_norm"].append(norm(f"{p}.post_feedforward_layernorm.weight"))
+        layers["w_gate"].append(sd[f"{p}.mlp.gate_proj.weight"])
+        layers["w_up"].append(sd[f"{p}.mlp.up_proj.weight"])
+        layers["w_down"].append(sd[f"{p}.mlp.down_proj.weight"])
+    params = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "output_norm": norm("model.norm.weight"),
+        "output": sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params), cfg
+
+
+def params_from_hf_phi3(model) -> tuple[dict, ModelConfig]:
+    """transformers Phi3ForCausalLM -> runtime pytree (fused qkv_proj /
+    gate_up_proj unfused into the canonical slots; same dataflow as llama)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    hc = model.config
+    cfg = dataclasses.replace(config_from_hf(hc), arch="phi3")
+    sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+    qd, kvd = cfg.n_q_dim, cfg.n_kv_dim
+    layers: dict[str, list] = {
+        k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+                        "w_gate", "w_up", "w_down")
+    }
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}"
+        layers["attn_norm"].append(sd[f"{p}.input_layernorm.weight"])
+        qkv = sd[f"{p}.self_attn.qkv_proj.weight"]
+        layers["wq"].append(qkv[:qd])
+        layers["wk"].append(qkv[qd:qd + kvd])
+        layers["wv"].append(qkv[qd + kvd:])
+        layers["wo"].append(sd[f"{p}.self_attn.o_proj.weight"])
+        layers["ffn_norm"].append(sd[f"{p}.post_attention_layernorm.weight"])
+        gu = sd[f"{p}.mlp.gate_up_proj.weight"]
+        layers["w_gate"].append(gu[: cfg.n_ff])
+        layers["w_up"].append(gu[cfg.n_ff:])
+        layers["w_down"].append(sd[f"{p}.mlp.down_proj.weight"])
+    params = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "output_norm": sd["model.norm.weight"],
+        "output": sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params), cfg
+
+
 # ---------------------------------------------------------------------------
 # HF -> GGUF conversion (tool path)
 # ---------------------------------------------------------------------------
@@ -155,6 +291,17 @@ def convert_hf_to_gguf(
     w.add(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=arch), cfg.rms_eps)
     w.add(Keys.Rope.DIMENSION_COUNT.format(arch=arch), cfg.rope_dim)
     w.add(Keys.Rope.FREQ_BASE.format(arch=arch), cfg.rope_base)
+    if cfg.n_expert:
+        w.add(Keys.LLM.EXPERT_COUNT.format(arch=arch), cfg.n_expert)
+        w.add(Keys.LLM.EXPERT_USED_COUNT.format(arch=arch), cfg.n_expert_used)
+    if cfg.attn_softcap:
+        w.add(f"{arch}.attn_logit_softcapping", cfg.attn_softcap)
+    if cfg.final_softcap:
+        w.add(f"{arch}.final_logit_softcapping", cfg.final_softcap)
+    if cfg.swa_window:
+        w.add(f"{arch}.attention.sliding_window", cfg.swa_window)
+    if cfg.attn_scale is not None:
+        w.add(f"{arch}.attention.query_pre_attn_scalar", cfg.attn_scale ** -2.0)
     if metadata:
         for key, val in metadata.items():
             if key.startswith(("tokenizer.", "general.")) and key != "general.name":
@@ -180,19 +327,53 @@ def convert_hf_to_gguf(
     if is_eagle:
         put("fc.weight", "fc.weight")
         put("fc.bias", "fc.bias")
+    is_gemma2 = arch == "gemma2"
+
+    def put_norm(gguf_name: str, hf_name: str):
+        # gemma's rmsnorm applies (1 + w): fold the +1 at conversion, matching
+        # the reference converter (convert_hf_to_gguf.py GemmaModel)
+        if hf_name not in sd:
+            return
+        t = sd[hf_name] + (1.0 if is_gemma2 else 0.0)
+        w.add_tensor(gguf_name, t.astype(np.float32))
+
     for i in range(cfg.n_layers):
         for ours, suffix in _HF_LAYER_MAP.items():
             if is_eagle and ours == "attn_norm":
                 continue
             from .loader import LayerKeyMap
 
+            if is_gemma2 and ours in ("attn_norm", "ffn_norm"):
+                continue  # handled below with the +1 fold
             perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
             put(f"blk.{i}.{LayerKeyMap[ours]}", f"{lp}.{i}.{suffix}", perm)
         # qwen2-style attention biases
         put(f"blk.{i}.attn_q.bias", f"{lp}.{i}.self_attn.q_proj.bias", q_perm)
         put(f"blk.{i}.attn_k.bias", f"{lp}.{i}.self_attn.k_proj.bias", k_perm)
         put(f"blk.{i}.attn_v.bias", f"{lp}.{i}.self_attn.v_proj.bias")
+        if is_gemma2:  # sandwich norms (gemma2 canonical names, llama-arch.cpp)
+            put_norm(f"blk.{i}.attn_norm.weight", f"{lp}.{i}.input_layernorm.weight")
+            put_norm(f"blk.{i}.attn_post_norm.weight",
+                     f"{lp}.{i}.post_attention_layernorm.weight")
+            put_norm(f"blk.{i}.ffn_norm.weight",
+                     f"{lp}.{i}.pre_feedforward_layernorm.weight")
+            put_norm(f"blk.{i}.ffn_post_norm.weight",
+                     f"{lp}.{i}.post_feedforward_layernorm.weight")
+        if f"{lp}.{i}.block_sparse_moe.gate.weight" in sd:  # mixtral MoE
+            w.add_tensor(f"blk.{i}.ffn_gate_inp.weight",
+                         sd[f"{lp}.{i}.block_sparse_moe.gate.weight"])
+            n_exp = cfg.n_expert
+            for gguf_name, hf_w in (("ffn_gate_exps", "w1"), ("ffn_down_exps", "w2"),
+                                    ("ffn_up_exps", "w3")):
+                stacked = np.stack([
+                    sd[f"{lp}.{i}.block_sparse_moe.experts.{e}.{hf_w}.weight"]
+                    for e in range(n_exp)
+                ])
+                w.add_tensor(f"blk.{i}.{gguf_name}.weight", stacked)
     if not is_eagle:
-        put("output_norm.weight", "model.norm.weight")
+        if is_gemma2:
+            put_norm("output_norm.weight", "model.norm.weight")
+        else:
+            put("output_norm.weight", "model.norm.weight")
         put("output.weight", "lm_head.weight")
     w.write()

@@ -11,6 +11,7 @@ needs five decode variants for this (src/llama.cpp:9486-10757).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, NamedTuple
 
 import jax
@@ -48,6 +49,38 @@ def embed_lookup(tok_embd: QTensor | jax.Array, tokens: jax.Array) -> jax.Array:
     return tok_embd[tokens].astype(jnp.float32)
 
 
+def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
+    """Mixtral-style MoE FFN (llm_build_moe_ffn, src/llama.cpp:1976): softmax
+    router over top-k experts.
+
+    All experts are computed and combined with (zero-masked) router weights —
+    on TPU the static all-expert einsum beats gather/scatter of expert
+    weights, and under expert-parallel sharding each device runs only its
+    local experts with a psum combine (the EP story, SURVEY §2.4)."""
+    b, t, d = x.shape
+    router = jnp.einsum(
+        "btd,ed->bte", x.astype(compute_dtype),
+        layers["ffn_gate_inp"][li].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )  # [B, T, E]
+    k = max(cfg.n_expert_used, 1)
+    top_vals, _ = jax.lax.top_k(router, k)
+    kth = top_vals[..., -1:]
+    # softmax over the selected experts only (mask the rest to -inf)
+    masked = jnp.where(router >= kth, router, -jnp.inf)
+    probs = jax.nn.softmax(masked, axis=-1)  # zeros for non-top-k
+
+    xe = x.astype(compute_dtype)
+    gate = jnp.einsum("btd,efd->btef", xe, layers["w_gate_exps"][li].astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+    up = jnp.einsum("btd,efd->btef", xe, layers["w_up_exps"][li].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+    h = (act(gate) * up).astype(compute_dtype)
+    out = jnp.einsum("btef,edf->bted", h, layers["w_down_exps"][li].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("bted,bte->btd", out, probs.astype(out.dtype))
+
+
 def _layer_step(
     cfg: ModelConfig,
     inv_freq: jax.Array,
@@ -63,6 +96,7 @@ def _layer_step(
     v_cache: jax.Array,
     k_scale: jax.Array | None = None,  # [L, B, H_kv, S] — int8 KV only
     v_scale: jax.Array | None = None,
+    mask_swa: jax.Array | None = None,  # per-layer-alternating SWA (gemma2)
 ):
     """One transformer layer. Weights stay layer-stacked; matmuls address the
     stack through `li` (scalar-prefetched on the pallas backend so no
@@ -76,6 +110,12 @@ def _layer_step(
     attn_in = (
         rms_norm(x, layers["attn_norm"][li], cfg.rms_eps) if "attn_norm" in layers else x
     )
+    if mask_swa is not None:
+        # gemma2 alternation: even layers use the sliding-window mask
+        use_swa = (li % jnp.int32(max(cfg.swa_every, 1))) == 0
+        mask = jax.lax.select(
+            jnp.broadcast_to(use_swa, mask.shape), mask_swa, mask
+        )
 
     if "wqkv" in layers:
         qkv = qmatmul_layer(attn_in, layers["wqkv"], li, backend, compute_dtype)
@@ -112,26 +152,45 @@ def _layer_step(
             dequantize_kv(k_cache[li], k_scale[li]),
             dequantize_kv(v_cache[li], v_scale[li]),
             mask,
+            scale=cfg.attn_scale,
+            softcap=cfg.attn_softcap,
         )
     else:
         k_cache = k_cache.at[li, b_idx, h_idx, s_idx].set(k_hm.astype(k_cache.dtype))
         v_cache = v_cache.at[li, b_idx, h_idx, s_idx].set(v_hm.astype(v_cache.dtype))
 
         s_len = k_cache.shape[3]
-        if backend == "pallas" and supports_flash(t, h, h_kv, s_len, dh):
+        if (
+            backend == "pallas"
+            and cfg.attn_softcap == 0.0
+            and supports_flash(t, h, h_kv, s_len, dh)
+        ):
             attn = flash_attention_cached(q, k_cache, v_cache, mask, li)
         else:
-            attn = gqa_attention(q, k_cache[li], v_cache[li], mask)
-    x = x + qmatmul_layer(attn.reshape(b, t, h * dh), layers["wo"], li, backend, compute_dtype)
+            attn = gqa_attention(
+                q, k_cache[li], v_cache[li], mask,
+                scale=cfg.attn_scale, softcap=cfg.attn_softcap,
+            )
+    attn_out = qmatmul_layer(attn.reshape(b, t, h * dh), layers["wo"], li, backend, compute_dtype)
+    if "post_attn_norm" in layers:  # gemma2 sandwich norm
+        attn_out = rms_norm(attn_out, layers["post_attn_norm"][li], cfg.rms_eps)
+    x = x + attn_out
 
     ffn_in = rms_norm(x, layers["ffn_norm"][li], cfg.rms_eps)
-    if "w_gate_up" in layers:
-        gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
+    act = jax.nn.silu if cfg.act == "silu" else partial(jax.nn.gelu, approximate=True)
+    if "ffn_gate_inp" in layers:
+        ffn_out = _moe_ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
     else:
-        gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
-        up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
-    x = x + qmatmul_layer(jax.nn.silu(gate) * up, layers["w_down"], li, backend, compute_dtype)
+        if "w_gate_up" in layers:
+            gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+        else:
+            gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
+            up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
+        ffn_out = qmatmul_layer(act(gate) * up, layers["w_down"], li, backend, compute_dtype)
+    if "post_ffn_norm" in layers:
+        ffn_out = rms_norm(ffn_out, layers["post_ffn_norm"][li], cfg.rms_eps)
+    x = x + ffn_out
     if "cvec" in layers:  # control vector (llama_adapter_cvec.apply_to, src/llama-adapter.cpp)
         x = x + layers["cvec"][li].astype(x.dtype)
     return x, k_cache, v_cache, k_scale, v_scale
@@ -157,14 +216,23 @@ def llama_forward(
     is the raw last-layer output (what official EAGLE checkpoints were trained
     on as the feature)."""
     x = embed_lookup(params["tok_embd"], tokens)
+    if cfg.embd_scale != 1.0:  # gemma: embeddings scaled by sqrt(n_embd)
+        x = x * jnp.asarray(cfg.embd_scale, x.dtype)
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
     layers = params["layers"]
+    mask_swa = None
+    if cfg.swa_window > 0 and cfg.swa_every > 0:
+        # gemma2: alternating global/sliding layers need both masks (the
+        # per-layer select happens inside the scan). Slot index == position is
+        # the engines' cache invariant, so the window test uses slot indices.
+        s_idx = jnp.arange(mask.shape[-1], dtype=jnp.int32)[None, None, :]
+        mask_swa = mask & (positions[:, :, None] - s_idx < cfg.swa_window)
 
     def scan_body(carry, li):
         x, k_all, v_all, k_s, v_s = carry
         x, k_all, v_all, k_s, v_s = _layer_step(
             cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
-            x, layers, li, k_all, v_all, k_s, v_s,
+            x, layers, li, k_all, v_all, k_s, v_s, mask_swa=mask_swa,
         )
         return (x, k_all, v_all, k_s, v_s), None
 
@@ -178,4 +246,7 @@ def llama_forward(
     logits = None
     if return_logits:
         logits = qmatmul(hidden, params["output"], backend, compute_dtype)
+        if cfg.final_softcap > 0:  # gemma2 final logit softcapping
+            c = cfg.final_softcap
+            logits = c * jnp.tanh(logits / c)
     return ForwardOutput(logits=logits, hidden=hidden, hidden_pre=x, kv=kv)

@@ -100,7 +100,8 @@ def fuse_layer_weights(stacked: dict[str, Any]) -> dict[str, Any]:
 
     out = dict(stacked)
     out["wqkv"] = concat_qtensors([out.pop("wq"), out.pop("wk"), out.pop("wv")])
-    out["w_gate_up"] = concat_qtensors([out.pop("w_gate"), out.pop("w_up")])
+    if "w_gate" in out:  # MoE layers have expert tensors instead
+        out["w_gate_up"] = concat_qtensors([out.pop("w_gate"), out.pop("w_up")])
     return out
 
 
@@ -116,12 +117,35 @@ def load_llama_params(
     q_perm = unpermute_rows(cfg.n_q_dim, cfg.n_heads)
     k_perm = unpermute_rows(cfg.n_kv_dim, cfg.n_kv_heads)
 
-    layers: dict[str, list] = {k: [] for k in LayerKeyMap}
+    is_moe = "blk.0.ffn_gate_inp.weight" in reader.tensors
+    # optional per-arch tensors (gemma2 sandwich norms; MoE router + experts)
+    optional = {
+        "post_attn_norm": "attn_post_norm.weight",
+        "post_ffn_norm": "ffn_post_norm.weight",
+    }
+    key_map = dict(LayerKeyMap)
+    if is_moe:
+        for k in ("w_gate", "w_up", "w_down"):
+            key_map.pop(k)
+        optional.update(
+            ffn_gate_inp="ffn_gate_inp.weight",
+            w_gate_exps="ffn_gate_exps.weight",
+            w_up_exps="ffn_up_exps.weight",
+            w_down_exps="ffn_down_exps.weight",
+        )
+
+    layers: dict[str, list] = {k: [] for k in key_map}
     for i in range(cfg.n_layers):
-        for ours, suffix in LayerKeyMap.items():
+        for ours, suffix in key_map.items():
             name = f"blk.{i}.{suffix}"
             perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
             layers[ours].append(_load_tensor(reader, name, row_perm=perm, layout="kn"))
+        for ours, suffix in optional.items():
+            name = f"blk.{i}.{suffix}"
+            if name in reader.tensors:
+                # router/experts load dense (expert weights are 3-D; MoE
+                # quantized storage decodes to dense here)
+                layers.setdefault(ours, []).append(reader.tensor_f32(name))
 
     # optional attention biases (qwen2 family)
     if f"blk.0.attn_q.bias" in reader.tensors:

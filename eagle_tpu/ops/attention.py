@@ -18,6 +18,7 @@ def gqa_attention(
     v_cache: jax.Array,  # [B, H_kv, S, D]
     mask: jax.Array,  # [B, T, S] bool
     scale: float | None = None,
+    softcap: float = 0.0,  # gemma2 attn_logit_softcapping
 ) -> jax.Array:
     """Returns [B, T, H, D] (f32).
 
@@ -36,6 +37,8 @@ def gqa_attention(
         "btkgd,bksd->bkgts", qc, k_cache, preferred_element_type=jnp.float32
     )
     scores = scores * scale
+    if softcap > 0:
+        scores = softcap * jnp.tanh(scores / softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(

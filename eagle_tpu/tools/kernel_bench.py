@@ -137,6 +137,19 @@ def main(argv=None):
                         bias=w8.bias, group=G, layout="kn"),
             ),
         )
+    if "tiles" in variants:
+        # tile-size sweep on the packed kernel: fewer/larger grid steps won
+        # in the split4 probe — find the sweet spot
+        # valid tile_n for N=11008 (divisor + 128-multiple): 256, 5504, 11008
+        for tn, tk in ((256, 2048), (256, 4096), (5504, 512), (5504, 1024),
+                       (5504, 2048)):
+            try:
+                bench(f"q4 tn={tn} tk={tk}",
+                      lambda x, w, tn=tn, tk=tk: qmatmul_pallas_2d(
+                          x, w, tile_n=tn, tile_k=tk),
+                      (qt_packed,), bytes_q4)
+            except Exception as e:
+                print(f"q4 tn={tn} tk={tk}: FAILED {type(e).__name__}", flush=True)
     if "split4" in variants:
         # pre-slice ON DEVICE once; the 4 sub-tensors are separate jit args so
         # each scan step launches 4 pallas calls over quarter-width weights

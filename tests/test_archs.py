@@ -63,3 +63,139 @@ def test_swa_mask_limits_attention():
     swa = np.asarray(causal_mask_from_tags(slot_pos, q_pos, swa_window=2))
     assert full[0, 0].tolist() == [True, True, True, True, True, False]
     assert swa[0, 0].tolist() == [False, False, False, True, True, False]
+
+
+def test_mixtral_moe_parity(rng):
+    """Mixtral tiny model (MoE top-2 of 4 experts) vs transformers — exercises
+    the router/top-k/all-expert-combine path (llm_build_moe_ffn,
+    src/llama.cpp:1976)."""
+    from eagle_tpu.models.hf_convert import params_from_hf_mixtral
+
+    torch.manual_seed(7)
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.MixtralForCausalLM(hf_cfg).eval()
+    params, cfg = params_from_hf_mixtral(model)
+    assert cfg.n_expert == 4 and cfg.n_expert_used == 2
+    assert "ffn_gate_inp" in params["layers"]
+
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours = run_fwd(params, cfg, tokens)
+    with torch.no_grad():
+        theirs = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_gemma2_parity(rng):
+    """Gemma2 tiny model vs transformers — sandwich norms, (1+w) rmsnorm,
+    logit softcapping, sqrt(d) embedding scale, query_pre_attn_scalar, and
+    alternating sliding-window layers (build_gemma2 in the reference)."""
+    from eagle_tpu.models.hf_convert import params_from_hf_gemma2
+
+    torch.manual_seed(9)
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, query_pre_attn_scalar=8, sliding_window=4,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    params, cfg = params_from_hf_gemma2(model)
+    assert cfg.post_norms and cfg.attn_softcap == 50.0 and cfg.swa_every == 2
+
+    tokens = rng.integers(0, 128, size=(1, 12)).astype(np.int32)
+    ours = run_fwd(params, cfg, tokens)
+    with torch.no_grad():
+        theirs = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_phi3_parity(rng):
+    """Phi3 tiny model vs transformers — fused qkv/gate_up unpacking."""
+    from eagle_tpu.models.hf_convert import params_from_hf_phi3
+
+    torch.manual_seed(11)
+    hf_cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, attn_implementation="eager",
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    model = transformers.Phi3ForCausalLM(hf_cfg).eval()
+    params, cfg = params_from_hf_phi3(model)
+
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours = run_fwd(params, cfg, tokens)
+    with torch.no_grad():
+        theirs = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_mixtral_gguf_round_trip(tmp_path, rng):
+    """Mixtral through GGUF (_exps stacked expert tensors) -> loader ->
+    forward matches the direct-conversion path."""
+    from eagle_tpu.gguf.constants import GGMLType
+    from eagle_tpu.models.hf_convert import (
+        convert_hf_to_gguf, params_from_hf_mixtral,
+    )
+    from eagle_tpu.models.loader import load_llama_params
+
+    torch.manual_seed(7)
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.MixtralForCausalLM(hf_cfg).eval()
+    direct, cfg = params_from_hf_mixtral(model)
+    path = tmp_path / "mixtral.gguf"
+    convert_hf_to_gguf(model.state_dict(), cfg, path, qtype=GGMLType.F32,
+                       arch="mixtral")
+    params, lcfg, _ = load_llama_params(path)
+    assert lcfg.n_expert == 4 and lcfg.n_expert_used == 2
+    assert "w_gate_exps" in params["layers"]
+
+    tokens = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_gemma2_gguf_round_trip(tmp_path, rng):
+    from eagle_tpu.gguf.constants import GGMLType
+    from eagle_tpu.models.hf_convert import (
+        convert_hf_to_gguf, params_from_hf_gemma2,
+    )
+    from eagle_tpu.models.loader import load_llama_params
+
+    torch.manual_seed(9)
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, query_pre_attn_scalar=8, sliding_window=4,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    direct, cfg = params_from_hf_gemma2(model)
+    path = tmp_path / "gemma2.gguf"
+    convert_hf_to_gguf(model.state_dict(), cfg, path, qtype=GGMLType.F32,
+                       arch="gemma2")
+    params, lcfg, _ = load_llama_params(path)
+    assert lcfg.post_norms and abs(lcfg.attn_softcap - 50.0) < 1e-6
+    assert lcfg.swa_window == 4 and lcfg.swa_every == 2
+    assert abs(lcfg.attn_scale - 8 ** -0.5) < 1e-6
+    assert "post_attn_norm" in params["layers"]
+
+    tokens = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
+        atol=1e-4, rtol=1e-4,
+    )
