@@ -37,6 +37,9 @@ def _pick_tile(dim, target, multiple_of):
 
 
 def _flash_kernel(l_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, s_ref, acc_ref, *, scale, n_sblocks):
+    """One (head-block, S-block) step: HB heads processed per grid step so the
+    grid is S/SB * H/HB steps, not H*S/SB — per-step overhead was what lost
+    to XLA's einsum at decode S=1024 (supports_flash history)."""
     s_idx = pl.program_id(2)
 
     @pl.when(s_idx == 0)
@@ -45,27 +48,28 @@ def _flash_kernel(l_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, s_ref, acc
         s_ref[:] = jnp.zeros_like(s_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]  # [TGp, D]
-    k = k_ref[0, 0, 0]  # [SB, D]
-    v = v_ref[0, 0, 0]
-    mask = mask_ref[0]  # [TGp, SB] bool
+    q = q_ref[0]  # [HB, TGp, D]
+    k = k_ref[0, 0]  # [HB, SB, D]
+    v = v_ref[0, 0]
+    hb, tgp, _ = q.shape
+    mask = mask_ref[0]  # [TGp, SB] bool (shared across heads)
 
     scores = jax.lax.dot_general(
         q.astype(k.dtype), k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # [TGp, SB]
-    scores = jnp.where(mask, scores, _NEG_INF)
+    ) * scale  # [HB, TGp, SB]
+    scores = jnp.where(mask[None], scores, _NEG_INF)
 
-    m_prev = m_ref[:, :1]  # [TGp, 1]
-    m_cur = jnp.max(scores, axis=1, keepdims=True)
+    m_prev = m_ref[:, :, :1]  # [HB, TGp, 1]
+    m_cur = jnp.max(scores, axis=2, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)  # [TGp, 1]
-    p = jnp.exp(scores - m_new)  # [TGp, SB]
-    s_new = s_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(scores - m_new)  # [HB, TGp, SB]
+    s_new = s_ref[:, :, :1] * alpha + jnp.sum(p, axis=2, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -73,8 +77,8 @@ def _flash_kernel(l_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, s_ref, acc
 
     @pl.when(s_idx == n_sblocks - 1)
     def _():
-        denom = jnp.maximum(s_ref[:, :1], 1e-20)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(s_ref[:, :, :1], 1e-20)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "s_block"))
@@ -83,24 +87,25 @@ def _flash_call(q_hm, k_cache, v_cache, mask_rows, layer, scale, interpret=False
     L = k_cache.shape[0]
     s = k_cache.shape[3]
     sb = _pick_tile(s, s_block, 128)
-    grid = (b, h_kv, s // sb)
+    hb = 8 if h_kv % 8 == 0 else (h_kv if h_kv <= 8 else _pick_tile(h_kv, 8, 1))
+    grid = (b, h_kv // hb, s // sb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tgp, d), lambda bi, hi, si, l: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, sb, d), lambda bi, hi, si, l: (l[0], bi, hi, si, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, sb, d), lambda bi, hi, si, l: (l[0], bi, hi, si, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tgp, d), lambda bi, hi, si, l: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hb, sb, d), lambda bi, hi, si, l: (l[0], bi, hi, si, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hb, sb, d), lambda bi, hi, si, l: (l[0], bi, hi, si, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tgp, sb), lambda bi, hi, si, l: (bi, 0, si), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tgp, d), lambda bi, hi, si, l: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+            (1, hb, tgp, d), lambda bi, hi, si, l: (bi, hi, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tgp, 128), jnp.float32),
-            pltpu.VMEM((tgp, 128), jnp.float32),
-            pltpu.VMEM((tgp, d), jnp.float32),
+            pltpu.VMEM((hb, tgp, 128), jnp.float32),
+            pltpu.VMEM((hb, tgp, 128), jnp.float32),
+            pltpu.VMEM((hb, tgp, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -146,8 +151,8 @@ def flash_attention_cached(
 
 
 def supports_flash(t: int, h: int, h_kv: int, s: int, d: int) -> bool:
-    """Use the fused kernel only where it beats XLA's einsum attention:
-    measured on v5e, XLA wins at decode S<=1024 (60.2 vs 57.5 t/s end-to-end
-    on 7B); the kernel's block streaming pays off for long contexts where the
-    einsum path's materialized [T,S] mask and scores start to dominate."""
-    return s % 128 == 0 and d % 128 == 0 and t * (h // h_kv) <= 256 and s >= 4096
+    """Use the fused kernel where it beats XLA's einsum attention. The
+    original per-head grid lost at decode S<=1024 (60.2 vs 57.5 t/s on 7B);
+    the head-blocked grid (8 heads/step, S/512 blocks) cut per-step overhead
+    ~8x, so the kernel takes over from S>=512."""
+    return s % 128 == 0 and d % 128 == 0 and t * (h // h_kv) <= 256 and s >= 512

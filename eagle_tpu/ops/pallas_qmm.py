@@ -41,6 +41,45 @@ def _pick_tile(dim: int, target: int, multiple_of: int = 1) -> int:
     return best
 
 
+def _valid_tiles(dim: int, multiple_of: int = 128) -> list[int]:
+    """Divisors of `dim` that are multiples of `multiple_of` (plus dim itself)."""
+    out = [d for d in range(multiple_of, dim + 1, multiple_of) if dim % d == 0]
+    if dim not in out:
+        out.append(dim)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_tiles_2d(k: int, n: int, g: int, packed: bool,
+                   max_block_bytes: int = 3_600_000) -> tuple[int, int]:
+    """Choose (tile_n, tile_k) minimizing grid steps under a VMEM block cap.
+
+    Measured on v5e (tools/kernel_bench.py --variants tiles): per-grid-step
+    overhead dominates the fused dequant-matmul at decode batch sizes — an
+    86-step grid ran at 368 GB/s effective where an 8-step grid with ~2.8 MB
+    blocks hit 508 GB/s. Blocks much past ~3 MB regress again (double
+    buffering exhausts VMEM)."""
+    n_tiles = _valid_tiles(n) if n % 128 == 0 else [n]
+    if k % 128 == 0 and (128 % g == 0 or k % 128 == 0):
+        k_tiles = [t for t in _valid_tiles(k) if t % g == 0] or [k]
+    else:
+        k_tiles = [k]
+    best = None
+    for tn in n_tiles:
+        for tk in k_tiles:
+            qb = tk * tn * (1 if not packed else 0.5)
+            sb = (tk // g) * tn * 2 * 2  # scale+bias, bf16 upper bound
+            if qb + sb > max_block_bytes and not (tn == min(n_tiles) and tk == min(k_tiles)):
+                continue
+            steps = (n // tn) * (k // tk)
+            score = (steps, -(qb + sb))
+            if best is None or score < best[0]:
+                best = (score, (tn, tk))
+    if best is None:  # nothing fits: smallest blocks
+        return min(n_tiles), min(k_tiles)
+    return best[1]
+
+
 def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype, packed: bool):
     """One (TILE_K, TILE_N) weight tile: dequant on VPU, matmul on MXU.
 
@@ -87,8 +126,8 @@ def qmatmul_pallas_2d(
     w: QTensor,  # layout "kn"
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
-    tile_n: int = 256,
-    tile_k: int = 2048,
+    tile_n: int | None = None,
+    tile_k: int | None = None,
 ) -> jax.Array:
     assert w.layout == "kn", "pallas qmatmul requires K-major layout"
     g = w.group
@@ -101,8 +140,11 @@ def qmatmul_pallas_2d(
 
     # Mosaic: block last dims must be multiples of (8-ish, 128) or span the
     # whole array; tile_k also must divide into whole quant groups.
-    tile_n = _pick_tile(n, tile_n, 128) if n % 128 == 0 else n
-    tile_k = _pick_tile(k, tile_k, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
+    if tile_n is None and tile_k is None:
+        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed)
+    else:
+        tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
+        tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
     if tile_k % g != 0:
         tile_k = k
     assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0, (n, k, tile_n, tile_k, g)
@@ -240,8 +282,8 @@ def qmatmul_pallas_stacked(
     layer: jax.Array,  # scalar int32 — which layer's weights to use
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
-    tile_n: int = 256,
-    tile_k: int = 2048,
+    tile_n: int | None = None,
+    tile_k: int | None = None,
 ) -> jax.Array:
     """Layer-indexed matmul over layer-stacked weights.
 
@@ -261,8 +303,11 @@ def qmatmul_pallas_stacked(
         _, k, n = w.q.shape
     b = x.shape[0]
 
-    tile_n = _pick_tile(n, tile_n, 128) if n % 128 == 0 else n
-    tile_k = _pick_tile(k, tile_k, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
+    if tile_n is None and tile_k is None:
+        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed)
+    else:
+        tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
+        tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
     if tile_k % g != 0:
         tile_k = k
     assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0

@@ -31,5 +31,6 @@ def test_flash_matches_einsum(rng, t, h, hkv):
 def test_supports_flash_gates():
     assert not supports_flash(1, 4, 4, 100, 128)  # S not 128-multiple
     assert not supports_flash(1, 4, 4, 256, 64)  # D not 128-multiple
-    assert not supports_flash(8, 32, 32, 1024, 128)  # XLA wins at short S
+    assert not supports_flash(8, 32, 32, 256, 128)  # XLA wins at very short S
+    assert supports_flash(8, 32, 32, 1024, 128)  # head-blocked grid wins here
     assert supports_flash(8, 32, 32, 4096, 128)
