@@ -68,19 +68,23 @@ class Generator:
         b_idx = jnp.arange(b)
         return out.logits[b_idx, last], out.hidden[b_idx, last], out.kv
 
-    def _decode_chunk(self, params, kv: KVCache, first_token, start_pos, key, scfg: SamplerConfig, n_steps: int, sampler_state: SamplerState | None = None):
+    def _decode_chunk(self, params, kv: KVCache, first_token, start_pos, key, scfg: SamplerConfig, n_steps: int, sampler_state: SamplerState | None = None, start_slot=None):
         """Greedy/sampled decode of n_steps tokens inside one scan; with a
         stateful sampler config, penalties/mirostat state rides the carry.
 
-        first_token [B], start_pos [B]. Returns (tokens [B, n_steps], kv, state)."""
+        first_token [B], start_pos [B]. `start_slot` separates the physical
+        cache slot (token ordinal) from the rope position — they differ under
+        self-extend group attention, where positions are compressed but every
+        token keeps its own slot. Returns (tokens [B, n_steps], kv, state)."""
 
         def step(carry, _):
-            kv, tok, pos, key, sstate = carry
+            kv, tok, pos, slot, key, sstate = carry
             p = pos[:, None]
-            kv = kv.with_tags(p, p)
+            sl = slot[:, None]
+            kv = kv.with_tags(sl, p)
             mask = causal_mask_from_tags(kv.slot_pos, p)
             fo = llama_forward(
-                params, self.cfg, tok[:, None], p, kv, p, mask,
+                params, self.cfg, tok[:, None], p, kv, sl, mask,
                 backend=self.backend, compute_dtype=self.compute_dtype,
             )
             kv = fo.kv
@@ -89,10 +93,13 @@ class Generator:
                 nxt, sstate = sample_stateful(fo.logits[:, 0], sub, scfg, sstate)
             else:
                 nxt = sample(fo.logits[:, 0], sub, scfg)
-            return (kv, nxt, pos + 1, key, sstate), nxt
+            return (kv, nxt, pos + 1, slot + 1, key, sstate), nxt
 
-        (kv, _, _, _, sampler_state), toks = jax.lax.scan(
-            step, (kv, first_token, start_pos, key, sampler_state), None, length=n_steps
+        if start_slot is None:
+            start_slot = start_pos
+        (kv, _, _, _, _, sampler_state), toks = jax.lax.scan(
+            step, (kv, first_token, start_pos, start_slot, key, sampler_state),
+            None, length=n_steps,
         )
         return toks.T, kv, sampler_state  # [B, n_steps]
 
@@ -171,13 +178,21 @@ class Generator:
         chunk: int = 32,
         stop_at_eos: bool = True,
         context_shift_keep: int | None = None,
+        grp_attn_n: int = 1,
+        grp_attn_w: int = 512,
         on_token=None,
     ) -> list[int]:
         """Single-sequence generation. Returns generated token ids.
 
         `context_shift_keep`: when set, generation past max_seq evicts half of
         the non-kept context (llama.cpp's --keep / context-shift behavior)
-        instead of stopping."""
+        instead of stopping.
+
+        `grp_attn_n > 1` enables Self-Extend group attention (main.cpp's
+        --grp-attn-n/--grp-attn-w, examples/passkey): rope positions are
+        periodically compressed by the seq_add/div triple so the model never
+        sees positions beyond its training window, while every token keeps
+        its own cache slot."""
         scfg = sampler or SamplerConfig(greedy=True)
         prompt = np.asarray(prompt_tokens, dtype=np.int32)
         n = len(prompt)
@@ -211,8 +226,41 @@ class Generator:
         if stop_at_eos and out[-1] == self.eos_id:
             return out
         pos = n
+        slot = n
+        ga_i = 0
         tok = first
         while len(out) < max_new_tokens:
+            if grp_attn_n > 1:
+                from ..ops.rope import rope_freqs
+                from .kvcache import self_extend_shift
+
+                inv_freq = rope_freqs(self.cfg.rope_dim, self.cfg.rope_base,
+                                      self.cfg.rope_scale_factor)
+                while pos >= ga_i + grp_attn_w:
+                    self.kv, pos, ga_i = self_extend_shift(
+                        self.kv, inv_freq, pos, ga_i, grp_attn_n, grp_attn_w
+                    )
+                if slot + chunk + 1 >= self.max_seq:
+                    break
+                steps = min(chunk, max_new_tokens - len(out),
+                            ga_i + grp_attn_w - pos)
+                key, sub = jax.random.split(key)
+                toks, self.kv, sstate = self._decode_jit(
+                    self.params, self.kv, tok,
+                    jnp.full((self.batch,), pos, jnp.int32), sub, scfg,
+                    n_steps=steps, sampler_state=sstate,
+                    start_slot=jnp.full((self.batch,), slot, jnp.int32),
+                )
+                for tk in np.asarray(toks)[0].tolist():
+                    out.append(int(tk))
+                    if on_token:
+                        on_token(int(tk))
+                    if stop_at_eos and tk == self.eos_id:
+                        return out
+                pos += steps
+                slot += steps
+                tok = toks[:, -1]
+                continue
             if context_shift_keep is not None and pos + chunk + 1 >= self.max_seq:
                 from ..ops.rope import rope_freqs
                 from .kvcache import context_shift

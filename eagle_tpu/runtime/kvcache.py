@@ -141,6 +141,56 @@ def context_shift(kv: KVCache, inv_freq: jax.Array, n_keep: int, n_discard: int)
     )
 
 
+def self_extend_shift(kv: KVCache, inv_freq: jax.Array, n_past: int, ga_i: int,
+                      ga_n: int, ga_w: int) -> tuple[KVCache, int, int]:
+    """One Self-Extend group-attention compression step — the functional
+    equivalent of main.cpp:590-608's seq_add/seq_div/seq_add triple plus the
+    deferred K-shift re-rope (build_k_shift, src/llama.cpp:1334):
+
+        add [ga_i, n_past) += ib*bd
+        div [ga_i+ib*bd, ga_i+ib*bd+ga_w) /= ga_n
+        add [ga_i+ib*bd+ga_w, n_past+ib*bd) += dd
+
+    Position tags are remapped and cached K re-rotated by each slot's delta
+    in one tensor program; slots (token ordinals) never move. Returns
+    (kv, new_n_past, new_ga_i)."""
+    from ..ops.rope import apply_rope
+
+    ib = (ga_n * ga_i) // ga_w
+    bd = (ga_w // ga_n) * (ga_n - 1)
+    dd = (ga_w // ga_n) - ib * bd - ga_w
+
+    pos = kv.slot_pos  # [B, S]
+    live = pos >= 0
+    p = pos
+    in1 = live & (p >= ga_i) & (p < n_past)
+    p = jnp.where(in1, p + ib * bd, p)
+    lo = ga_i + ib * bd
+    in2 = live & (p >= lo) & (p < lo + ga_w)
+    p = jnp.where(in2, p // ga_n, p)
+    in3 = live & (pos >= 0) & (jnp.where(in1, pos + ib * bd, pos) >= lo + ga_w) & (
+        jnp.where(in1, pos + ib * bd, pos) < n_past + ib * bd
+    )
+    p = jnp.where(in3, p + dd, p)
+
+    delta = jnp.where(live, p - pos, 0)  # [B, S]
+    l, b, h, s, d = kv.k.shape
+    if kv.quantized:
+        k_f = dequantize_kv(kv.k, kv.k_scale, jnp.float32)
+    else:
+        k_f = kv.k
+    flat = k_f.transpose(0, 1, 3, 2, 4).reshape(l * b, s, h, d)
+    deltas = jnp.tile(delta, (l, 1))  # [L*B, S]
+    flat = apply_rope(flat, deltas, inv_freq)
+    k_new = flat.reshape(l, b, s, h, d).transpose(0, 1, 3, 2, 4)
+    if kv.quantized:
+        k_new, k_sc = quantize_kv_vec(k_new)
+        kv = dataclasses.replace(kv, k=k_new, k_scale=k_sc, slot_pos=p)
+    else:
+        kv = dataclasses.replace(kv, k=k_new.astype(kv.k.dtype), slot_pos=p)
+    return kv, n_past - bd, ga_i + ga_w // ga_n
+
+
 def causal_mask_from_tags(
     slot_pos: jax.Array, q_positions: jax.Array, swa_window: int = 0
 ) -> jax.Array:
