@@ -50,33 +50,45 @@ def _valid_tiles(dim: int, multiple_of: int = 128) -> list[int]:
 
 
 @functools.lru_cache(maxsize=None)
-def _pick_tiles_2d(k: int, n: int, g: int, packed: bool,
-                   max_block_bytes: int = 3_600_000) -> tuple[int, int]:
-    """Choose (tile_n, tile_k) minimizing grid steps under a VMEM block cap.
+def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[int, int]:
+    """Choose (tile_n, tile_k) minimizing grid steps under a VMEM budget.
 
     Measured on v5e (tools/kernel_bench.py --variants tiles): per-grid-step
     overhead dominates the fused dequant-matmul at decode batch sizes — an
     86-step grid ran at 368 GB/s effective where an 8-step grid with ~2.8 MB
-    blocks hit 508 GB/s. Blocks much past ~3 MB regress again (double
-    buffering exhausts VMEM)."""
+    blocks hit 508 GB/s. The budget model covers double-buffered weight
+    blocks plus the batch-dependent x/out blocks (prefill runs b in the
+    hundreds: those blocks then dominate and tiles must shrink)."""
     n_tiles = _valid_tiles(n) if n % 128 == 0 else [n]
     if k % 128 == 0 and (128 % g == 0 or k % 128 == 0):
         k_tiles = [t for t in _valid_tiles(k) if t % g == 0] or [k]
     else:
         k_tiles = [k]
+    budget = 15_000_000
+    # XLA may stage the kernel's FULL output on the vmem stack when it fits
+    # (observed at prefill b=128: f32[128,22016] stack-allocated) — account
+    # for it or the kernel blocks must shrink accordingly
+    full_out = b * n * 4
+    staged_out = full_out if full_out <= 12_000_000 else 0
     best = None
+    fallback = None
     for tn in n_tiles:
         for tk in k_tiles:
             qb = tk * tn * (1 if not packed else 0.5)
             sb = (tk // g) * tn * 2 * 2  # scale+bias, bf16 upper bound
-            if qb + sb > max_block_bytes and not (tn == min(n_tiles) and tk == min(k_tiles)):
-                continue
+            xb = b * tk * 4
+            ob = b * tn * 4
+            vmem = 2 * (qb + sb + xb) + 2 * ob + staged_out
             steps = (n // tn) * (k // tk)
             score = (steps, -(qb + sb))
+            if fallback is None or (qb + sb + xb + ob) < fallback[0]:
+                fallback = (qb + sb + xb + ob, (tn, tk))
+            if vmem > budget:
+                continue
             if best is None or score < best[0]:
                 best = (score, (tn, tk))
-    if best is None:  # nothing fits: smallest blocks
-        return min(n_tiles), min(k_tiles)
+    if best is None:  # nothing fits the model: smallest-footprint blocks
+        return fallback[1]
     return best[1]
 
 
@@ -141,7 +153,7 @@ def qmatmul_pallas_2d(
     # Mosaic: block last dims must be multiples of (8-ish, 128) or span the
     # whole array; tile_k also must divide into whole quant groups.
     if tile_n is None and tile_k is None:
-        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed)
+        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed, b)
     else:
         tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
         tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
@@ -304,7 +316,7 @@ def qmatmul_pallas_stacked(
     b = x.shape[0]
 
     if tile_n is None and tile_k is None:
-        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed)
+        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed, b)
     else:
         tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
         tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k

