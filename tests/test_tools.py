@@ -129,3 +129,33 @@ def test_quantize_gguf_with_search(tiny, tmp_path):
     assert stats["tensors"] > 0
     r = GGUFReader(dst)
     assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q4_K
+
+
+def test_trace_forward_records(rng):
+    """eval-callback equivalent: one record per layer + embd/norm/logits,
+    stats finite, callback invoked (eval-callback.cpp:161 pattern)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from eagle_tpu.models.hf_convert import params_from_hf_llama
+    from eagle_tpu.tools.trace import trace_forward
+
+    torch.manual_seed(4)
+    model = transformers.LlamaForCausalLM(
+        transformers.LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+            attn_implementation="eager",
+        )
+    ).eval()
+    params, cfg = params_from_hf_llama(model)
+    seen = []
+    recs = trace_forward(params, cfg, rng.integers(0, 64, size=6),
+                         callback=seen.append)
+    names = [r["name"] for r in recs]
+    assert names == ["token_embd", "blk.0.out", "blk.1.out", "result_norm",
+                     "result_output"]
+    assert len(seen) == len(recs)
+    assert not any(r["has_nan"] for r in recs)
+    assert recs[-1]["shape"] == (1, 6, 64)
