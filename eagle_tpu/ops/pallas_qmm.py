@@ -49,6 +49,18 @@ def _valid_tiles(dim: int, multiple_of: int = 128) -> list[int]:
     return out
 
 
+#: v5e has 128 MiB of VMEM; XLA's default *scoped* limit is only 16 MiB, so
+#: every qmm pallas_call raises it explicitly (CompilerParams.vmem_limit_bytes)
+#: to match the tile budget below. Leaving ~2x headroom over the budget keeps
+#: the compiler's own stack allocations (staged full outputs etc.) safe.
+_VMEM_BUDGET = 30_000_000
+_VMEM_LIMIT = 2 * _VMEM_BUDGET
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 @functools.lru_cache(maxsize=None)
 def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[int, int]:
     """Choose (tile_n, tile_k) minimizing grid steps under a VMEM budget.
@@ -64,7 +76,7 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[in
         k_tiles = [t for t in _valid_tiles(k) if t % g == 0] or [k]
     else:
         k_tiles = [k]
-    budget = 15_000_000
+    budget = _VMEM_BUDGET
     # XLA may stage the kernel's FULL output on the vmem stack when it fits
     # (observed at prefill b=128: f32[128,22016] stack-allocated) — account
     # for it or the kernel blocks must shrink accordingly
@@ -193,6 +205,7 @@ def qmatmul_pallas_2d(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
             bytes_accessed=k * n + (k // g) * n * 4 * (2 if w.bias is not None else 1) + b * k * 4,
@@ -277,6 +290,7 @@ def qmatmul_pallas_2d_i4(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((b, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
             bytes_accessed=k * n // 2 + (k // g) * n * 2 * (2 if has_bias else 1) + b * k * 4,
@@ -369,6 +383,7 @@ def qmatmul_pallas_stacked(
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * k * n,
             bytes_accessed=(k // (2 if w.packed else 1)) * n + (k // g) * n * 4 + b * k * 4,
