@@ -121,7 +121,11 @@ class _Converter:
             lines.append(f"root ::= {root}")
         for rname, body in self.rules.items():
             lines.append(f"{rname} ::= {body}")
-        lines.append("ws ::= [ \\t\\n]*")
+        # bounded whitespace like the reference's SPACE_RULE
+        # (json-schema-to-grammar.cpp:267): an unbounded ws rule lets greedy
+        # constrained decoding emit whitespace forever and never close the
+        # object
+        lines.append('ws ::= (" " | "\\n" (" " | "\\t")?)?')
         return "\n".join(lines) + "\n"
 
 

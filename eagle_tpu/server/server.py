@@ -66,6 +66,28 @@ def _sampler_from_request(body: dict[str, Any], default: SamplerConfig) -> Sampl
     )
 
 
+def _tool_system_prompt(tools: list[dict], fmt: str) -> str:
+    """Render tool schemas into a system preamble for templates that don't
+    carry tools natively (the reference's generic handler injects the same
+    kind of JSON tool listing, common/chat.cpp:660-710)."""
+    decls = json.dumps(
+        [t.get("function", t) for t in tools], ensure_ascii=False, indent=None
+    )
+    if fmt == "hermes_2_pro":
+        how = ('To call a tool, reply with '
+               '<tool_call>{"name": <name>, "arguments": <args-object>}</tool_call>')
+    elif fmt == "mistral_nemo":
+        how = ('To call tools, reply with '
+               '[TOOL_CALLS][{"name": <name>, "arguments": <args-object>}]')
+    elif fmt.startswith("llama_3"):
+        how = 'To call a tool, reply with {"name": <name>, "parameters": <args-object>}'
+    else:
+        how = ('Respond with JSON: {"tool_call": {"name": <name>, '
+               '"arguments": <args-object>}} to call a tool, or '
+               '{"response": <text>} to answer directly.')
+    return f"You have access to these tools:\n{decls}\n{how}"
+
+
 def apply_chat_template(messages: list[dict], template: str = "vicuna") -> str:
     """Minimal template application (the reference carries ~30 templates in
     src/llama-chat.cpp; vicuna + chatml cover our target models)."""
@@ -314,13 +336,38 @@ class InferenceServer:
     async def handle_v1_chat(self, request):
         body = await request.json()
         from .chat_templates import apply_template
+        from .tool_calls import build_tool_grammar, detect_format
+        from .tool_calls import parse as parse_tool_output
 
+        jinja_src = self.engine.metadata.get("tokenizer.chat_template")
+        messages = list(body.get("messages", []))
+        tools = body.get("tools") or []
+        tool_choice = body.get("tool_choice", "auto")
+        fmt = "content_only"
+        if tools and tool_choice != "none":
+            # format detection follows the template markers
+            # (common_chat_templates_apply_jinja, common/chat.cpp:1436-1496)
+            fmt = detect_format(jinja_src or "", has_tools=True)
+            messages = [
+                {"role": "system", "content": _tool_system_prompt(tools, fmt)}
+            ] + messages
+            if tool_choice == "required":
+                # constrain generation to a well-formed call (the reference
+                # builds the same schema-derived GBNF, chat.cpp:1356-1378)
+                g, _ = build_tool_grammar(tools, fmt, required=True)
+                body = {**body, "grammar": g.gbnf_source}
         prompt = apply_template(
-            body.get("messages", []),
-            template=body.get("template"),
-            jinja_src=self.engine.metadata.get("tokenizer.chat_template"),
+            messages, template=body.get("template"), jinja_src=jinja_src,
         )
         res = await self._complete(prompt, body)
+        msg = parse_tool_output(res["text"].strip(), fmt if tools else "content_only")
+        message: dict[str, Any] = {"role": "assistant", "content": msg.content or None}
+        if msg.reasoning_content:
+            message["reasoning_content"] = msg.reasoning_content
+        if msg.tool_calls:
+            message["tool_calls"] = [tc.as_openai() for tc in msg.tool_calls]
+        else:
+            message["content"] = res["text"].strip()
         return web.json_response(
             {
                 "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
@@ -330,8 +377,8 @@ class InferenceServer:
                 "choices": [
                     {
                         "index": 0,
-                        "message": {"role": "assistant", "content": res["text"].strip()},
-                        "finish_reason": "stop",
+                        "message": message,
+                        "finish_reason": "tool_calls" if msg.tool_calls else "stop",
                     }
                 ],
             }

@@ -330,3 +330,76 @@ def test_server_streaming(server):
     assert events[-1]["stop"] is True
     assert len(events) >= 2
     assert any(not e["stop"] for e in events)
+
+
+@pytest.fixture(scope="module")
+def tool_server(tiny_gguf_pair):
+    """Server with a context large enough for the injected tool schemas
+    (the tiny vocab tokenizes the JSON decls byte-by-byte)."""
+    import asyncio
+
+    import jax.numpy as jnp
+    from aiohttp import web
+
+    from eagle_tpu.api import Engine, EngineConfig
+    from eagle_tpu.server.server import InferenceServer
+
+    tgt, _ = tiny_gguf_pair
+    eng = Engine(EngineConfig(model_path=tgt, max_seq=1024,
+                              compute_dtype=jnp.float32, kv_dtype=jnp.float32))
+    srv = InferenceServer(eng, model_name="tiny")
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        runner = web.AppRunner(srv.build_app())
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield base
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_server_tool_calls_required(tool_server):
+    """tools + tool_choice=required: grammar-constrained output parses into
+    an OpenAI tool_calls message (common/chat.cpp generic handler path)."""
+    res = _post(
+        tool_server + "/v1/chat/completions",
+        {
+            "messages": [{"role": "user", "content": "add 1 and 2"}],
+            "max_tokens": 100,
+            "temperature": 0,
+            "tool_choice": "required",
+            "tools": [{
+                "type": "function",
+                "function": {
+                    "name": "add",
+                    "parameters": {
+                        "type": "object",
+                        "properties": {"a": {"type": "integer"}},
+                        "required": ["a"],
+                    },
+                },
+            }],
+        },
+    )
+    choice = res["choices"][0]
+    assert choice["finish_reason"] == "tool_calls", choice
+    tc = choice["message"]["tool_calls"][0]
+    assert tc["function"]["name"] == "add"
+    json.loads(tc["function"]["arguments"])
