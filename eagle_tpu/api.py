@@ -33,6 +33,7 @@ class EngineConfig:
     batch: int = 1  # >1 enables continuous-batching slots (needs draft_path)
     n_draft: int = 5  # chain draft length
     tree_branching: tuple[int, ...] | None = None  # enables tree mode
+    lookahead: tuple[int, int, int] | None = None  # (W, N, G) — model-free lookahead decoding
     backend: str | None = None  # 'xla' | 'pallas'
     compute_dtype: Any = jnp.bfloat16
     kv_dtype: Any = jnp.bfloat16
@@ -78,6 +79,16 @@ class Engine:
                 from .runtime.scheduler import ContinuousBatcher
 
                 self.batcher = ContinuousBatcher(self.engine)
+        elif cfg.lookahead:
+            from .runtime.lookahead import LookaheadEngine
+
+            w_, n_, g_ = cfg.lookahead
+            self.engine = LookaheadEngine(
+                self.params, self.model_cfg, W=w_, N=n_, G=g_,
+                max_seq=cfg.max_seq, compute_dtype=cfg.compute_dtype,
+                kv_dtype=cfg.kv_dtype, backend=cfg.backend,
+                eos_id=self.tokenizer.eos_id,
+            )
         else:
             self.engine = Generator(
                 self.params, self.model_cfg, max_seq=cfg.max_seq,

@@ -20,6 +20,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--draft", default=None, help="EAGLE draft GGUF (enables speculation)")
     ap.add_argument("--n-draft", type=int, default=5, help="chain draft length")
     ap.add_argument("--tree", default=None, help="tree branching factors, e.g. 4,2,2")
+    ap.add_argument("--lookahead", default=None, metavar="W,N,G",
+                    help="model-free lookahead decoding (examples/lookahead), e.g. 8,4,8")
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--lora", default=None, help="LoRA adapter GGUF (merged at load)")
     ap.add_argument("--lora-scale", type=float, default=None)
@@ -57,6 +59,7 @@ def main(argv=None):
         lora_scale=args.lora_scale,
         n_draft=args.n_draft,
         tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
+        lookahead=tuple(int(x) for x in args.lookahead.split(",")) if args.lookahead else None,
         max_seq=args.ctx,
         backend=args.backend,
         feature_source=args.feature_source,
@@ -79,6 +82,12 @@ def main(argv=None):
         print(
             f"[speculative] accept_rate={stats['accept_rate']:.3f} "
             f"mean_accept_len={stats['mean_accept_len']:.2f} cycles={stats['n_cycles']}",
+            file=sys.stderr,
+        )
+    if stats and "tokens_per_step" in stats:
+        print(
+            f"[lookahead] tokens_per_step={stats['tokens_per_step']:.2f} "
+            f"n_accept={stats['n_accept']} steps={stats['n_steps']}",
             file=sys.stderr,
         )
     return 0
