@@ -150,6 +150,88 @@ class Engine:
 
     # ------------------------------------------------------------------
 
+    def infill(
+        self,
+        input_prefix: str,
+        input_suffix: str,
+        max_new_tokens: int = 128,
+        spm_infill: bool = False,
+        seed: int = 0,
+        top_k: int = 64,
+    ) -> str:
+        """Fill-in-the-middle completion (examples/infill + the /infill server
+        endpoint). The prompt is [FIM_PRE]prefix[FIM_SUF]suffix[FIM_MID]
+        (or SPM order), and each step runs the reference's infill sampler
+        transform over the top-k candidates (src/llama-sampling.cpp:2246)."""
+        import numpy as np
+
+        from .models.llama import llama_forward
+        from .runtime.infill import (
+            fim_tokens_from_metadata,
+            format_infill,
+            infill_filter,
+        )
+        from .runtime.kvcache import causal_mask_from_tags
+
+        pieces = [self.tokenizer.piece(i) for i in range(self.model_cfg.vocab_size)]
+        fim = fim_tokens_from_metadata(self.metadata, pieces)
+        if fim is None:
+            raise ValueError("model vocab has no FIM tokens — cannot infill")
+        pre_ids = self.tokenizer.encode(input_prefix, add_bos=False)
+        suf_ids = self.tokenizer.encode(input_suffix, add_bos=False)
+        ids = format_infill(
+            pre_ids, suf_ids, fim, spm_infill=spm_infill,
+            bos_id=self.tokenizer.bos_id, add_bos=getattr(self.tokenizer, "add_bos", False),
+        )
+        is_eog = np.zeros(self.model_cfg.vocab_size, bool)
+        if self.tokenizer.eos_id >= 0:
+            is_eog[self.tokenizer.eos_id] = True
+        eot = self.metadata.get("tokenizer.ggml.eot_token_id")
+        eot_id = int(eot) if eot is not None else self.tokenizer.eos_id
+        if eot is not None:
+            is_eog[int(eot)] = True
+
+        gen = self._plain_generator()
+        from .runtime.generate import pad_bucket
+
+        n = len(ids)
+        t = pad_bucket(n)
+        padded = np.zeros((1, t), np.int32)
+        padded[0, :n] = ids
+        gen.kv = gen.kv.rollback(keep_below=jnp.zeros((1,), jnp.int32))
+        logits, _, gen.kv = gen._prefill_jit(
+            gen.params, gen.kv, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t
+        )
+        rng = np.random.default_rng(seed)
+        out: list[int] = []
+        pos = n
+        logits = np.asarray(logits)[0]
+        for _ in range(max_new_tokens):
+            p = np.exp(logits - logits.max())
+            p /= p.sum()
+            cand = np.argsort(-p)[:top_k]
+            f_ids, f_p = infill_filter(cand, p[cand], pieces, is_eog, eot_id)
+            tok = int(f_ids[int(np.argmax(f_p))]) if self.cfg.sampler.greedy else int(
+                rng.choice(f_ids, p=f_p / f_p.sum())
+            )
+            if is_eog[tok]:
+                break
+            out.append(tok)
+            if pos + 1 >= self.cfg.max_seq:
+                break
+            p_arr = jnp.full((1, 1), pos, jnp.int32)
+            gen.kv = gen.kv.with_tags(p_arr, p_arr)
+            m = causal_mask_from_tags(gen.kv.slot_pos, p_arr)
+            fo = llama_forward(
+                self.params, self.model_cfg, jnp.full((1, 1), tok, jnp.int32),
+                p_arr, gen.kv, p_arr, m,
+                backend=self.cfg.backend, compute_dtype=self.cfg.compute_dtype,
+            )
+            gen.kv = fo.kv
+            logits = np.asarray(fo.logits)[0, 0]
+            pos += 1
+        return self.tokenizer.decode(out, skip_special=True)
+
     def embed(self, texts: list[str], pooling: str = "mean", normalize: bool = True):
         """Sequence embeddings (llama-embedding equivalent: pooled hidden
         states; pooling mean|last)."""

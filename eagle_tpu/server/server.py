@@ -384,6 +384,27 @@ class InferenceServer:
             }
         )
 
+    async def handle_infill(self, request):
+        """Fill-in-the-middle endpoint (server.cpp's /infill): input_prefix +
+        input_suffix -> middle completion via the FIM special tokens."""
+        body = await request.json()
+        self.metrics.requests_total += 1
+
+        def work():
+            return self.engine.infill(
+                body.get("input_prefix", ""),
+                body.get("input_suffix", ""),
+                max_new_tokens=int(body.get("n_predict", body.get("max_tokens", 128))),
+                spm_infill=bool(body.get("spm_infill", False)),
+                seed=int(body.get("seed", 0)),
+            )
+
+        try:
+            content = await self._run(work)
+        except ValueError as e:  # vocab without FIM tokens
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({"content": content, "stop": True})
+
     async def handle_v1_embeddings(self, request):
         body = await request.json()
         inputs = body.get("input", body.get("content", ""))
@@ -467,6 +488,7 @@ class InferenceServer:
         app.router.add_post("/completion", self.handle_completion)
         app.router.add_post("/v1/completions", self.handle_v1_completions)
         app.router.add_post("/v1/chat/completions", self.handle_v1_chat)
+        app.router.add_post("/infill", self.handle_infill)
         app.router.add_post("/v1/embeddings", self.handle_v1_embeddings)
         app.router.add_post("/embedding", self.handle_v1_embeddings)
         app.router.add_get("/slots", self.handle_slots)
