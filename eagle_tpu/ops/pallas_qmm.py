@@ -217,9 +217,11 @@ def qmatmul_pallas_2d(
 
 def _qmm_kernel_i4(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype):
     """int4-dtype variant: the nibble unpack is a hardware convert (i4 -> bf16)
-    instead of widen/shift/mask/concat on the VPU — ~2x fewer VPU ops per
-    weight, which is the decode bottleneck (dequant is VPU-bound, not
-    HBM-bound, at 7B shapes)."""
+    instead of widen/shift/mask/concat on the VPU.
+
+    MEASURED SLOWER than the packed-int8 kernel on v5e (264 vs 383 GB/s
+    effective, tools/kernel_bench.py) — the S4 loads/converts don't beat the
+    manual dequant on this toolchain. Kept for the record."""
     tk, tn = q_ref.shape
     w = q_ref[:].astype(compute_dtype).reshape(tk // group, group, tn)
     w = w * s_ref[:].astype(compute_dtype)[:, None, :]
@@ -391,6 +393,86 @@ def qmatmul_pallas_stacked(
         ),
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, *args[1:])
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k")
+)
+def qmatmul_pallas_stacked_i4(
+    x: jax.Array,  # [B, K]
+    w: QTensor,  # layout "kn", stacked q [L, K, N] int4
+    layer: jax.Array,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    tile_n: int | None = None,
+    tile_k: int | None = None,
+) -> jax.Array:
+    """Layer-indexed matmul over int4-dtype stacked weights.
+
+    MEASURED DEAD END on v5e (tools/kernel_bench.py, 2026-08-18): the
+    hardware int4->bf16 convert path runs at 217 GB/s effective vs 374 GB/s
+    for the nibble-packed int8 kernel — the S4 vector loads/converts are
+    slower than the manual widen/shift/mask dequant. Kept for the record and
+    for future toolchains where the S4 path improves."""
+    assert w.layout == "kn" and w.q.dtype == jnp.int4
+    g = w.group
+    L, k, n = w.q.shape
+    b = x.shape[0]
+    if tile_n is None and tile_k is None:
+        tile_n, tile_k = _pick_tiles_2d(k, n, g, True, b)
+    else:
+        tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
+        tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
+    if tile_k % g != 0:
+        tile_k = k
+    grid = (n // tile_n, k // tile_k)
+    in_specs = [
+        pl.BlockSpec((b, tile_k), lambda i, j, l: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_k, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w.q, w.scale]
+    has_bias = w.bias is not None
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w.bias)
+
+    def kernel(l_ref, x_ref, q_ref, s_ref, *rest):
+        if has_bias:
+            b_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+            b_ref = None
+        _qmm_kernel_i4(
+            x_ref,
+            _squeeze_lead(q_ref),
+            _squeeze_lead(s_ref),
+            None if b_ref is None else _squeeze_lead(b_ref),
+            o_ref,
+            group=g,
+            compute_dtype=compute_dtype,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((b, tile_n), lambda l, i, j: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * k * n,
+            bytes_accessed=k * n // 2 + (k // g) * n * 4 + b * k * 4,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, *args[1:])
 
 
 class _SqueezedRef:

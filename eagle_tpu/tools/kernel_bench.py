@@ -71,28 +71,28 @@ def main(argv=None):
 
     x0 = jnp.asarray(rng.standard_normal((B, K)) * 0.1, jnp.float32)
 
-    def chain(matmul_fn, n_steps, prepare=None):
+    def chain(matmul_fn, n_steps, prepare=None, with_step=False):
         # weights are jit ARGUMENTS (closure capture would bake GB-scale
         # constants into the program and force host transfers)
         def run(x, *weights):
             if prepare is not None:  # one-time transform, amortized over scan
                 weights = prepare(*weights)
 
-            def step(x, _):
-                out = matmul_fn(x, *weights)
+            def step(x, i):
+                out = matmul_fn(x, i, *weights) if with_step else matmul_fn(x, *weights)
                 # fold output back: depends on every output element, bounded
                 x = x + jnp.tanh(jnp.sum(out, axis=-1, keepdims=True)) * 1e-3
                 return x, None
 
-            x, _ = jax.lax.scan(step, x, None, length=n_steps)
+            x, _ = jax.lax.scan(step, x, jnp.arange(n_steps, dtype=jnp.int32))
             return jnp.sum(x)
 
         return run
 
-    def bench(name, matmul_fn, weights, bytes_per_call, prepare=None):
+    def bench(name, matmul_fn, weights, bytes_per_call, prepare=None, with_step=False):
         fns = {}
         for n_steps in (args.small, args.big):
-            fns[n_steps] = jax.jit(chain(matmul_fn, n_steps, prepare))
+            fns[n_steps] = jax.jit(chain(matmul_fn, n_steps, prepare, with_step))
         times = {args.small: [], args.big: []}
         for n_steps, f in fns.items():  # compile both first
             np.asarray(f(x0, *weights))
@@ -137,6 +137,37 @@ def main(argv=None):
                         bias=w8.bias, group=G, layout="kn"),
             ),
         )
+    if "stacked" in variants:
+        # the decode path's layer-indexed scalar-prefetch kernel, L=2 stack,
+        # alternating layer per step — isolates the prefetch-vs-2d cost
+        from ..ops.pallas_qmm import qmatmul_pallas_stacked
+
+        q2 = np.stack([packed_np.view(np.int8)] * 2)
+        s2 = np.stack([scale] * 2).astype(np.float32)
+        b2 = np.stack([bias] * 2).astype(np.float32)
+        qt_st = QTensor(q=jnp.asarray(q2), scale=jnp.asarray(s2, jnp.bfloat16),
+                        bias=jnp.asarray(b2, jnp.bfloat16), group=G, layout="kn",
+                        packed=True)
+        bench("q4-stacked",
+              lambda x, i, w: qmatmul_pallas_stacked(x, w, i % 2),
+              (qt_st,), bytes_q4, with_step=True)
+    if "i4stacked" in variants:
+        from ..ops.pallas_qmm import qmatmul_pallas_stacked_i4
+
+        q8_2 = np.stack([q_codes] * 2)
+        s2 = np.stack([scale] * 2).astype(np.float32)
+        # fold the -8 zero-point into the bias (w = s*(c-8) + (b+8s))
+        b2 = np.stack([bias + 8.0 * scale] * 2).astype(np.float32)
+        # the relay can't pass S4 jit arguments (device_put recursion): ship
+        # int8 codes and convert once inside the jit, amortized over the scan
+        qt_i8st = QTensor(q=jnp.asarray(q8_2), scale=jnp.asarray(s2, jnp.bfloat16),
+                          bias=jnp.asarray(b2, jnp.bfloat16), group=G, layout="kn")
+        bench("q4-i4stack",
+              lambda x, i, w: qmatmul_pallas_stacked_i4(x, w, i % 2),
+              (qt_i8st,), bytes_q4, with_step=True,
+              prepare=lambda w8: (QTensor(
+                  q=(w8.q - 8).astype(jnp.int4), scale=w8.scale, bias=w8.bias,
+                  group=G, layout="kn"),))
     if "tiles" in variants:
         # tile-size sweep on the packed kernel: fewer/larger grid steps won
         # in the split4 probe — find the sweet spot
