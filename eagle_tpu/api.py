@@ -232,6 +232,60 @@ class Engine:
             pos += 1
         return self.tokenizer.decode(out, skip_special=True)
 
+    def rerank(self, query: str, documents: list[str]) -> list[float]:
+        """Relevance scores query→documents (the reference's /rerank with
+        LLAMA_POOLING_TYPE_RANK, src/llama.cpp:1560-1585).
+
+        Each document is scored over the reference's rerank prompt
+        [BOS] query [EOS] [SEP] doc [EOS] (server/utils.hpp:233-245). With a
+        classification head in the GGUF (`cls`/`cls_out` tensors) the score is
+        the rank-pooling head over the pooled hidden state; without one
+        (causal LLMs) the score falls back to embedding cosine similarity —
+        the reference simply refuses in that case, asserting model.cls."""
+        import numpy as np
+
+        cls_w = self.params.get("cls")
+        if cls_w is None:
+            qv = self.embed([query])[0]
+            dvs = self.embed(documents)
+            return [float(np.dot(qv, dv)) for dv in dvs]
+
+        from .models.llama import llama_forward
+        from .runtime.generate import pad_bucket
+        from .runtime.kvcache import KVCache, causal_mask_from_tags
+
+        tok = self.tokenizer
+        sep = self.metadata.get("tokenizer.ggml.seperator_token_id")
+        sep_id = int(sep) if sep is not None else tok.eos_id
+        q_ids = tok.encode(query, add_bos=False)
+        scores = []
+        for doc in documents:
+            d_ids = tok.encode(doc, add_bos=False)
+            ids = [tok.bos_id] + q_ids + [tok.eos_id, sep_id] + d_ids + [tok.eos_id]
+            n = len(ids)
+            t = pad_bucket(n)
+            padded = np.zeros((1, t), np.int32)
+            padded[0, :n] = ids
+            kv = KVCache.create(
+                self.model_cfg.n_layers, 1, t, self.model_cfg.n_kv_heads,
+                self.model_cfg.head_dim, self.cfg.kv_dtype,
+            )
+            pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (1, 1))
+            kv = kv.with_tags(pos, pos, valid=pos < n)
+            mask = causal_mask_from_tags(kv.slot_pos, pos)
+            fo = llama_forward(
+                self.params, self.model_cfg, jnp.asarray(padded), pos, kv, pos,
+                mask, backend=self.cfg.backend,
+                compute_dtype=self.cfg.compute_dtype, return_logits=False,
+            )
+            h = np.asarray(fo.hidden)[0, 0]  # CLS-position pooled state
+            x = np.tanh(np.asarray(cls_w, np.float32) @ h + np.asarray(self.params.get("cls_b"), np.float32))
+            out_w = self.params.get("cls_out")
+            if out_w is not None:
+                x = np.asarray(out_w, np.float32) @ x + np.asarray(self.params.get("cls_out_b"), np.float32)
+            scores.append(float(np.asarray(x).reshape(-1)[0]))
+        return scores
+
     def embed(self, texts: list[str], pooling: str = "mean", normalize: bool = True):
         """Sequence embeddings (llama-embedding equivalent: pooled hidden
         states; pooling mean|last)."""

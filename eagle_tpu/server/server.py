@@ -405,6 +405,29 @@ class InferenceServer:
             return web.json_response({"error": str(e)}, status=400)
         return web.json_response({"content": content, "stop": True})
 
+    async def handle_rerank(self, request):
+        """Jina/TEI-style rerank endpoint (server.cpp:4221 handle_rerank):
+        {"query": ..., "documents"|"texts": [...], "top_n": k}."""
+        body = await request.json()
+        query = body.get("query")
+        if not isinstance(query, str):
+            return web.json_response({"error": '"query" must be a string'}, status=400)
+        docs = body.get("documents") or body.get("texts") or []
+        if not docs:
+            return web.json_response(
+                {"error": '"documents" must be a non-empty string array'}, status=400
+            )
+        self.metrics.requests_total += 1
+        scores = await self._run(lambda: self.engine.rerank(query, docs))
+        ranked = sorted(range(len(docs)), key=lambda i: -scores[i])
+        top_n = int(body.get("top_n", len(docs)))
+        results = [
+            {"index": i, "relevance_score": scores[i]}
+            | ({"document": {"text": docs[i]}} if body.get("return_documents") else {})
+            for i in ranked[:top_n]
+        ]
+        return web.json_response({"model": self.model_name, "results": results})
+
     async def handle_v1_embeddings(self, request):
         body = await request.json()
         inputs = body.get("input", body.get("content", ""))
@@ -489,6 +512,8 @@ class InferenceServer:
         app.router.add_post("/v1/completions", self.handle_v1_completions)
         app.router.add_post("/v1/chat/completions", self.handle_v1_chat)
         app.router.add_post("/infill", self.handle_infill)
+        app.router.add_post("/rerank", self.handle_rerank)
+        app.router.add_post("/v1/rerank", self.handle_rerank)
         app.router.add_post("/v1/embeddings", self.handle_v1_embeddings)
         app.router.add_post("/embedding", self.handle_v1_embeddings)
         app.router.add_get("/slots", self.handle_slots)

@@ -403,3 +403,30 @@ def test_server_tool_calls_required(tool_server):
     tc = choice["message"]["tool_calls"][0]
     assert tc["function"]["name"] == "add"
     json.loads(tc["function"]["arguments"])
+
+
+def test_server_rerank(tool_server):
+    """Jina/TEI rerank endpoint: scores + ranking come back; a relevant doc
+    (sharing tokens with the query) outranks an unrelated one under the
+    cosine fallback."""
+    res = _post(
+        tool_server + "/v1/rerank",
+        {"query": "hello world", "documents": ["hello world", "dcba"],
+         "return_documents": True},
+    )
+    results = res["results"]
+    assert len(results) == 2
+    assert {r["index"] for r in results} == {0, 1}
+    assert results[0]["relevance_score"] >= results[1]["relevance_score"]
+    assert "text" in results[0]["document"]
+    # TEI format + top_n
+    res2 = _post(tool_server + "/rerank",
+                 {"query": "hello", "texts": ["a", "b", "c"], "top_n": 1})
+    assert len(res2["results"]) == 1
+    # error paths
+    import urllib.error
+    try:
+        _post(tool_server + "/rerank", {"documents": ["a"]})
+        assert False, "missing query should 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
