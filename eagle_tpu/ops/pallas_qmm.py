@@ -104,12 +104,20 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[in
     return best[1]
 
 
-def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype, packed: bool):
+def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
+                packed: bool, xs_ref=None):
     """One (TILE_K, TILE_N) weight tile: dequant on VPU, matmul on MXU.
 
     x: [B, TILE_K]; q: [TILE_K, TILE_N] int8 (or [TILE_K/2, TILE_N] nibble-
     packed); s, b: [TILE_K/G, TILE_N] f32; o: [B, TILE_N] f32 (accumulated
-    across the K grid dim)."""
+    across the K grid dim).
+
+    The per-group bias never touches the per-weight dequant: since b is
+    constant within a group, x @ broadcast(b) == xsum_g @ b with
+    xsum_g[b, g] = sum of x over group g — a [B, TK/G] x [TK/G, TN] side dot
+    (xs_ref, computed outside the kernel). That removes one add and one
+    sublane-broadcast per weight from the VPU hot loop, which is the measured
+    wall (NOTES.md round-2 kernel findings)."""
     if packed:
         tkp, tn = q_ref.shape
         tk = 2 * tkp
@@ -123,8 +131,6 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
         tk, tn = q_ref.shape
         w = q_ref[:].astype(jnp.float32).reshape(tk // group, group, tn)
     w = w * s_ref[:].astype(jnp.float32)[:, None, :]
-    if b_ref is not None:
-        w = w + b_ref[:].astype(jnp.float32)[:, None, :]
     w = w.reshape(tk, tn).astype(compute_dtype)
     acc = jax.lax.dot_general(
         x_ref[:].astype(compute_dtype),
@@ -132,14 +138,31 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if b_ref is not None:
+        # xs_ref and b_ref carry the FULL K/G group extent (K/G is rarely
+        # 128-aligned, so neither can be block-split along it; both blocks
+        # stay resident across the K grid steps). One whole-K bias dot on the
+        # first K step covers every group.
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            o_ref[:] = acc + jax.lax.dot_general(
+                xs_ref[:].astype(compute_dtype),
+                b_ref[:].astype(compute_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        o_ref[:] = acc
+        @pl.when(pl.program_id(1) != 0)
+        def _():
+            o_ref[:] = o_ref[:] + acc
+    else:
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            o_ref[:] = acc
 
-    @pl.when(pl.program_id(1) != 0)
-    def _():
-        o_ref[:] = o_ref[:] + acc
+        @pl.when(pl.program_id(1) != 0)
+        def _():
+            o_ref[:] = o_ref[:] + acc
 
 
 @functools.partial(
@@ -182,21 +205,28 @@ def qmatmul_pallas_2d(
         pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
     ]
     args = [x, w.q, w.scale]  # scale/bias stream at their stored dtype
-    if w.bias is not None:
+    has_bias = w.bias is not None
+    if has_bias:
+        # full-K bias block (resident across K steps; see _qmm_kernel)
         in_specs.append(
-            pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((k // g, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(w.bias)
-        kernel = functools.partial(
-            _qmm_kernel, group=g, compute_dtype=compute_dtype, packed=w.packed
+        # per-group sums of x for the factored-out bias dot (see _qmm_kernel);
+        # whole-array block — K/G lane extents aren't 128-aligned in general
+        in_specs.append(
+            pl.BlockSpec((b, k // g), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
         )
-    else:
-        kernel = functools.partial(
-            lambda xr, qr, sr, orf, **kw: _qmm_kernel(xr, qr, sr, None, orf, **kw),
-            group=g,
-            compute_dtype=compute_dtype,
-            packed=w.packed,
-        )
+        args.append(x.reshape(b, k // g, g).sum(axis=-1))
+
+    def kernel(x_ref, q_ref, s_ref, *rest):
+        if has_bias:
+            b_ref, xs_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+            b_ref = xs_ref = None
+        _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, group=g,
+                    compute_dtype=compute_dtype, packed=w.packed, xs_ref=xs_ref)
 
     out = pl.pallas_call(
         kernel,
@@ -352,17 +382,22 @@ def qmatmul_pallas_stacked(
     args = [x, w.q, w.scale]
     has_bias = w.bias is not None
     if has_bias:
+        # full-K bias block (resident across K steps; see _qmm_kernel)
         in_specs.append(
-            pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, k // g, tile_n), lambda i, j, l: (l[0], 0, i), memory_space=pltpu.VMEM)
         )
         args.append(w.bias)
+        in_specs.append(
+            pl.BlockSpec((b, k // g), lambda i, j, l: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(x.reshape(b, k // g, g).sum(axis=-1))
 
     def kernel(l_ref, x_ref, q_ref, s_ref, *rest):
         if has_bias:
-            b_ref, o_ref = rest
+            b_ref, xs_ref, o_ref = rest
         else:
             (o_ref,) = rest
-            b_ref = None
+            b_ref = xs_ref = None
         _qmm_kernel(
             x_ref,
             _squeeze_lead(q_ref),
@@ -372,6 +407,7 @@ def qmatmul_pallas_stacked(
             group=g,
             compute_dtype=compute_dtype,
             packed=w.packed,
+            xs_ref=xs_ref,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

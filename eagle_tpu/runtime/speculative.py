@@ -74,6 +74,7 @@ class EagleChainEngine:
         kv_dtype=jnp.bfloat16,
         compute_dtype=jnp.bfloat16,
         backend: str | None = None,
+        draft_backend: str | None = None,
         feature_source: str = "post_norm",  # "post_norm" (fork) | "pre_norm" (official)
         sampler: SamplerConfig | None = None,
         eos_id: int = 2,
@@ -86,6 +87,12 @@ class EagleChainEngine:
         self.batch = batch
         self.compute_dtype = compute_dtype
         self.backend = backend
+        #: backend for the EAGLE draft forwards only. The L=1 draft runs
+        #: tiny matmuls inside a lax.scan where the pallas kernels showed
+        #: pathological Mosaic behavior on TPU (NOTES.md round-1 known
+        #: issue); 'xla' sidesteps it at negligible cost (the draft is
+        #: ~1/32 of the cycle's weight traffic). Defaults to `backend`.
+        self.draft_backend = backend if draft_backend is None else draft_backend
         self.feature_source = feature_source
         self.scfg = sampler or SamplerConfig(greedy=True)
         self.eos_id = eos_id
@@ -154,7 +161,8 @@ class EagleChainEngine:
         d_mask = causal_mask_from_tags(dft_kv.slot_pos, positions)
         dout = eagle_forward(
             dp, tp, self.dcfg, d_tokens, d_feats, positions, dft_kv,
-            positions, d_mask, backend=self.backend, compute_dtype=self.compute_dtype,
+            positions, d_mask, backend=self.draft_backend,
+            compute_dtype=self.compute_dtype,
             return_logits=False,
         )
 
@@ -207,7 +215,7 @@ class EagleChainEngine:
         d_mask = causal_mask_from_tags(dft_kv.slot_pos, d_pos)
         dout = eagle_forward(
             dp, tp, self.dcfg, tokens, d_feats, d_pos, dft_kv, d_pos, d_mask,
-            backend=self.backend, compute_dtype=self.compute_dtype,
+            backend=self.draft_backend, compute_dtype=self.compute_dtype,
             return_logits=False,
         )
 
@@ -244,7 +252,8 @@ class EagleChainEngine:
             mask = causal_mask_from_tags(dkv.slot_pos, pos)
             out = eagle_forward(
                 dp, tp, self.dcfg, tok[:, None], feat[:, None], pos,
-                dkv, pos, mask, backend=self.backend, compute_dtype=self.compute_dtype,
+                dkv, pos, mask, backend=self.draft_backend,
+                compute_dtype=self.compute_dtype,
             )
             nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
             feat_next = self._pick_feature(out.feature, out.feature_pre)[:, 0]

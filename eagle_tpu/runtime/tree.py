@@ -151,7 +151,7 @@ class EagleTreeEngine(EagleChainEngine):
             mask = _tree_mask(dft_kv.slot_pos, pos, d_base[:, 0], ids, self._anc, N)
             out = eagle_forward(
                 dp, tp, self.dcfg, toks, feats, pos, dft_kv, slots, mask,
-                backend=self.backend, compute_dtype=self.compute_dtype,
+                backend=self.draft_backend, compute_dtype=self.compute_dtype,
             )
             dft_kv = out.kv
             feat_out = self._pick_feature(out.feature, out.feature_pre)

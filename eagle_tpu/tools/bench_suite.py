@@ -37,6 +37,7 @@ def main(argv=None):
     ap.add_argument("--batch", default="1")
     ap.add_argument("--spec", action="store_true", help="include EAGLE cycle bench")
     ap.add_argument("--n-draft", type=int, default=5)
+    ap.add_argument("--draft-backend", default=None, choices=[None, "xla", "pallas"])
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--max-seq", type=int, default=1024)
     args = ap.parse_args(argv)
@@ -116,7 +117,8 @@ def main(argv=None):
         dparams = synth_eagle_params(dcfg, seed=1)
         dparams = jax.tree_util.tree_map(jnp.asarray, dparams)
         eng = EagleChainEngine(params, dparams, cfg, dcfg, n_draft=args.n_draft,
-                               max_seq=args.max_seq, backend="pallas", eos_id=-1)
+                               max_seq=args.max_seq, backend="pallas",
+                               draft_backend=args.draft_backend, eos_id=-1)
         st = eng.fresh_state()
         pt = jnp.zeros((1, 16), jnp.int32)
         st = eng._prefill_jit(st, pt, jnp.asarray([8], np.int32), t=16)
