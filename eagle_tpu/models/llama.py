@@ -208,14 +208,19 @@ def llama_forward(
     backend: str | None = None,
     compute_dtype=jnp.bfloat16,
     return_logits: bool = True,
+    input_embeds: jax.Array | None = None,
 ) -> ForwardOutput:
     """Run the transformer.
 
     `hidden` is the post-final-norm hidden state (the reference's `result_norm`
     tensor — what the fork hands to EAGLE, src/llama.cpp:10426); `hidden_pre`
     is the raw last-layer output (what official EAGLE checkpoints were trained
-    on as the feature)."""
-    x = embed_lookup(params["tok_embd"], tokens)
+    on as the feature).
+
+    `input_embeds` [B, T, D], when given, replaces the token-embedding lookup
+    (llama_batch.embd, src/llama-batch.h — the multimodal path where llava
+    splices image-projector rows between text embeddings)."""
+    x = input_embeds if input_embeds is not None else embed_lookup(params["tok_embd"], tokens)
     if cfg.embd_scale != 1.0:  # gemma: embeddings scaled by sqrt(n_embd)
         x = x * jnp.asarray(cfg.embd_scale, x.dtype)
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
