@@ -73,7 +73,12 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[in
     hundreds: those blocks then dominate and tiles must shrink)."""
     n_tiles = _valid_tiles(n) if n % 128 == 0 else [n]
     if k % 128 == 0 and (128 % g == 0 or k % 128 == 0):
-        k_tiles = [t for t in _valid_tiles(k) if t % g == 0] or [k]
+        # the scale/bias blocks have sublane extent tile_k/g — Mosaic requires
+        # it divisible by 8 unless the block spans the whole array
+        k_tiles = [
+            t for t in _valid_tiles(k)
+            if t % g == 0 and ((t // g) % 8 == 0 or t == k)
+        ] or [k]
     else:
         k_tiles = [k]
     budget = _VMEM_BUDGET
