@@ -91,12 +91,16 @@ def main():
     # latency (e.g. a TPU relay), so measure two chunk lengths and use the
     # difference; int(toks[...]) forces a real device sync each time.
     pos = len(prompt)
+    # one attention-read bucket for every slope point (same compiled program);
+    # tg-style decode reads only the live prefix of the cache, like the
+    # reference's n_kv-sized graph (BASELINE tg128 attends over <=128+ctx)
+    kv_limit = gen2.kv_read_bucket(pos + 2 * (args.warmup + args.steps))
     times = {}
     for steps in (args.warmup, args.steps, args.warmup, args.steps):
         t0 = time.time()
         toks, gen2.kv, _ = gen2._decode_jit(
             gen2.params, gen2.kv, tok, jnp.asarray([pos], jnp.int32), key, scfg,
-            n_steps=steps,
+            n_steps=steps, kv_limit=kv_limit,
         )
         tok = toks[:, -1]
         int(tok[0])  # hard sync

@@ -51,6 +51,7 @@ def eagle_forward(
     backend: str | None = None,
     compute_dtype=jnp.bfloat16,
     return_logits: bool = True,
+    kv_limit: int | None = None,  # static attention-read bound (see llama_forward)
 ) -> EagleOutput:
     emb = embed_lookup(draft_params["tok_embd"], tokens)
     fused = jnp.concatenate([emb, features.astype(emb.dtype)], axis=-1)
@@ -60,9 +61,13 @@ def eagle_forward(
     x = jax.nn.relu(x)
 
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    if kv_limit is not None:
+        kv_limit = min(kv_limit, mask.shape[-1])
+        mask = mask[..., :kv_limit]
     x, k_c, v_c, k_s, v_s = _layer_step(
         cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
         x, draft_params["layers"], jnp.int32(0), kv.k, kv.v, kv.k_scale, kv.v_scale,
+        kv_limit=kv_limit,
     )
     kv = dataclasses.replace(kv, k=k_c, v=v_c, k_scale=k_s, v_scale=v_s)
 

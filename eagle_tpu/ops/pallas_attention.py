@@ -81,11 +81,16 @@ def _flash_kernel(l_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, s_ref, acc
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "s_block"))
-def _flash_call(q_hm, k_cache, v_cache, mask_rows, layer, scale, interpret=False, s_block=512):
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "s_block", "s_limit"))
+def _flash_call(q_hm, k_cache, v_cache, mask_rows, layer, scale, interpret=False,
+                s_block=512, s_limit=None):
     b, h_kv, tgp, d = q_hm.shape
     L = k_cache.shape[0]
-    s = k_cache.shape[3]
+    # s_limit (static) bounds the S grid: only cache blocks [0, s_limit) are
+    # DMA'd — the caller guarantees every visible tag lives below it. The
+    # BlockSpec index maps are unchanged; blocks past the limit simply never
+    # come up in the grid.
+    s = s_limit if s_limit is not None else k_cache.shape[3]
     sb = _pick_tile(s, s_block, 128)
     hb = 8 if h_kv % 8 == 0 else (h_kv if h_kv <= 8 else _pick_tile(h_kv, 8, 1))
     grid = (b, h_kv // hb, s // sb)
@@ -125,12 +130,14 @@ def flash_attention_cached(
     q: jax.Array,  # [B, T, H, D]
     k_cache: jax.Array,  # [L, B, H_kv, S, D]
     v_cache: jax.Array,
-    mask: jax.Array,  # [B, T, S] bool
+    mask: jax.Array,  # [B, T, S_read] bool — S_read == s_limit when bounded
     layer: jax.Array,  # scalar layer index
     scale: float | None = None,
     interpret: bool = False,
+    s_limit: int | None = None,
 ) -> jax.Array:
-    """Returns [B, T, H, D] f32."""
+    """Returns [B, T, H, D] f32. `s_limit` (static) bounds the cache read to
+    slots [0, s_limit); `mask` must already be sliced to that extent."""
     b, t, h, d = q.shape
     h_kv = k_cache.shape[2]
     g = h // h_kv
@@ -145,7 +152,8 @@ def flash_attention_cached(
         q_hm = jnp.pad(q_hm, ((0, 0), (0, 0), (0, tgp - tg), (0, 0)))
         mask_rows = jnp.pad(mask_rows, ((0, 0), (0, tgp - tg), (0, 0)))
 
-    out = _flash_call(q_hm, k_cache, v_cache, mask_rows, layer, scale, interpret=interpret)
+    out = _flash_call(q_hm, k_cache, v_cache, mask_rows, layer, scale,
+                      interpret=interpret, s_limit=s_limit)
     out = out[:, :, :tg].reshape(b, h_kv, t, g, d).transpose(0, 2, 1, 3, 4)
     return out.reshape(b, t, h, d)
 

@@ -47,8 +47,15 @@ class Generator:
         )
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",), donate_argnames=("kv",))
         self._decode_jit = jax.jit(
-            self._decode_chunk, static_argnames=("n_steps", "scfg"), donate_argnames=("kv",)
+            self._decode_chunk, static_argnames=("n_steps", "scfg", "kv_limit"),
+            donate_argnames=("kv",),
         )
+
+    def kv_read_bucket(self, slot_end: int) -> int:
+        """Static attention-read bound for a chunk whose highest written cache
+        slot is < slot_end (see llama_forward kv_limit). Power-of-two buckets
+        from 128 bound recompiles to log2(max_seq/128) program variants."""
+        return min(self.max_seq, pad_bucket(slot_end, 128))
 
     # ---- compiled bodies --------------------------------------------------
 
@@ -63,12 +70,13 @@ class Generator:
         out = llama_forward(
             params, self.cfg, tokens, positions, kv, positions, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
+            kv_limit=min(self.max_seq, max(t, 128)),
         )
         last = n_valid - 1
         b_idx = jnp.arange(b)
         return out.logits[b_idx, last], out.hidden[b_idx, last], out.kv
 
-    def _decode_chunk(self, params, kv: KVCache, first_token, start_pos, key, scfg: SamplerConfig, n_steps: int, sampler_state: SamplerState | None = None, start_slot=None):
+    def _decode_chunk(self, params, kv: KVCache, first_token, start_pos, key, scfg: SamplerConfig, n_steps: int, sampler_state: SamplerState | None = None, start_slot=None, kv_limit: int | None = None):
         """Greedy/sampled decode of n_steps tokens inside one scan; with a
         stateful sampler config, penalties/mirostat state rides the carry.
 
@@ -86,6 +94,7 @@ class Generator:
             fo = llama_forward(
                 params, self.cfg, tok[:, None], p, kv, sl, mask,
                 backend=self.backend, compute_dtype=self.compute_dtype,
+                kv_limit=kv_limit,
             )
             kv = fo.kv
             key, sub = jax.random.split(key)
@@ -250,6 +259,7 @@ class Generator:
                     jnp.full((self.batch,), pos, jnp.int32), sub, scfg,
                     n_steps=steps, sampler_state=sstate,
                     start_slot=jnp.full((self.batch,), slot, jnp.int32),
+                    kv_limit=self.kv_read_bucket(slot + steps),
                 )
                 for tk in np.asarray(toks)[0].tolist():
                     out.append(int(tk))
@@ -277,6 +287,7 @@ class Generator:
             toks, self.kv, sstate = self._decode_jit(
                 self.params, self.kv, tok, jnp.full((self.batch,), pos, jnp.int32),
                 sub, scfg, n_steps=steps, sampler_state=sstate,
+                kv_limit=self.kv_read_bucket(pos + steps),
             )
             chunk_toks = np.asarray(toks)[0].tolist()
             for tk in chunk_toks:

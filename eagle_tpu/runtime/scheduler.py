@@ -245,8 +245,13 @@ class ContinuousBatcher:
             self._advance_prefill()
         if self.n_active == 0:
             return
+        # static attention-read bound: every slot's tags live below
+        # max(n_past) + K + 2 after this cycle (n_past [B] is tiny — the sync
+        # is subsumed by the res.tokens sync just below)
+        hint = int(np.asarray(self.state.n_past).max()) + self.engine.K + 2
         res = self.engine._cycle_jit(
-            self.state, active=jnp.asarray(self._active_mask)
+            self.state, active=jnp.asarray(self._active_mask),
+            kv_limit=self.engine.kv_read_bucket(hint),
         )
         self.state = res.state
         toks = np.asarray(res.tokens)

@@ -107,15 +107,23 @@ class EagleChainEngine:
         # closure-captured arrays become XLA constants, which bloats compiles
         # catastrophically for GB-scale weights)
         self._prefill_c = jax.jit(self._prefill, static_argnames=("t",))
-        self._cycle_c = jax.jit(self._cycle, donate_argnames=("state",))
+        self._cycle_c = jax.jit(
+            self._cycle, static_argnames=("kv_limit",), donate_argnames=("state",)
+        )
         self._prefill_jit = lambda state, tokens, n_valid, t: self._prefill_c(
             self.tp, self.dp, state, tokens, n_valid, t=t
         )
-        self._cycle_jit = lambda state, bs=None, active=None: self._cycle_c(
+        self._cycle_jit = lambda state, bs=None, active=None, kv_limit=None: self._cycle_c(
             self.tp, self.dp, state,
             bs if bs is not None else self.bsampler,
             active if active is not None else jnp.ones((self.batch,), bool),
+            kv_limit=kv_limit,
         )
+
+    def kv_read_bucket(self, slot_end: int) -> int:
+        """Static attention-read bound covering cache slots < slot_end (see
+        llama_forward kv_limit); power-of-two buckets from 128."""
+        return min(self.max_seq, pad_bucket(max(slot_end, 1), 128))
 
     # ------------------------------------------------------------------
 
@@ -145,11 +153,13 @@ class EagleChainEngine:
         positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
         valid = positions < n_valid[:, None]
 
+        lim = min(self.max_seq, max(t, 128))
         tgt_kv = state.tgt_kv.with_tags(positions, positions, valid=valid)
         mask = causal_mask_from_tags(tgt_kv.slot_pos, positions)
         tout = llama_forward(
             tp, self.tcfg, tokens, positions, tgt_kv, positions, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
+            kv_limit=lim,
         )
         feats = self._pick_feature(tout.hidden, tout.hidden_pre)
 
@@ -163,7 +173,7 @@ class EagleChainEngine:
             dp, tp, self.dcfg, d_tokens, d_feats, positions, dft_kv,
             positions, d_mask, backend=self.draft_backend,
             compute_dtype=self.compute_dtype,
-            return_logits=False,
+            return_logits=False, kv_limit=lim,
         )
 
         b_idx = jnp.arange(b)
@@ -239,7 +249,7 @@ class EagleChainEngine:
     # ------------------------------------------------------------------
 
     def _cycle(self, tp, dp, state: SpecState, bs: BatchedSamplerParams,
-               active: jax.Array) -> CycleOutput:
+               active: jax.Array, kv_limit: int | None = None) -> CycleOutput:
         b, K = self.batch, self.K
         b_idx = jnp.arange(b)
         m = state.n_past  # [B]
@@ -253,7 +263,7 @@ class EagleChainEngine:
             out = eagle_forward(
                 dp, tp, self.dcfg, tok[:, None], feat[:, None], pos,
                 dkv, pos, mask, backend=self.draft_backend,
-                compute_dtype=self.compute_dtype,
+                compute_dtype=self.compute_dtype, kv_limit=kv_limit,
             )
             nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
             feat_next = self._pick_feature(out.feature, out.feature_pre)[:, 0]
@@ -272,6 +282,7 @@ class EagleChainEngine:
         tout = llama_forward(
             tp, self.tcfg, v_tokens, v_pos, tgt_kv, v_pos, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
+            kv_limit=kv_limit,
         )
 
         # ---- 3. accept longest exact-match prefix ----
@@ -344,9 +355,10 @@ class EagleChainEngine:
         n_drafted = 0
         n_accepted = 0
         while len(out) < max_new_tokens and not (stop_at_eos and out[-1] == self.eos_id):
-            if int(np.asarray(state.n_past)[0]) + self.K + 2 >= self.max_seq:
+            n_past = int(np.asarray(state.n_past)[0])
+            if n_past + self.K + 2 >= self.max_seq:
                 break
-            res = self._cycle_jit(state)
+            res = self._cycle_jit(state, kv_limit=self.kv_read_bucket(n_past + self.K + 2))
             state = res.state
             toks = np.asarray(res.tokens)[0]
             k = int(np.asarray(res.n_out)[0])

@@ -119,12 +119,17 @@ class EagleTreeEngine(EagleChainEngine):
         self._anc = jnp.asarray(self.tree.ancestor)
         self._depth = jnp.asarray(self.tree.depth)
         self._parent = jnp.asarray(self.tree.parent)
-        self._cycle_c = jax.jit(self._tree_cycle, donate_argnames=("state",))
-        self._cycle_jit = lambda state: self._cycle_c(self.tp, self.dp, state)
+        self._cycle_c = jax.jit(
+            self._tree_cycle, static_argnames=("kv_limit",), donate_argnames=("state",)
+        )
+        self._cycle_jit = lambda state, kv_limit=None: self._cycle_c(
+            self.tp, self.dp, state, kv_limit=kv_limit
+        )
 
     # ------------------------------------------------------------------
 
-    def _tree_cycle(self, tp, dp, state: SpecState) -> CycleOutput:
+    def _tree_cycle(self, tp, dp, state: SpecState,
+                    kv_limit: int | None = None) -> CycleOutput:
         tree = self.tree
         b = self.batch
         b_idx = jnp.arange(b)
@@ -152,6 +157,7 @@ class EagleTreeEngine(EagleChainEngine):
             out = eagle_forward(
                 dp, tp, self.dcfg, toks, feats, pos, dft_kv, slots, mask,
                 backend=self.draft_backend, compute_dtype=self.compute_dtype,
+                kv_limit=kv_limit,
             )
             dft_kv = out.kv
             feat_out = self._pick_feature(out.feature, out.feature_pre)
@@ -176,6 +182,7 @@ class EagleTreeEngine(EagleChainEngine):
         tout = llama_forward(
             tp, self.tcfg, node_tokens, v_pos, tgt_kv, v_slots, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
+            kv_limit=kv_limit,
         )
         # target decision per node: argmax (greedy) or one sampler-chain draw —
         # the stochastic tree acceptance of the reference's tree example

@@ -96,10 +96,14 @@ def main(argv=None):
             jnp.tile(jnp.arange(8, dtype=jnp.int32), (b, 1)),
         )
 
-        def run_tg(n, gen=gen, b=b):
+        # one read-bucket across the slope points (8 warmup + 8+tg measured)
+        lim = gen.kv_read_bucket(8 + 8 + 2 * (8 + tg))
+
+        def run_tg(n, gen=gen, b=b, lim=lim):
             toks, gen.kv, _ = gen._decode_jit(
                 gen.params, gen.kv, state["tok"], jnp.full((b,), state["pos"], jnp.int32),
                 jax.random.PRNGKey(0), SamplerConfig(greedy=True), n_steps=n,
+                kv_limit=lim,
             )
             state["pos"] += n
             state["tok"] = toks[:, -1]
@@ -124,9 +128,13 @@ def main(argv=None):
         st = eng._prefill_jit(st, pt, jnp.asarray([8], np.int32), t=16)
         box = {"st": st}
 
+        # one read-bucket for all slope points (same compiled program): 8
+        # prompt tokens + <=10 cycles x (K+1) slots stays under 128
+        lim = eng.kv_read_bucket(8 + 10 * (args.n_draft + 2))
+
         def run_cycle(n, eng=eng):
             for _ in range(n):
-                res = eng._cycle_jit(box["st"])
+                res = eng._cycle_jit(box["st"], kv_limit=lim)
                 box["st"] = res.state
             int(np.asarray(res.n_out)[0])
 

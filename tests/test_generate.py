@@ -80,6 +80,21 @@ def test_sampled_generation_reproducible(tiny, rng):
     assert a == b
 
 
+def test_bounded_kv_reads_match_full_reads(tiny, rng):
+    """kv_limit (static attention-read bound, llama_forward) must be
+    invisible in the token stream: decoding with per-chunk 128-buckets over a
+    512-slot cache equals decoding that reads the whole cache every step."""
+    _, params, mcfg = tiny
+    prompt = rng.integers(0, 128, size=9).tolist()
+    bounded = Generator(params, mcfg, max_seq=512, compute_dtype=jnp.float32, eos_id=-1)
+    assert bounded.kv_read_bucket(10) == 128  # the bound genuinely < max_seq
+    full = Generator(params, mcfg, max_seq=512, compute_dtype=jnp.float32, eos_id=-1)
+    full.kv_read_bucket = lambda slot_end: full.max_seq  # read everything
+    a = bounded.generate(prompt, max_new_tokens=12, stop_at_eos=False, chunk=5)
+    b = full.generate(prompt, max_new_tokens=12, stop_at_eos=False, chunk=5)
+    assert a == b
+
+
 def test_context_shift_matches_truncated_prefill(tiny, rng):
     """After a shift, continued decoding must equal decoding from a fresh
     prefill of the kept+shifted tokens (rope consistency)."""
