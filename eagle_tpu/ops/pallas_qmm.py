@@ -61,16 +61,32 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
+#: kernel-time model constants, calibrated against a (tile_n, tile_k) sweep
+#: on v5e (tools/tile_sweep.py, 2026-08-18): achievable stream bandwidth for
+#: the fused dequant-matmul, per-grid-step overhead, and the extra cost of a
+#: K-split revisiting its output block (accumulate read-modify-write + the
+#: pl.when branch). Sum of picked-config times across the four 7B decode
+#: shapes lands within 3.1 us of the sweep's true optima (vs +35 us/layer for
+#: the round-1 minimize-steps objective, which chose single-step grids whose
+#: first-block DMA ramp was unoverlapped — the "down 2-step bubble").
+_BW_STREAM = 600e9
+_C_STEP = 0.1e-6
+_C_KREV = 0.3e-6
+
+
 @functools.lru_cache(maxsize=None)
 def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[int, int]:
-    """Choose (tile_n, tile_k) minimizing grid steps under a VMEM budget.
+    """Choose (tile_n, tile_k) minimizing MODELED kernel time under a VMEM
+    budget:
 
-    Measured on v5e (tools/kernel_bench.py --variants tiles): per-grid-step
-    overhead dominates the fused dequant-matmul at decode batch sizes — an
-    86-step grid ran at 368 GB/s effective where an 8-step grid with ~2.8 MB
-    blocks hit 508 GB/s. The budget model covers double-buffered weight
-    blocks plus the batch-dependent x/out blocks (prefill runs b in the
-    hundreds: those blocks then dominate and tiles must shrink)."""
+        t = (weight + x + out traffic)/BW        -- streaming
+          + first_block/BW                       -- pipeline ramp (unoverlapped)
+          + C_STEP * steps + C_KREV * k_revisits -- per-step overheads
+
+    x is re-fetched once per n-tile (its block index cycles with the K grid
+    dim), so large b (prefill) pushes toward wide tile_n; the ramp term pushes
+    toward ~1-3 MB blocks instead of the budget-filling single-step grids the
+    round-1 picker chose."""
     n_tiles = _valid_tiles(n) if n % 128 == 0 else [n]
     if k % 128 == 0 and (128 % g == 0 or k % 128 == 0):
         # the scale/bias blocks have sublane extent tile_k/g — Mosaic requires
@@ -97,7 +113,14 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[in
             ob = b * tn * 4
             vmem = 2 * (qb + sb + xb) + 2 * ob + staged_out
             steps = (n // tn) * (k // tk)
-            score = (steps, -(qb + sb))
+            k_revisits = (n // tn) * (k // tk - 1)
+            w_traffic = (qb + sb) * steps
+            x_traffic = b * 4 * k * (n // tn)
+            score = (
+                (w_traffic + x_traffic + b * n * 4 + qb + sb + xb) / _BW_STREAM
+                + _C_STEP * steps
+                + _C_KREV * k_revisits
+            )
             if fallback is None or (qb + sb + xb + ob) < fallback[0]:
                 fallback = (qb + sb + xb + ob, (tn, tk))
             if vmem > budget:

@@ -1,0 +1,123 @@
+"""Per-shape (tile_n, tile_k) sweep for the stacked qmm kernel on TPU.
+
+Calibrates the kernel-time model used by ops.pallas_qmm._pick_tiles_2d:
+
+    t = bytes/BW_stream + first_block_bytes/BW_stream (ramp) + C_STEP*steps + C_FIX
+
+The ramp term exists because the first weight block's DMA cannot overlap any
+compute; grid steps after that are double-buffered. Minimizing *steps* (the
+round-1 objective) makes blocks huge and the ramp dominate — the measured
+"2-step pipeline bubble" on the down projection (NOTES.md).
+
+Usage: python -m eagle_tpu.tools.tile_sweep [--shapes qkv,wo,gu,down]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import time
+
+
+SHAPES = {
+    "qkv": (4096, 12288),
+    "wo": (4096, 4096),
+    "gu": (4096, 22016),
+    "down": (11008, 4096),
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", default="qkv,wo,gu,down")
+    ap.add_argument("--b", type=int, default=8)
+    ap.add_argument("--group", type=int, default=32)
+    ap.add_argument("--small", type=int, default=64)
+    ap.add_argument("--big", type=int, default=512)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.pallas_qmm import _valid_tiles, qmatmul_pallas_stacked
+    from ..quant.qtensor import QTensor
+
+    B, G = args.b, args.group
+    rng = np.random.default_rng(0)
+
+    for shape_name in args.shapes.split(","):
+        K, N = SHAPES[shape_name]
+        q_codes = rng.integers(0, 16, size=(K, N), dtype=np.int8)
+        scale = (rng.standard_normal((K // G, N)) * 0.01).astype(np.float32)
+        bias = (rng.standard_normal((K // G, N)) * 0.001).astype(np.float32)
+        half = G // 2
+        q_np = q_codes.astype(np.uint8).reshape(K // G, G, N)
+        packed = (q_np[:, :half] | (q_np[:, half:] << 4)).reshape(K // 2, N)
+        qt = QTensor(
+            q=jnp.asarray(np.stack([packed.view(np.int8)] * 2)),
+            scale=jnp.asarray(np.stack([scale] * 2), jnp.bfloat16),
+            bias=jnp.asarray(np.stack([bias] * 2), jnp.bfloat16),
+            group=G, layout="kn", packed=True,
+        )
+        x0 = jnp.asarray(rng.standard_normal((B, K)) * 0.1, jnp.float32)
+        bytes_q4 = K * N // 2 + (K // G) * N * 2 * 2
+
+        # candidate tiles: every (tn, tk) with ramp-friendly blocks <= ~8MB
+        tns = _valid_tiles(N)
+        tks = [t for t in _valid_tiles(K, 128)
+               if t % G == 0 and ((t // G) % 8 == 0 or t == K)]
+        cands = []
+        for tn in tns:
+            for tk in tks:
+                qb = tk * tn // 2
+                steps = (N // tn) * (K // tk)
+                if qb > 9_000_000 or qb < 250_000 or steps > 64:
+                    continue
+                cands.append((tn, tk))
+
+        def chain(n_steps, tn, tk):
+            def run(x, w):
+                def step(x, i):
+                    out = qmatmul_pallas_stacked(x, w, i % 2, tile_n=tn, tile_k=tk)
+                    return x + jnp.tanh(jnp.sum(out, -1, keepdims=True)) * 1e-3, None
+
+                x, _ = jax.lax.scan(step, x, jnp.arange(n_steps, dtype=jnp.int32))
+                return jnp.sum(x)
+
+            return jax.jit(run)
+
+        print(f"== {shape_name} K={K} N={N} ({bytes_q4/1e6:.1f} MB) ==", flush=True)
+        results = []
+        for tn, tk in cands:
+            try:
+                fs = chain(args.small, tn, tk)
+                fb = chain(args.big, tn, tk)
+                np.asarray(fs(x0, qt)); np.asarray(fb(x0, qt))
+                ts, tb = [], []
+                for _ in range(3):
+                    t0 = time.time(); np.asarray(fs(x0, qt)); ts.append(time.time() - t0)
+                    t0 = time.time(); np.asarray(fb(x0, qt)); tb.append(time.time() - t0)
+                per = (min(tb) - min(ts)) / (args.big - args.small)
+                gbs = bytes_q4 / per / 1e9
+                steps = (N // tn) * (K // tk)
+                results.append((per, tn, tk))
+                print(f"  tn={tn:>6} tk={tk:>6} steps={steps:>3}: "
+                      f"{per*1e6:7.1f} us  {gbs:6.1f} GB/s", flush=True)
+            except Exception as e:  # noqa: BLE001 — sweep must survive bad tiles
+                print(f"  tn={tn:>6} tk={tk:>6}: FAILED {type(e).__name__}", flush=True)
+        if results:
+            per, tn, tk = min(results)
+            print(f"  BEST: tn={tn} tk={tk} {per*1e6:.1f} us "
+                  f"({bytes_q4/per/1e9:.1f} GB/s)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
