@@ -54,6 +54,10 @@ class ModelConfig:
     attn_scale: float | None = None
     # FFN activation: "silu" (llama) | "gelu" (gemma)
     act: str = "silu"
+    # MoE router weighting: False = softmax over the selected top-k only
+    # (mixtral); True = softmax over ALL experts, then top-k without
+    # renormalization (qwen2moe — build_qwen2moe, src/llama.cpp)
+    moe_softmax_all: bool = False
 
     @property
     def n_q_dim(self) -> int:
@@ -113,4 +117,12 @@ class ModelConfig:
                 else None
             ),
             act="gelu" if arch.startswith("gemma") else "silu",
+            moe_softmax_all=(arch in ("qwen2moe", "qwen3moe")),
         )
+
+
+#: archs whose GGUF q/k rows carry the adjacent-pair rope permutation
+#: (reference convert_hf_to_gguf.py LlamaModel.permute; rope type NORM in
+#: src/llama-model.cpp). NEOX-rope archs (qwen*, gemma*, phi3, olmo2, ...)
+#: store rows in the HF half-split layout and must NOT be (un)permuted.
+PERMUTED_ROPE_ARCHS = frozenset({"llama", "mixtral", "eagle", "vicuna"})

@@ -256,6 +256,134 @@ def params_from_hf_phi3(model) -> tuple[dict, ModelConfig]:
 # ---------------------------------------------------------------------------
 
 
+def params_from_hf_qwen3(model) -> tuple[dict, ModelConfig]:
+    """transformers Qwen3ForCausalLM -> runtime pytree: per-head q/k rms norms
+    (build_qwen3 in upstream llama.cpp; attn_q_norm/attn_k_norm [head_dim]),
+    head_dim decoupled from n_embd/n_heads, no attention biases."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(config_from_hf(model.config), arch="qwen3")
+    sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+    layers: dict[str, list] = {
+        k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "attn_q_norm",
+                        "attn_k_norm", "ffn_norm", "w_gate", "w_up", "w_down")
+    }
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}"
+        layers["attn_norm"].append(sd[f"{p}.input_layernorm.weight"])
+        layers["wq"].append(sd[f"{p}.self_attn.q_proj.weight"])
+        layers["wk"].append(sd[f"{p}.self_attn.k_proj.weight"])
+        layers["wv"].append(sd[f"{p}.self_attn.v_proj.weight"])
+        layers["wo"].append(sd[f"{p}.self_attn.o_proj.weight"])
+        layers["attn_q_norm"].append(sd[f"{p}.self_attn.q_norm.weight"])
+        layers["attn_k_norm"].append(sd[f"{p}.self_attn.k_norm.weight"])
+        layers["ffn_norm"].append(sd[f"{p}.post_attention_layernorm.weight"])
+        layers["w_gate"].append(sd[f"{p}.mlp.gate_proj.weight"])
+        layers["w_up"].append(sd[f"{p}.mlp.up_proj.weight"])
+        layers["w_down"].append(sd[f"{p}.mlp.down_proj.weight"])
+    params = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "output_norm": sd["model.norm.weight"],
+        "output": sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params), cfg
+
+
+def params_from_hf_olmo2(model) -> tuple[dict, ModelConfig]:
+    """transformers Olmo2ForCausalLM -> runtime pytree: post-norm-only blocks
+    (x + attn_post_norm(attn(x)); no pre-norms — build_olmo2 in upstream
+    llama.cpp) and FLAT q/k rms norms over the whole projection [H*Dh]."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dataclasses.replace(config_from_hf(model.config), arch="olmo2")
+    sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+    layers: dict[str, list] = {
+        k: [] for k in ("wq", "wk", "wv", "wo", "attn_q_norm", "attn_k_norm",
+                        "post_attn_norm", "post_ffn_norm",
+                        "w_gate", "w_up", "w_down")
+    }
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}"
+        layers["wq"].append(sd[f"{p}.self_attn.q_proj.weight"])
+        layers["wk"].append(sd[f"{p}.self_attn.k_proj.weight"])
+        layers["wv"].append(sd[f"{p}.self_attn.v_proj.weight"])
+        layers["wo"].append(sd[f"{p}.self_attn.o_proj.weight"])
+        layers["attn_q_norm"].append(sd[f"{p}.self_attn.q_norm.weight"])
+        layers["attn_k_norm"].append(sd[f"{p}.self_attn.k_norm.weight"])
+        layers["post_attn_norm"].append(sd[f"{p}.post_attention_layernorm.weight"])
+        layers["post_ffn_norm"].append(sd[f"{p}.post_feedforward_layernorm.weight"])
+        layers["w_gate"].append(sd[f"{p}.mlp.gate_proj.weight"])
+        layers["w_up"].append(sd[f"{p}.mlp.up_proj.weight"])
+        layers["w_down"].append(sd[f"{p}.mlp.down_proj.weight"])
+    params = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "output_norm": sd["model.norm.weight"],
+        "output": sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params), cfg
+
+
+def params_from_hf_qwen2moe(model) -> tuple[dict, ModelConfig]:
+    """transformers Qwen2MoeForCausalLM -> runtime pytree: softmax-all router
+    without top-k renorm + shared expert with sigmoid gate (build_qwen2moe,
+    src/llama.cpp; tensors ffn_*_shexp / ffn_gate_inp_shexp)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    hc = model.config
+    cfg = dataclasses.replace(
+        config_from_hf(hc), arch="qwen2moe", attn_bias=True,
+        n_expert=hc.num_experts, n_expert_used=hc.num_experts_per_tok,
+        moe_softmax_all=True,
+    )
+    sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+    E = cfg.n_expert
+    keys = ("attn_norm", "wq", "wk", "wv", "wo", "bqkv", "ffn_norm",
+            "ffn_gate_inp", "w_gate_exps", "w_up_exps", "w_down_exps",
+            "ffn_gate_inp_shexp", "w_gate_shexp", "w_up_shexp", "w_down_shexp")
+    layers: dict[str, list] = {k: [] for k in keys}
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}"
+        layers["attn_norm"].append(sd[f"{p}.input_layernorm.weight"])
+        layers["wq"].append(sd[f"{p}.self_attn.q_proj.weight"])
+        layers["wk"].append(sd[f"{p}.self_attn.k_proj.weight"])
+        layers["wv"].append(sd[f"{p}.self_attn.v_proj.weight"])
+        layers["wo"].append(sd[f"{p}.self_attn.o_proj.weight"])
+        layers["bqkv"].append(np.concatenate([
+            sd[f"{p}.self_attn.q_proj.bias"],
+            sd[f"{p}.self_attn.k_proj.bias"],
+            sd[f"{p}.self_attn.v_proj.bias"],
+        ]))
+        layers["ffn_norm"].append(sd[f"{p}.post_attention_layernorm.weight"])
+        layers["ffn_gate_inp"].append(sd[f"{p}.mlp.gate.weight"])
+        for ours, hf_w in (("w_gate_exps", "gate_proj"), ("w_up_exps", "up_proj"),
+                           ("w_down_exps", "down_proj")):
+            layers[ours].append(np.stack(
+                [sd[f"{p}.mlp.experts.{e}.{hf_w}.weight"] for e in range(E)]
+            ))
+        layers["ffn_gate_inp_shexp"].append(sd[f"{p}.mlp.shared_expert_gate.weight"])
+        layers["w_gate_shexp"].append(sd[f"{p}.mlp.shared_expert.gate_proj.weight"])
+        layers["w_up_shexp"].append(sd[f"{p}.mlp.shared_expert.up_proj.weight"])
+        layers["w_down_shexp"].append(sd[f"{p}.mlp.shared_expert.down_proj.weight"])
+    params = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "output_norm": sd["model.norm.weight"],
+        "output": sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params), cfg
+
+
 def _default_qtype_for(name: str, w: np.ndarray, qtype: GGMLType) -> GGMLType:
     # 1-D tensors and norms stay f32 (same policy as llama_model_quantize's
     # default rules, src/llama-quant.cpp)
@@ -308,8 +436,16 @@ def convert_hf_to_gguf(
                 w.add(key, val)
 
     sd = {k: _to_np(v) for k, v in state_dict.items()}
-    q_perm = permute_rows(cfg.n_q_dim, cfg.n_heads)
-    k_perm = permute_rows(cfg.n_kv_dim, cfg.n_kv_heads)
+    # only adjacent-pair-rope archs get LlamaModel.permute'd q/k rows in GGUF
+    # (reference convert_hf_to_gguf.py:1596); NEOX-rope archs (qwen*, gemma*,
+    # phi3, olmo2) keep the HF half-split layout
+    from .config import PERMUTED_ROPE_ARCHS
+
+    if arch in PERMUTED_ROPE_ARCHS:
+        q_perm = permute_rows(cfg.n_q_dim, cfg.n_heads)
+        k_perm = permute_rows(cfg.n_kv_dim, cfg.n_kv_heads)
+    else:
+        q_perm = k_perm = None
 
     def put(gguf_name: str, hf_name: str, perm: np.ndarray | None = None):
         if hf_name not in sd:
@@ -337,6 +473,7 @@ def convert_hf_to_gguf(
         t = sd[hf_name] + (1.0 if is_gemma2 else 0.0)
         w.add_tensor(gguf_name, t.astype(np.float32))
 
+    is_olmo2 = arch == "olmo2"
     for i in range(cfg.n_layers):
         for ours, suffix in _HF_LAYER_MAP.items():
             if is_eagle and ours == "attn_norm":
@@ -345,12 +482,41 @@ def convert_hf_to_gguf(
 
             if is_gemma2 and ours in ("attn_norm", "ffn_norm"):
                 continue  # handled below with the +1 fold
+            if is_olmo2 and ours in ("attn_norm", "ffn_norm"):
+                continue  # olmo2 is post-norm-only: HF post_attention_layernorm
+                # is a REAL post-attn norm there, not llama's pre-FFN norm
             perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
             put(f"blk.{i}.{LayerKeyMap[ours]}", f"{lp}.{i}.{suffix}", perm)
         # qwen2-style attention biases
         put(f"blk.{i}.attn_q.bias", f"{lp}.{i}.self_attn.q_proj.bias", q_perm)
         put(f"blk.{i}.attn_k.bias", f"{lp}.{i}.self_attn.k_proj.bias", k_perm)
         put(f"blk.{i}.attn_v.bias", f"{lp}.{i}.self_attn.v_proj.bias")
+        # q/k norms: qwen3 (per-head [Dh]) / olmo2 (flat [H*Dh]) — NEOX archs,
+        # so never permuted
+        put(f"blk.{i}.attn_q_norm.weight", f"{lp}.{i}.self_attn.q_norm.weight")
+        put(f"blk.{i}.attn_k_norm.weight", f"{lp}.{i}.self_attn.k_norm.weight")
+        if is_olmo2:
+            put(f"blk.{i}.attn_post_norm.weight",
+                f"{lp}.{i}.post_attention_layernorm.weight")
+            put(f"blk.{i}.ffn_post_norm.weight",
+                f"{lp}.{i}.post_feedforward_layernorm.weight")
+        if f"{lp}.{i}.mlp.gate.weight" in sd:  # qwen2moe router + experts
+            w.add_tensor(f"blk.{i}.ffn_gate_inp.weight", sd[f"{lp}.{i}.mlp.gate.weight"])
+            for gguf_name, hf_w in (("ffn_gate_exps", "gate_proj"),
+                                    ("ffn_down_exps", "down_proj"),
+                                    ("ffn_up_exps", "up_proj")):
+                stacked = np.stack([
+                    sd[f"{lp}.{i}.mlp.experts.{e}.{hf_w}.weight"]
+                    for e in range(cfg.n_expert)
+                ])
+                w.add_tensor(f"blk.{i}.{gguf_name}.weight", stacked)
+            for gguf_name, hf_name in (
+                ("ffn_gate_inp_shexp", "mlp.shared_expert_gate"),
+                ("ffn_gate_shexp", "mlp.shared_expert.gate_proj"),
+                ("ffn_up_shexp", "mlp.shared_expert.up_proj"),
+                ("ffn_down_shexp", "mlp.shared_expert.down_proj"),
+            ):
+                put(f"blk.{i}.{gguf_name}.weight", f"{lp}.{i}.{hf_name}.weight")
         if is_gemma2:  # sandwich norms (gemma2 canonical names, llama-arch.cpp)
             put_norm(f"blk.{i}.attn_norm.weight", f"{lp}.{i}.input_layernorm.weight")
             put_norm(f"blk.{i}.attn_post_norm.weight",

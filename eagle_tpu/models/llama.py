@@ -66,9 +66,15 @@ def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
     k = max(cfg.n_expert_used, 1)
     top_vals, _ = jax.lax.top_k(router, k)
     kth = top_vals[..., -1:]
-    # softmax over the selected experts only (mask the rest to -inf)
-    masked = jnp.where(router >= kth, router, -jnp.inf)
-    probs = jax.nn.softmax(masked, axis=-1)  # zeros for non-top-k
+    if cfg.moe_softmax_all:
+        # qwen2moe (build_qwen2moe): probabilities over ALL experts, the
+        # non-top-k zeroed WITHOUT renormalization
+        probs = jax.nn.softmax(router, axis=-1)
+        probs = jnp.where(router >= kth, probs, 0.0)
+    else:
+        # mixtral: softmax over the selected experts only (mask rest to -inf)
+        masked = jnp.where(router >= kth, router, -jnp.inf)
+        probs = jax.nn.softmax(masked, axis=-1)  # zeros for non-top-k
 
     xe = x.astype(compute_dtype)
     gate = jnp.einsum("btd,efd->btef", xe, layers["w_gate_exps"][li].astype(compute_dtype),
@@ -78,7 +84,21 @@ def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
     h = (act(gate) * up).astype(compute_dtype)
     out = jnp.einsum("btef,edf->bted", h, layers["w_down_exps"][li].astype(compute_dtype),
                      preferred_element_type=jnp.float32)
-    return jnp.einsum("bted,bte->btd", out, probs.astype(out.dtype))
+    moe = jnp.einsum("bted,bte->btd", out, probs.astype(out.dtype))
+
+    if "w_gate_shexp" in layers:  # qwen2moe shared expert + sigmoid gate
+        g = jnp.einsum("btd,fd->btf", xe, layers["w_gate_shexp"][li].astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+        u = jnp.einsum("btd,fd->btf", xe, layers["w_up_shexp"][li].astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+        sh = jnp.einsum("btf,df->btd", (act(g) * u).astype(compute_dtype),
+                        layers["w_down_shexp"][li].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+        gate_logit = jnp.einsum("btd,od->bto", xe,
+                                layers["ffn_gate_inp_shexp"][li].astype(compute_dtype),
+                                preferred_element_type=jnp.float32)
+        moe = moe + sh * jax.nn.sigmoid(gate_logit)
+    return moe
 
 
 def _layer_step(
@@ -123,13 +143,30 @@ def _layer_step(
         if "bqkv" in layers:  # qwen2-style attention biases
             qkv = qkv + layers["bqkv"][li].astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
-        q = q.reshape(b, t, h, dh)
-        k = k.reshape(b, t, h_kv, dh)
-        v = v.reshape(b, t, h_kv, dh)
     else:
-        q = qmatmul_layer(attn_in, layers["wq"], li, backend, compute_dtype).reshape(b, t, h, dh)
-        k = qmatmul_layer(attn_in, layers["wk"], li, backend, compute_dtype).reshape(b, t, h_kv, dh)
-        v = qmatmul_layer(attn_in, layers["wv"], li, backend, compute_dtype).reshape(b, t, h_kv, dh)
+        q = qmatmul_layer(attn_in, layers["wq"], li, backend, compute_dtype)
+        k = qmatmul_layer(attn_in, layers["wk"], li, backend, compute_dtype)
+        v = qmatmul_layer(attn_in, layers["wv"], li, backend, compute_dtype)
+        if "bqkv" in layers:
+            bq, bk, bv = jnp.split(layers["bqkv"][li], [h * dh, (h + h_kv) * dh])
+            q = q + bq.astype(q.dtype)
+            k = k + bk.astype(k.dtype)
+            v = v + bv.astype(v.dtype)
+    if "attn_q_norm" in layers:
+        # olmo2: ONE rms norm across the flat projection (weight [H*Dh])
+        qn, kn = layers["attn_q_norm"][li], layers["attn_k_norm"][li]
+        if qn.shape[-1] == h * dh:
+            q = rms_norm(q, qn, cfg.rms_eps)
+            k = rms_norm(k, kn, cfg.rms_eps)
+    q = q.reshape(b, t, h, dh)
+    k = k.reshape(b, t, h_kv, dh)
+    v = v.reshape(b, t, h_kv, dh)
+    if "attn_q_norm" in layers:
+        # qwen3: per-head rms norm (weight [Dh]), applied before rope
+        qn, kn = layers["attn_q_norm"][li], layers["attn_k_norm"][li]
+        if qn.shape[-1] == dh:
+            q = rms_norm(q, qn, cfg.rms_eps)
+            k = rms_norm(k, kn, cfg.rms_eps)
 
     q = apply_rope(q, positions, inv_freq)
     k = apply_rope(k, positions, inv_freq)
@@ -174,26 +211,55 @@ def _layer_step(
                 q, k_cache[li, :, :, :lim], v_cache[li, :, :, :lim], mask,
                 scale=cfg.attn_scale, softcap=cfg.attn_softcap,
             )
-    attn_out = qmatmul_layer(attn.reshape(b, t, h * dh), layers["wo"], li, backend, compute_dtype)
-    if "post_attn_norm" in layers:  # gemma2 sandwich norm
-        attn_out = rms_norm(attn_out, layers["post_attn_norm"][li], cfg.rms_eps)
-    x = x + attn_out
+    attn_flat = attn.reshape(b, t, h * dh)
 
-    ffn_in = rms_norm(x, layers["ffn_norm"][li], cfg.rms_eps)
-    act = jax.nn.silu if cfg.act == "silu" else partial(jax.nn.gelu, approximate=True)
-    if "ffn_gate_inp" in layers:
-        ffn_out = _moe_ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
+    from ..ops.pallas_ffn import ffn_block_pallas, supports_ffn_block
+
+    d = x.shape[-1]
+    rows = b * t
+    if (
+        backend == "pallas"
+        and rows <= 64  # decode/verify shapes; prefill scratch would blow VMEM
+        and supports_ffn_block(layers, cfg)
+    ):
+        # fused attn-out + FFN megakernel: one pallas call streams Wo,
+        # Wgate_up and Wdown back-to-back; resid/norm/silu stay in VMEM
+        rp = max(8, -(-rows // 8) * 8)
+        a2 = attn_flat.reshape(rows, h * dh)
+        r2 = x.reshape(rows, d)
+        if rp != rows:
+            a2 = jnp.pad(a2, ((0, rp - rows), (0, 0)))
+            r2 = jnp.pad(r2, ((0, rp - rows), (0, 0)))
+        out = ffn_block_pallas(
+            a2, r2, layers["ffn_norm"][li],
+            layers["wo"], layers["w_gate_up"], layers["w_down"], li,
+            rms_eps=cfg.rms_eps, act_fn=cfg.act, compute_dtype=compute_dtype,
+        )
+        x = out[:rows].reshape(b, t, d)
     else:
-        if "w_gate_up" in layers:
-            gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
-            gate, up = jnp.split(gate_up, 2, axis=-1)
+        attn_out = qmatmul_layer(attn_flat, layers["wo"], li, backend, compute_dtype)
+        if "post_attn_norm" in layers:  # gemma2 sandwich norm
+            attn_out = rms_norm(attn_out, layers["post_attn_norm"][li], cfg.rms_eps)
+        x = x + attn_out
+
+        # olmo2 has no pre-FFN norm (post-norm-only block)
+        ffn_in = (
+            rms_norm(x, layers["ffn_norm"][li], cfg.rms_eps) if "ffn_norm" in layers else x
+        )
+        act = jax.nn.silu if cfg.act == "silu" else partial(jax.nn.gelu, approximate=True)
+        if "ffn_gate_inp" in layers:
+            ffn_out = _moe_ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
         else:
-            gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
-            up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
-        ffn_out = qmatmul_layer(act(gate) * up, layers["w_down"], li, backend, compute_dtype)
-    if "post_ffn_norm" in layers:
-        ffn_out = rms_norm(ffn_out, layers["post_ffn_norm"][li], cfg.rms_eps)
-    x = x + ffn_out
+            if "w_gate_up" in layers:
+                gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
+                gate, up = jnp.split(gate_up, 2, axis=-1)
+            else:
+                gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
+                up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
+            ffn_out = qmatmul_layer(act(gate) * up, layers["w_down"], li, backend, compute_dtype)
+        if "post_ffn_norm" in layers:
+            ffn_out = rms_norm(ffn_out, layers["post_ffn_norm"][li], cfg.rms_eps)
+        x = x + ffn_out
     if "cvec" in layers:  # control vector (llama_adapter_cvec.apply_to, src/llama-adapter.cpp)
         x = x + layers["cvec"][li].astype(x.dtype)
     return x, k_cache, v_cache, k_scale, v_scale

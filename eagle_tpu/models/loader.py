@@ -114,14 +114,22 @@ def load_llama_params(
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
 
-    q_perm = unpermute_rows(cfg.n_q_dim, cfg.n_heads)
-    k_perm = unpermute_rows(cfg.n_kv_dim, cfg.n_kv_heads)
+    from .config import PERMUTED_ROPE_ARCHS
+
+    # only adjacent-pair-rope archs carry LlamaModel.permute'd q/k rows in
+    # GGUF; NEOX-rope archs are already in the runtime's half-split layout
+    permuted = cfg.arch in PERMUTED_ROPE_ARCHS
+    q_perm = unpermute_rows(cfg.n_q_dim, cfg.n_heads) if permuted else None
+    k_perm = unpermute_rows(cfg.n_kv_dim, cfg.n_kv_heads) if permuted else None
 
     is_moe = "blk.0.ffn_gate_inp.weight" in reader.tensors
-    # optional per-arch tensors (gemma2 sandwich norms; MoE router + experts)
+    # optional per-arch tensors (gemma2 sandwich norms; q/k norms; MoE router
+    # + experts; qwen2moe shared expert)
     optional = {
         "post_attn_norm": "attn_post_norm.weight",
         "post_ffn_norm": "ffn_post_norm.weight",
+        "attn_q_norm": "attn_q_norm.weight",
+        "attn_k_norm": "attn_k_norm.weight",
     }
     key_map = dict(LayerKeyMap)
     if is_moe:
@@ -132,7 +140,16 @@ def load_llama_params(
             w_gate_exps="ffn_gate_exps.weight",
             w_up_exps="ffn_up_exps.weight",
             w_down_exps="ffn_down_exps.weight",
+            # qwen2moe shared expert + its sigmoid gate
+            ffn_gate_inp_shexp="ffn_gate_inp_shexp.weight",
+            w_gate_shexp="ffn_gate_shexp.weight",
+            w_up_shexp="ffn_up_shexp.weight",
+            w_down_shexp="ffn_down_shexp.weight",
         )
+    # norms may be absent per arch (olmo2 has no pre-norms; eagle no attn_norm)
+    for norm_key in ("attn_norm", "ffn_norm"):
+        if f"blk.0.{key_map[norm_key]}" not in reader.tensors:
+            optional[norm_key] = key_map.pop(norm_key)
 
     layers: dict[str, list] = {k: [] for k in key_map}
     for i in range(cfg.n_layers):
@@ -144,16 +161,25 @@ def load_llama_params(
             name = f"blk.{i}.{suffix}"
             if name in reader.tensors:
                 # router/experts load dense (expert weights are 3-D; MoE
-                # quantized storage decodes to dense here)
-                layers.setdefault(ours, []).append(reader.tensor_f32(name))
+                # quantized storage decodes to dense here). A FLAT q/k norm
+                # (olmo2: one weight across all heads) follows its
+                # projection's row order — permute along for permuted archs.
+                w = reader.tensor_f32(name)
+                if permuted and ours == "attn_q_norm" and w.size == cfg.n_q_dim:
+                    w = w[q_perm]
+                if permuted and ours == "attn_k_norm" and w.size == cfg.n_kv_dim:
+                    w = w[k_perm]
+                layers.setdefault(ours, []).append(w)
 
     # optional attention biases (qwen2 family)
     if f"blk.0.attn_q.bias" in reader.tensors:
         biases = []
         for i in range(cfg.n_layers):
-            bq = reader.tensor_f32(f"blk.{i}.attn_q.bias")[q_perm]
-            bk = reader.tensor_f32(f"blk.{i}.attn_k.bias")[k_perm]
+            bq = reader.tensor_f32(f"blk.{i}.attn_q.bias")
+            bk = reader.tensor_f32(f"blk.{i}.attn_k.bias")
             bv = reader.tensor_f32(f"blk.{i}.attn_v.bias")
+            if permuted:
+                bq, bk = bq[q_perm], bk[k_perm]
             biases.append(np.concatenate([bq, bk, bv]))
         layers["bqkv"] = [b for b in biases]
 

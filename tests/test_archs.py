@@ -199,3 +199,165 @@ def test_gemma2_gguf_round_trip(tmp_path, rng):
         run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_qwen3_parity(rng):
+    """Qwen3 tiny model vs transformers — per-head q/k rms norms before rope
+    (attn_q_norm/attn_k_norm [head_dim]), decoupled head_dim (build_qwen3 in
+    upstream llama.cpp)."""
+    from eagle_tpu.models.hf_convert import params_from_hf_qwen3
+
+    torch.manual_seed(13)
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16,  # decoupled: 4*16 != 32
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    params, cfg = params_from_hf_qwen3(model)
+    assert cfg.head_dim == 16
+    assert params["layers"]["attn_q_norm"].shape[-1] == 16
+
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours = run_fwd(params, cfg, tokens)
+    with torch.no_grad():
+        theirs = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_qwen3_gguf_round_trip(tmp_path, rng):
+    """Qwen3 through GGUF: q/k norm tensors + NEOX (unpermuted) q/k rows —
+    the reference stores qwen-family rows in the HF half-split layout."""
+    from eagle_tpu.gguf.constants import GGMLType
+    from eagle_tpu.models.hf_convert import convert_hf_to_gguf, params_from_hf_qwen3
+    from eagle_tpu.models.loader import load_llama_params
+
+    torch.manual_seed(13)
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    direct, cfg = params_from_hf_qwen3(model)
+    path = tmp_path / "qwen3.gguf"
+    convert_hf_to_gguf(model.state_dict(), cfg, path, qtype=GGMLType.F32, arch="qwen3")
+    params, lcfg, _ = load_llama_params(path)
+    assert "attn_q_norm" in params["layers"]
+
+    tokens = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_olmo2_parity(rng):
+    """OLMo-2 tiny model vs transformers — post-norm-only blocks and FLAT
+    q/k rms norms over the whole projection (build_olmo2 in upstream
+    llama.cpp)."""
+    from eagle_tpu.models.hf_convert import params_from_hf_olmo2
+
+    torch.manual_seed(17)
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.Olmo2ForCausalLM(hf_cfg).eval()
+    params, cfg = params_from_hf_olmo2(model)
+    assert "attn_norm" not in params["layers"]  # post-norm-only
+    assert "ffn_norm" not in params["layers"]
+    assert params["layers"]["attn_q_norm"].shape[-1] == 32  # flat [H*Dh]
+
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours = run_fwd(params, cfg, tokens)
+    with torch.no_grad():
+        theirs = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_olmo2_gguf_round_trip(tmp_path, rng):
+    from eagle_tpu.gguf.constants import GGMLType
+    from eagle_tpu.models.hf_convert import convert_hf_to_gguf, params_from_hf_olmo2
+    from eagle_tpu.models.loader import load_llama_params
+
+    torch.manual_seed(17)
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.Olmo2ForCausalLM(hf_cfg).eval()
+    direct, cfg = params_from_hf_olmo2(model)
+    path = tmp_path / "olmo2.gguf"
+    convert_hf_to_gguf(model.state_dict(), cfg, path, qtype=GGMLType.F32, arch="olmo2")
+    params, lcfg, _ = load_llama_params(path)
+    assert "attn_norm" not in params["layers"]
+    assert "post_attn_norm" in params["layers"]
+
+    tokens = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_qwen2moe_parity(rng):
+    """Qwen2-MoE tiny model vs transformers — softmax-all router without
+    top-k renorm + shared expert gated by a sigmoid (build_qwen2moe)."""
+    from eagle_tpu.models.hf_convert import params_from_hf_qwen2moe
+
+    torch.manual_seed(19)
+    hf_cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.Qwen2MoeForCausalLM(hf_cfg).eval()
+    params, cfg = params_from_hf_qwen2moe(model)
+    assert cfg.moe_softmax_all and cfg.n_expert == 4
+    assert "w_gate_shexp" in params["layers"]
+
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours = run_fwd(params, cfg, tokens)
+    with torch.no_grad():
+        theirs = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_qwen2moe_gguf_round_trip(tmp_path, rng):
+    from eagle_tpu.gguf.constants import GGMLType
+    from eagle_tpu.models.hf_convert import (
+        convert_hf_to_gguf, params_from_hf_qwen2moe,
+    )
+    from eagle_tpu.models.loader import load_llama_params
+
+    torch.manual_seed(19)
+    hf_cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.Qwen2MoeForCausalLM(hf_cfg).eval()
+    direct, cfg = params_from_hf_qwen2moe(model)
+    path = tmp_path / "qwen2moe.gguf"
+    convert_hf_to_gguf(model.state_dict(), cfg, path, qtype=GGMLType.F32,
+                       arch="qwen2moe")
+    params, lcfg, _ = load_llama_params(path)
+    assert lcfg.moe_softmax_all and lcfg.attn_bias
+    assert "ffn_gate_inp_shexp" in params["layers"]
+    assert "bqkv" in params["layers"]
+
+    tokens = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
+        atol=1e-4, rtol=1e-4,
+    )
