@@ -213,6 +213,49 @@ def params_from_hf_gemma2(model) -> tuple[dict, ModelConfig]:
     return jax.tree_util.tree_map(jnp.asarray, params), cfg
 
 
+def params_from_hf_gemma(model) -> tuple[dict, ModelConfig]:
+    """transformers GemmaForCausalLM (v1) -> runtime pytree: llama dataflow
+    with gelu FFN, sqrt(d) embedding scale, (1+w) rms norms, tied lm_head
+    (build_gemma in the reference)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    hc = model.config
+    cfg = dataclasses.replace(
+        config_from_hf(hc), arch="gemma",
+        embd_scale=float(hc.hidden_size) ** 0.5, act="gelu",
+    )
+    sd = {k: _to_np(v) for k, v in model.state_dict().items()}
+
+    def norm(name):
+        return sd[name] + 1.0
+
+    layers: dict[str, list] = {
+        k: [] for k in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm",
+                        "w_gate", "w_up", "w_down")
+    }
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}"
+        layers["attn_norm"].append(norm(f"{p}.input_layernorm.weight"))
+        layers["wq"].append(sd[f"{p}.self_attn.q_proj.weight"])
+        layers["wk"].append(sd[f"{p}.self_attn.k_proj.weight"])
+        layers["wv"].append(sd[f"{p}.self_attn.v_proj.weight"])
+        layers["wo"].append(sd[f"{p}.self_attn.o_proj.weight"])
+        layers["ffn_norm"].append(norm(f"{p}.post_attention_layernorm.weight"))
+        layers["w_gate"].append(sd[f"{p}.mlp.gate_proj.weight"])
+        layers["w_up"].append(sd[f"{p}.mlp.up_proj.weight"])
+        layers["w_down"].append(sd[f"{p}.mlp.down_proj.weight"])
+    params = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "layers": {k: np.stack(v) for k, v in layers.items()},
+        "output_norm": norm("model.norm.weight"),
+        "output": sd.get("lm_head.weight", sd["model.embed_tokens.weight"]),
+    }
+    return jax.tree_util.tree_map(jnp.asarray, params), cfg
+
+
 def params_from_hf_phi3(model) -> tuple[dict, ModelConfig]:
     """transformers Phi3ForCausalLM -> runtime pytree (fused qkv_proj /
     gate_up_proj unfused into the canonical slots; same dataflow as llama)."""
@@ -463,6 +506,7 @@ def convert_hf_to_gguf(
     if is_eagle:
         put("fc.weight", "fc.weight")
         put("fc.bias", "fc.bias")
+    is_gemma = arch.startswith("gemma")  # (1+w) norm fold: gemma AND gemma2
     is_gemma2 = arch == "gemma2"
 
     def put_norm(gguf_name: str, hf_name: str):
@@ -470,7 +514,7 @@ def convert_hf_to_gguf(
         # the reference converter (convert_hf_to_gguf.py GemmaModel)
         if hf_name not in sd:
             return
-        t = sd[hf_name] + (1.0 if is_gemma2 else 0.0)
+        t = sd[hf_name] + (1.0 if is_gemma else 0.0)
         w.add_tensor(gguf_name, t.astype(np.float32))
 
     is_olmo2 = arch == "olmo2"
@@ -480,7 +524,7 @@ def convert_hf_to_gguf(
                 continue
             from .loader import LayerKeyMap
 
-            if is_gemma2 and ours in ("attn_norm", "ffn_norm"):
+            if is_gemma and ours in ("attn_norm", "ffn_norm"):
                 continue  # handled below with the +1 fold
             if is_olmo2 and ours in ("attn_norm", "ffn_norm"):
                 continue  # olmo2 is post-norm-only: HF post_attention_layernorm
@@ -525,6 +569,10 @@ def convert_hf_to_gguf(
                      f"{lp}.{i}.pre_feedforward_layernorm.weight")
             put_norm(f"blk.{i}.ffn_post_norm.weight",
                      f"{lp}.{i}.post_feedforward_layernorm.weight")
+        elif is_gemma:  # gemma v1: plain pre-norms, (1+w) folded
+            put_norm(f"blk.{i}.attn_norm.weight", f"{lp}.{i}.input_layernorm.weight")
+            put_norm(f"blk.{i}.ffn_norm.weight",
+                     f"{lp}.{i}.post_attention_layernorm.weight")
         if f"{lp}.{i}.block_sparse_moe.gate.weight" in sd:  # mixtral MoE
             w.add_tensor(f"blk.{i}.ffn_gate_inp.weight",
                          sd[f"{lp}.{i}.block_sparse_moe.gate.weight"])
@@ -537,7 +585,7 @@ def convert_hf_to_gguf(
                 ])
                 w.add_tensor(f"blk.{i}.{gguf_name}.weight", stacked)
     if not is_eagle:
-        if is_gemma2:
+        if is_gemma:
             put_norm("output_norm.weight", "model.norm.weight")
         else:
             put("output_norm.weight", "model.norm.weight")

@@ -361,3 +361,50 @@ def test_qwen2moe_gguf_round_trip(tmp_path, rng):
         run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
         atol=1e-4, rtol=1e-4,
     )
+
+
+def test_gemma1_parity(rng):
+    """Gemma v1 tiny model vs transformers — gelu FFN, sqrt(d) embedding
+    scale, (1+w) rms norms, tied lm_head (build_gemma in the reference)."""
+    from eagle_tpu.models.hf_convert import params_from_hf_gemma
+
+    torch.manual_seed(23)
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    params, cfg = params_from_hf_gemma(model)
+    assert cfg.act == "gelu" and abs(cfg.embd_scale - 32 ** 0.5) < 1e-6
+
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours = run_fwd(params, cfg, tokens)
+    with torch.no_grad():
+        theirs = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_gemma1_gguf_round_trip(tmp_path, rng):
+    from eagle_tpu.gguf.constants import GGMLType
+    from eagle_tpu.models.hf_convert import convert_hf_to_gguf, params_from_hf_gemma
+    from eagle_tpu.models.loader import load_llama_params
+
+    torch.manual_seed(23)
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128, attn_implementation="eager",
+    )
+    model = transformers.GemmaForCausalLM(hf_cfg).eval()
+    direct, cfg = params_from_hf_gemma(model)
+    path = tmp_path / "gemma.gguf"
+    convert_hf_to_gguf(model.state_dict(), cfg, path, qtype=GGMLType.F32, arch="gemma")
+    params, lcfg, _ = load_llama_params(path)
+    assert lcfg.act == "gelu" and abs(lcfg.embd_scale - 32 ** 0.5) < 1e-6
+
+    tokens = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
+        atol=1e-4, rtol=1e-4,
+    )
