@@ -217,13 +217,17 @@ def _layer_step(
 
     d = x.shape[-1]
     rows = b * t
+    import os
+
     if (
         backend == "pallas"
         and rows <= 64  # decode/verify shapes; prefill scratch would blow VMEM
+        and os.environ.get("EAGLE_TPU_FUSED_FFN", "0") == "1"
         and supports_ffn_block(layers, cfg)
     ):
-        # fused attn-out + FFN megakernel: one pallas call streams Wo,
-        # Wgate_up and Wdown back-to-back; resid/norm/silu stay in VMEM
+        # fused attn-out + FFN block: three back-to-back pallas kernels
+        # stream Wo, Wgate_up, Wdown with the resid/norm/act epilogues
+        # computed in VMEM — no XLA elementwise ops between the matmuls
         rp = max(8, -(-rows // 8) * 8)
         a2 = attn_flat.reshape(rows, h * dh)
         r2 = x.reshape(rows, d)
