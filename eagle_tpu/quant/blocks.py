@@ -757,6 +757,11 @@ _DEQUANTIZERS = {
     GGMLType.IQ4_XS: _dequantize_iq4_xs,
 }
 
+# codebook formats (decode-only, like gguf-py — see quant/iq_blocks.py)
+from .iq_blocks import IQ_DEQUANTIZERS as _IQ_DEQUANTIZERS  # noqa: E402
+
+_DEQUANTIZERS.update(_IQ_DEQUANTIZERS)
+
 SUPPORTED_QUANT_TYPES = tuple(sorted(_QUANTIZERS, key=int))
 
 

@@ -295,6 +295,12 @@ _REPACKERS = {
     GGMLType.IQ4_XS: _repack_iq4_xs,
 }
 
+# codebook formats collapse onto the same affine model after the grid lookup
+# (quant/iq_blocks.py) — the TPU runtime never sees a codebook
+from .iq_blocks import IQ_REPACKERS as _IQ_REPACKERS  # noqa: E402
+
+_REPACKERS.update(_IQ_REPACKERS)
+
 REPACKABLE_TYPES = tuple(sorted(_REPACKERS, key=int))
 
 

@@ -131,3 +131,68 @@ def test_q8_0_exact_small_ints():
     # max error: half a quantization step (d/2 = 16/127/2) plus the f16
     # rounding of the stored scale amplified by |q| <= 127
     assert np.abs(x - y).max() <= 16.0 / 127.0 / 2.0 + 0.01
+
+
+# ---------------------------------------------------------------------------
+# IQ codebook formats (decode-only): random-but-valid block bytes must decode
+# bit-identically to the reference gguf-py oracle, and the affine repack
+# (quant/iq_blocks.py) must reconstruct the same values.
+# ---------------------------------------------------------------------------
+
+IQ_CODEBOOK_TYPES = [
+    GGMLType.IQ2_XXS,
+    GGMLType.IQ2_XS,
+    GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS,
+    GGMLType.IQ3_S,
+    GGMLType.IQ1_S,
+    GGMLType.IQ1_M,
+]
+
+
+def _random_iq_blocks(rng, qtype, n_blocks):
+    """Random block bytes with the f16 super-scale forced finite. Every index
+    field is valid by construction (the grids have power-of-two sizes)."""
+    tr = GGML_TYPE_TRAITS[qtype]
+    data = rng.integers(0, 256, size=(n_blocks, tr.type_size), dtype=np.uint8)
+    if qtype != GGMLType.IQ1_M:
+        d = (rng.uniform(0.001, 0.1, n_blocks).astype(np.float16)).view(np.uint8)
+        data[:, :2] = d.reshape(n_blocks, 2)
+    else:
+        # IQ1_M packs the f16 scale in the top nibbles of the 4 scale words;
+        # random nibbles give a finite-but-wild f16 — clamp the exponent bits
+        sc = data[:, 48:56].view("<u2")
+        sc = (sc & 0x0FFF) | (np.uint16(0x3) << 12)
+        data[:, 48:56] = sc.view(np.uint8)
+    return data
+
+
+@pytest.mark.parametrize("qtype", IQ_CODEBOOK_TYPES)
+def test_iq_decode_matches_oracle(rng, qtype, reference_gguf_py):
+    tr = GGML_TYPE_TRAITS[qtype]
+    data = _random_iq_blocks(rng, qtype, 16)
+    n = 16 * tr.block_size
+    ours = blocks.dequantize(data.reshape(-1), qtype, (n,))
+    oracle = reference_gguf_py.quants.dequantize(
+        data.reshape(1, -1), reference_gguf_py.GGMLQuantizationType(int(qtype))
+    ).reshape(-1)
+    np.testing.assert_array_equal(ours, oracle, err_msg=qtype.name)
+
+
+@pytest.mark.parametrize("qtype", IQ_CODEBOOK_TYPES)
+def test_iq_repack_affine_exact(rng, qtype):
+    """scale*q + bias from the repacker reproduces the decoder exactly, and the
+    codes fit int8 (so the TPU qmm kernels can stream them unchanged)."""
+    from eagle_tpu.quant.qtensor import repack_numpy
+
+    tr = GGML_TYPE_TRAITS[qtype]
+    n_rows, k = 4, 4 * tr.block_size
+    data = _random_iq_blocks(rng, qtype, n_rows * 4)
+    q, scale, bias, g = repack_numpy(data.reshape(-1), qtype, (n_rows, k), use_native=False)
+    assert q.dtype == np.int8 and q.shape == (n_rows, k)
+    assert scale.shape == (n_rows, k // g)
+    vals = scale.repeat(g, axis=1) * q.astype(np.float32)
+    if bias is not None:
+        vals = vals + bias.repeat(g, axis=1)
+    want = blocks.dequantize(data.reshape(-1), qtype, (n_rows, k))
+    np.testing.assert_array_equal(vals, want, err_msg=qtype.name)
