@@ -31,6 +31,11 @@ def main():
                     help="nibble-packed int4 weights (true 4-bit HBM traffic)")
     ap.add_argument("--no-packed", dest="packed", action="store_false")
     ap.add_argument("--scale-dtype", default="bf16", choices=["f32", "bf16"])
+    # coded scales (u8 codes + f32 super-scales) are the bit-exact serving
+    # mode: measured 127.4 t/s vs 130.0 for approximate bf16 products and
+    # 117.4 for exact f32 products (2026-08-18). The headline bench keeps the
+    # reference-comparable approximate mode; --coded measures the exact mode.
+    ap.add_argument("--coded", action="store_true", default=False)
     args = ap.parse_args()
 
     import jax
@@ -54,6 +59,7 @@ def main():
         cfg, seed=0, on_device=True,
         packed=args.packed and args.backend == "pallas",
         scale_dtype=jnp.bfloat16 if args.scale_dtype == "bf16" else jnp.float32,
+        coded=args.coded and args.backend == "pallas",
     )
     jax.block_until_ready(params["layers"]["wqkv"].q)
     print(f"# params built on-device in {time.time()-t0:.1f}s", file=sys.stderr)

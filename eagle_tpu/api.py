@@ -269,6 +269,7 @@ class Engine:
             kv = KVCache.create(
                 self.model_cfg.n_layers, 1, t, self.model_cfg.n_kv_heads,
                 self.model_cfg.head_dim, self.cfg.kv_dtype,
+                v_head_dim=self.model_cfg.v_dim,
             )
             pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (1, 1))
             kv = kv.with_tags(pos, pos, valid=pos < n)
@@ -305,6 +306,7 @@ class Engine:
             kv = KVCache.create(
                 self.model_cfg.n_layers, 1, t, self.model_cfg.n_kv_heads,
                 self.model_cfg.head_dim, self.cfg.kv_dtype,
+                v_head_dim=self.model_cfg.v_dim,
             )
             pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (1, 1))
             valid = pos < len(ids)

@@ -58,6 +58,37 @@ class ModelConfig:
     # (mixtral); True = softmax over ALL experts, then top-k without
     # renormalization (qwen2moe — build_qwen2moe, src/llama.cpp)
     moe_softmax_all: bool = False
+    # LLM_NORM (mean-subtracted LayerNorm) vs LLM_NORM_RMS (llm_build_norm):
+    # gpt2/starcoder2/command-r/phi2/falcon/gpt-neox use "layer"
+    norm_type: str = "rms"
+    # parallel residual: x + attn(norm(x)) + ffn(norm(x)) with ONE shared input
+    # norm (command-r/phi2/falcon/gpt-neox — build_command_r, build_phi2)
+    parallel_blocks: bool = False
+    # final-logit multiplier (command-r/granite LLM_KV_LOGIT_SCALE)
+    logit_scale: float = 1.0
+    # learned absolute position embeddings added to the token embedding
+    # (gpt2 position_embd — build_gpt2); rope_dim == 0 disables rope
+    has_pos_embd: bool = False
+    # granite: residual_scale multiplies each block's output before the add
+    resid_scale: float = 1.0
+    # deepseek2 MLA (build_deepseek2, src/llama.cpp): low-rank kv compression.
+    # kv_lora_rank > 0 switches the attention to q/[c_kv;k_pe]/kv_b form;
+    # head_dim is then the QK head dim (nope+rope) and v_head_dim differs.
+    kv_lora_rank: int = 0
+    q_lora_rank: int = 0
+    v_head_dim: int = 0  # 0 = same as head_dim
+    # deepseek2 MoE: leading dense layers, shared experts, per-expert FFN
+    # width, router weight scale/renorm (LLM_KV_EXPERT_* keys)
+    n_dense_layers: int = 0
+    n_shared_experts: int = 0
+    n_ff_exp: int = 0
+    expert_weights_scale: float = 1.0
+    expert_weights_norm: bool = False
+
+    @property
+    def v_dim(self) -> int:
+        """Per-head value width (differs from the QK head_dim only for MLA)."""
+        return self.v_head_dim or self.head_dim
 
     @property
     def n_q_dim(self) -> int:
@@ -86,6 +117,10 @@ class ModelConfig:
             vocab_size = len(md[Keys.Tokenizer.LIST])
         n_layers = int(k(Keys.LLM.BLOCK_COUNT))
         is_gemma2 = arch == "gemma2"
+        # LLM_NORM (LayerNorm) archs store layer_norm_epsilon; RMS archs store
+        # layer_norm_rms_epsilon (llama-arch.cpp LLM_KV_ATTENTION_LAYERNORM_*)
+        ln_arch = arch in LAYERNORM_ARCHS
+        eps_key = Keys.Attention.LAYERNORM_EPS if ln_arch else Keys.Attention.LAYERNORM_RMS_EPS
         return ModelConfig(
             arch=arch,
             vocab_size=int(vocab_size),
@@ -95,9 +130,12 @@ class ModelConfig:
             n_kv_heads=n_kv_heads,
             head_dim=head_dim,
             n_ff=int(k(Keys.LLM.FEED_FORWARD_LENGTH)),
-            rms_eps=float(k(Keys.Attention.LAYERNORM_RMS_EPS, 1e-5)),
+            rms_eps=float(k(eps_key, 1e-5)),
             rope_base=float(md.get(Keys.Rope.FREQ_BASE.format(arch=arch), 10000.0)),
-            rope_dim=int(md.get(Keys.Rope.DIMENSION_COUNT.format(arch=arch), head_dim)),
+            rope_dim=(
+                0 if arch in NO_ROPE_ARCHS
+                else int(md.get(Keys.Rope.DIMENSION_COUNT.format(arch=arch), head_dim))
+            ),
             n_ctx_train=int(k(Keys.LLM.CONTEXT_LENGTH, 2048)),
             rope_scaling=md.get(Keys.Rope.SCALING_TYPE.format(arch=arch)),
             rope_scale_factor=float(md.get(Keys.Rope.SCALING_FACTOR.format(arch=arch), 1.0)),
@@ -116,8 +154,26 @@ class ModelConfig:
                 if f"{arch}.attention.query_pre_attn_scalar" in md
                 else None
             ),
-            act="gelu" if arch.startswith("gemma") else "silu",
-            moe_softmax_all=(arch in ("qwen2moe", "qwen3moe")),
+            act=(
+                "gelu"
+                if arch.startswith("gemma")
+                or arch in ("gpt2", "starcoder2", "phi2", "falcon", "gptneox")
+                else "silu"
+            ),
+            moe_softmax_all=(arch in ("qwen2moe", "qwen3moe", "deepseek2")),
+            norm_type="layer" if ln_arch else "rms",
+            parallel_blocks=arch in PARALLEL_BLOCK_ARCHS,
+            logit_scale=float(md.get(f"{arch}.logit_scale", 1.0) or 1.0),
+            has_pos_embd=(arch == "gpt2"),
+            resid_scale=float(md.get(f"{arch}.residual_scale", 1.0) or 1.0),
+            kv_lora_rank=int(md.get(f"{arch}.attention.kv_lora_rank", 0) or 0),
+            q_lora_rank=int(md.get(f"{arch}.attention.q_lora_rank", 0) or 0),
+            v_head_dim=int(md.get(Keys.Attention.VALUE_LENGTH.format(arch=arch), 0) or 0),
+            n_dense_layers=int(md.get(f"{arch}.leading_dense_block_count", 0) or 0),
+            n_shared_experts=int(md.get(f"{arch}.expert_shared_count", 0) or 0),
+            n_ff_exp=int(md.get(f"{arch}.expert_feed_forward_length", 0) or 0),
+            expert_weights_scale=float(md.get(f"{arch}.expert_weights_scale", 1.0) or 1.0),
+            expert_weights_norm=bool(md.get(f"{arch}.expert_weights_norm", False)),
         )
 
 
@@ -125,4 +181,16 @@ class ModelConfig:
 #: (reference convert_hf_to_gguf.py LlamaModel.permute; rope type NORM in
 #: src/llama-model.cpp). NEOX-rope archs (qwen*, gemma*, phi3, olmo2, ...)
 #: store rows in the HF half-split layout and must NOT be (un)permuted.
-PERMUTED_ROPE_ARCHS = frozenset({"llama", "mixtral", "eagle", "vicuna"})
+PERMUTED_ROPE_ARCHS = frozenset({"llama", "mixtral", "eagle", "vicuna", "command-r"})
+
+#: archs on the mean-subtracted LayerNorm path (LLM_NORM in llm_build_norm)
+LAYERNORM_ARCHS = frozenset(
+    {"gpt2", "starcoder2", "command-r", "phi2", "falcon", "gptneox"}
+)
+
+#: parallel-residual archs: one shared input norm feeds BOTH attention and the
+#: FFN, summed into the residual (build_command_r / build_phi2 / build_falcon)
+PARALLEL_BLOCK_ARCHS = frozenset({"command-r", "phi2", "falcon"})
+
+#: archs with no rotary embedding at all (gpt2 uses learned absolute wpe)
+NO_ROPE_ARCHS = frozenset({"gpt2"})

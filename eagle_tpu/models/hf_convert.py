@@ -46,6 +46,101 @@ _HF_LAYER_MAP = {
 }
 
 
+#: table-driven HF->GGUF tensor maps for archs whose block structure the
+#: generic llama map doesn't cover (canonical GGUF names: src/llama-arch.cpp
+#: tables; HF names: the corresponding transformers modeling files).
+#: entry: (gguf_suffix, hf_suffix) or (gguf_suffix, hf_suffix, "conv1d") for
+#: HF Conv1D weights stored transposed ([in, out] -> GGUF [out, in]).
+GENERIC_HF_MAPS: dict[str, dict[str, Any]] = {
+    "command-r": {  # CohereForCausalLM (build_command_r; LayerNorm, parallel)
+        "prefix": "model.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": "model.norm.weight",
+        "lm_head": "lm_head.weight",  # usually tied (absent)
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("ffn_gate.weight", "mlp.gate_proj.weight"),
+            ("ffn_up.weight", "mlp.up_proj.weight"),
+            ("ffn_down.weight", "mlp.down_proj.weight"),
+        ],
+    },
+    "starcoder2": {  # Starcoder2ForCausalLM (LayerNorm+biases, no-gate gelu)
+        "prefix": "model.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": "model.norm.weight",
+        "final_norm_b": "model.norm.bias",
+        "lm_head": "lm_head.weight",  # absent (tied) in many checkpoints
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_norm.bias", "input_layernorm.bias"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_q.bias", "self_attn.q_proj.bias"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_k.bias", "self_attn.k_proj.bias"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_v.bias", "self_attn.v_proj.bias"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("attn_output.bias", "self_attn.o_proj.bias"),
+            ("ffn_norm.weight", "post_attention_layernorm.weight"),
+            ("ffn_norm.bias", "post_attention_layernorm.bias"),
+            ("ffn_up.weight", "mlp.c_fc.weight"),
+            ("ffn_up.bias", "mlp.c_fc.bias"),
+            ("ffn_down.weight", "mlp.c_proj.weight"),
+            ("ffn_down.bias", "mlp.c_proj.bias"),
+        ],
+    },
+    "gpt2": {  # GPT2LMHeadModel (wpe, fused Conv1D qkv, no rope — build_gpt2)
+        "prefix": "transformer.h",
+        "embed": "transformer.wte.weight",
+        "pos_embd": "transformer.wpe.weight",
+        "final_norm": "transformer.ln_f.weight",
+        "final_norm_b": "transformer.ln_f.bias",
+        "layer": [
+            ("attn_norm.weight", "ln_1.weight"),
+            ("attn_norm.bias", "ln_1.bias"),
+            ("attn_qkv.weight", "attn.c_attn.weight", "conv1d"),
+            ("attn_qkv.bias", "attn.c_attn.bias"),
+            ("attn_output.weight", "attn.c_proj.weight", "conv1d"),
+            ("attn_output.bias", "attn.c_proj.bias"),
+            ("ffn_norm.weight", "ln_2.weight"),
+            ("ffn_norm.bias", "ln_2.bias"),
+            ("ffn_up.weight", "mlp.c_fc.weight", "conv1d"),
+            ("ffn_up.bias", "mlp.c_fc.bias"),
+            ("ffn_down.weight", "mlp.c_proj.weight", "conv1d"),
+            ("ffn_down.bias", "mlp.c_proj.bias"),
+        ],
+    },
+    "phi2": {  # PhiForCausalLM (parallel blocks, partial rotary, lm_head bias)
+        "prefix": "model.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": "model.final_layernorm.weight",
+        "final_norm_b": "model.final_layernorm.bias",
+        "lm_head": "lm_head.weight",
+        "lm_head_b": "lm_head.bias",
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_norm.bias", "input_layernorm.bias"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_q.bias", "self_attn.q_proj.bias"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_k.bias", "self_attn.k_proj.bias"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_v.bias", "self_attn.v_proj.bias"),
+            ("attn_output.weight", "self_attn.dense.weight"),
+            ("attn_output.bias", "self_attn.dense.bias"),
+            ("ffn_up.weight", "mlp.fc1.weight"),
+            ("ffn_up.bias", "mlp.fc1.bias"),
+            ("ffn_down.weight", "mlp.fc2.weight"),
+            ("ffn_down.bias", "mlp.fc2.bias"),
+        ],
+    },
+}
+
+
 def _to_np(t) -> np.ndarray:
     return np.asarray(t.detach().cpu().float().numpy() if hasattr(t, "detach") else t, np.float32)
 
@@ -458,13 +553,22 @@ def convert_hf_to_gguf(
     w.add(Keys.Attention.HEAD_COUNT.format(arch=arch), cfg.n_heads)
     w.add(Keys.Attention.HEAD_COUNT_KV.format(arch=arch), cfg.n_kv_heads)
     w.add(Keys.Attention.KEY_LENGTH.format(arch=arch), cfg.head_dim)
-    w.add(Keys.Attention.VALUE_LENGTH.format(arch=arch), cfg.head_dim)
+    w.add(Keys.Attention.VALUE_LENGTH.format(arch=arch), cfg.v_dim)
     w.add(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=arch), cfg.rms_eps)
     w.add(Keys.Rope.DIMENSION_COUNT.format(arch=arch), cfg.rope_dim)
     w.add(Keys.Rope.FREQ_BASE.format(arch=arch), cfg.rope_base)
     if cfg.n_expert:
         w.add(Keys.LLM.EXPERT_COUNT.format(arch=arch), cfg.n_expert)
         w.add(Keys.LLM.EXPERT_USED_COUNT.format(arch=arch), cfg.n_expert_used)
+    if cfg.kv_lora_rank:  # deepseek2 MLA + MoE hparams (llama-arch.cpp keys)
+        w.add(f"{arch}.attention.kv_lora_rank", cfg.kv_lora_rank)
+        if cfg.q_lora_rank:
+            w.add(f"{arch}.attention.q_lora_rank", cfg.q_lora_rank)
+        w.add(f"{arch}.leading_dense_block_count", cfg.n_dense_layers)
+        w.add(f"{arch}.expert_shared_count", cfg.n_shared_experts)
+        w.add(f"{arch}.expert_feed_forward_length", cfg.n_ff_exp)
+        w.add(f"{arch}.expert_weights_scale", cfg.expert_weights_scale)
+        w.add(f"{arch}.expert_weights_norm", cfg.expert_weights_norm)
     if cfg.attn_softcap:
         w.add(f"{arch}.attn_logit_softcapping", cfg.attn_softcap)
     if cfg.final_softcap:
@@ -473,12 +577,102 @@ def convert_hf_to_gguf(
         w.add(f"{arch}.attention.sliding_window", cfg.swa_window)
     if cfg.attn_scale is not None:
         w.add(f"{arch}.attention.query_pre_attn_scalar", cfg.attn_scale ** -2.0)
+    from .config import LAYERNORM_ARCHS
+
+    if arch in LAYERNORM_ARCHS:
+        # LLM_NORM archs store the eps under layer_norm_epsilon (llama-arch.cpp)
+        w.add(Keys.Attention.LAYERNORM_EPS.format(arch=arch), cfg.rms_eps)
+    if cfg.logit_scale != 1.0:
+        w.add(f"{arch}.logit_scale", cfg.logit_scale)
     if metadata:
         for key, val in metadata.items():
             if key.startswith(("tokenizer.", "general.")) and key != "general.name":
                 w.add(key, val)
 
     sd = {k: _to_np(v) for k, v in state_dict.items()}
+
+    gmap = GENERIC_HF_MAPS.get(arch)
+    if gmap is not None:
+        lp = gmap["prefix"]
+
+        def gput(gguf_name: str, hf_name: str, kind: str | None = None, qt: bool = True):
+            if hf_name not in sd:
+                return
+            t = sd[hf_name]
+            if kind == "conv1d":  # HF Conv1D stores [in, out]
+                t = np.ascontiguousarray(t.T)
+            if t.ndim == 2 and qt:
+                w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
+            else:
+                w.add_tensor(gguf_name, t.astype(np.float32))
+
+        gput("token_embd.weight", gmap["embed"])
+        if "pos_embd" in gmap:
+            gput("position_embd.weight", gmap["pos_embd"], qt=False)
+        gput("output_norm.weight", gmap["final_norm"], qt=False)
+        if "final_norm_b" in gmap:
+            gput("output_norm.bias", gmap["final_norm_b"], qt=False)
+        if "lm_head" in gmap:
+            gput("output.weight", gmap["lm_head"])
+            if "lm_head_b" in gmap:
+                gput("output.bias", gmap["lm_head_b"], qt=False)
+        for i in range(cfg.n_layers):
+            for entry in gmap["layer"]:
+                kind = entry[2] if len(entry) > 2 else None
+                gput(f"blk.{i}.{entry[0]}", f"{lp}.{i}.{entry[1]}", kind)
+        w.write()
+        return
+
+    if cfg.kv_lora_rank:  # deepseek2: MLA tensors + leading-dense / MoE FFNs.
+        # HF rows are already in the NORM (pair-interleaved) rope layout the
+        # GGUF expects (same as the reference's DeepseekV2Model: no permute)
+        def dput(gguf_name, hf_name, qt=True):
+            if hf_name not in sd:
+                return
+            t = sd[hf_name]
+            if t.ndim == 2 and qt:
+                w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
+            else:
+                w.add_tensor(gguf_name, t.astype(np.float32))
+
+        dput("token_embd.weight", "model.embed_tokens.weight")
+        dput("output_norm.weight", "model.norm.weight", qt=False)
+        dput("output.weight", "lm_head.weight")
+        for i in range(cfg.n_layers):
+            pre = f"model.layers.{i}"
+            dput(f"blk.{i}.attn_norm.weight", f"{pre}.input_layernorm.weight", qt=False)
+            dput(f"blk.{i}.ffn_norm.weight", f"{pre}.post_attention_layernorm.weight", qt=False)
+            if cfg.q_lora_rank:
+                dput(f"blk.{i}.attn_q_a.weight", f"{pre}.self_attn.q_a_proj.weight")
+                dput(f"blk.{i}.attn_q_a_norm.weight", f"{pre}.self_attn.q_a_layernorm.weight", qt=False)
+                dput(f"blk.{i}.attn_q_b.weight", f"{pre}.self_attn.q_b_proj.weight")
+            else:
+                dput(f"blk.{i}.attn_q.weight", f"{pre}.self_attn.q_proj.weight")
+            dput(f"blk.{i}.attn_kv_a_mqa.weight", f"{pre}.self_attn.kv_a_proj_with_mqa.weight")
+            dput(f"blk.{i}.attn_kv_a_norm.weight", f"{pre}.self_attn.kv_a_layernorm.weight", qt=False)
+            dput(f"blk.{i}.attn_kv_b.weight", f"{pre}.self_attn.kv_b_proj.weight")
+            dput(f"blk.{i}.attn_output.weight", f"{pre}.self_attn.o_proj.weight")
+            if f"{pre}.mlp.gate.weight" in sd:  # MoE layer
+                w.add_tensor(f"blk.{i}.ffn_gate_inp.weight", sd[f"{pre}.mlp.gate.weight"])
+                for gguf_name, hf_w in (("ffn_gate_exps", "gate_proj"),
+                                        ("ffn_down_exps", "down_proj"),
+                                        ("ffn_up_exps", "up_proj")):
+                    stacked = np.stack([
+                        sd[f"{pre}.mlp.experts.{e}.{hf_w}.weight"]
+                        for e in range(cfg.n_expert)
+                    ])
+                    w.add_tensor(f"blk.{i}.{gguf_name}.weight", stacked)
+                for gguf_name, hf_name in (("ffn_gate_shexp", "gate_proj"),
+                                           ("ffn_up_shexp", "up_proj"),
+                                           ("ffn_down_shexp", "down_proj")):
+                    dput(f"blk.{i}.{gguf_name}.weight",
+                         f"{pre}.mlp.shared_experts.{hf_name}.weight")
+            else:  # leading dense layer
+                dput(f"blk.{i}.ffn_gate.weight", f"{pre}.mlp.gate_proj.weight")
+                dput(f"blk.{i}.ffn_up.weight", f"{pre}.mlp.up_proj.weight")
+                dput(f"blk.{i}.ffn_down.weight", f"{pre}.mlp.down_proj.weight")
+        w.write()
+        return
     # only adjacent-pair-rope archs get LlamaModel.permute'd q/k rows in GGUF
     # (reference convert_hf_to_gguf.py:1596); NEOX-rope archs (qwen*, gemma*,
     # phi3, olmo2) keep the HF half-split layout

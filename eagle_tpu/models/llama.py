@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..ops.attention import gqa_attention
 from ..ops.matmul import qmatmul, qmatmul_layer
 from ..ops.pallas_attention import flash_attention_cached, supports_flash
-from ..ops.norms import rms_norm
+from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import apply_rope, rope_freqs
 from ..quant.qtensor import QTensor
 from ..runtime.kvcache import KVCache
@@ -67,10 +67,15 @@ def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
     top_vals, _ = jax.lax.top_k(router, k)
     kth = top_vals[..., -1:]
     if cfg.moe_softmax_all:
-        # qwen2moe (build_qwen2moe): probabilities over ALL experts, the
-        # non-top-k zeroed WITHOUT renormalization
+        # qwen2moe/deepseek2: probabilities over ALL experts, non-top-k zeroed;
+        # deepseek2 optionally renormalizes the kept weights and applies the
+        # routed scaling factor (build_deepseek2 / llm_build_moe_ffn)
         probs = jax.nn.softmax(router, axis=-1)
         probs = jnp.where(router >= kth, probs, 0.0)
+        if cfg.expert_weights_norm:
+            probs = probs / jnp.maximum(probs.sum(-1, keepdims=True), 1e-20)
+        if cfg.expert_weights_scale != 1.0:
+            probs = probs * cfg.expert_weights_scale
     else:
         # mixtral: softmax over the selected experts only (mask rest to -inf)
         masked = jnp.where(router >= kth, router, -jnp.inf)
@@ -86,7 +91,7 @@ def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
                      preferred_element_type=jnp.float32)
     moe = jnp.einsum("bted,bte->btd", out, probs.astype(out.dtype))
 
-    if "w_gate_shexp" in layers:  # qwen2moe shared expert + sigmoid gate
+    if "w_gate_shexp" in layers:  # shared expert (qwen2moe gated / deepseek2 plain)
         g = jnp.einsum("btd,fd->btf", xe, layers["w_gate_shexp"][li].astype(compute_dtype),
                        preferred_element_type=jnp.float32)
         u = jnp.einsum("btd,fd->btf", xe, layers["w_up_shexp"][li].astype(compute_dtype),
@@ -94,11 +99,49 @@ def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
         sh = jnp.einsum("btf,df->btd", (act(g) * u).astype(compute_dtype),
                         layers["w_down_shexp"][li].astype(compute_dtype),
                         preferred_element_type=jnp.float32)
-        gate_logit = jnp.einsum("btd,od->bto", xe,
-                                layers["ffn_gate_inp_shexp"][li].astype(compute_dtype),
-                                preferred_element_type=jnp.float32)
-        moe = moe + sh * jax.nn.sigmoid(gate_logit)
+        if "ffn_gate_inp_shexp" in layers:  # qwen2moe sigmoid gate on the shared expert
+            gate_logit = jnp.einsum("btd,od->bto", xe,
+                                    layers["ffn_gate_inp_shexp"][li].astype(compute_dtype),
+                                    preferred_element_type=jnp.float32)
+            sh = sh * jax.nn.sigmoid(gate_logit)
+        moe = moe + sh
     return moe
+
+
+def _block_norm(cfg: ModelConfig, layers, key: str, x: jax.Array, li) -> jax.Array:
+    """Per-arch block norm: RMSNorm (llama family) or mean-subtracted
+    LayerNorm with optional bias (LLM_NORM archs — gpt2/starcoder2/command-r/
+    phi2/falcon; llm_build_norm, src/llama.cpp)."""
+    w = layers[key][li] if key in layers else None
+    b = layers[key + "_b"][li] if key + "_b" in layers else None
+    if cfg.norm_type == "layer":
+        return layer_norm(x, w, b, cfg.rms_eps)
+    return rms_norm(x, w, cfg.rms_eps)
+
+
+def _ffn(cfg: ModelConfig, layers, li, ffn_in, act, backend, compute_dtype):
+    """FFN variants: MoE router, fused/split gated (silu/gelu), or the no-gate
+    MLP with biases (gpt2/phi2/starcoder2 c_fc/c_proj — build_gpt2)."""
+    if "ffn_gate_inp" in layers:
+        return _moe_ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
+    if "w_gate_up" in layers:
+        gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+    elif "w_gate" in layers:
+        gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
+        up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
+    else:
+        up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
+        if "b_up" in layers:
+            up = up + layers["b_up"][li].astype(up.dtype)
+        out = qmatmul_layer(act(up), layers["w_down"], li, backend, compute_dtype)
+        if "b_down" in layers:
+            out = out + layers["b_down"][li].astype(out.dtype)
+        return out
+    out = qmatmul_layer(act(gate) * up, layers["w_down"], li, backend, compute_dtype)
+    if "b_down" in layers:
+        out = out + layers["b_down"][li].astype(out.dtype)
+    return out
 
 
 def _layer_step(
@@ -118,6 +161,9 @@ def _layer_step(
     v_scale: jax.Array | None = None,
     mask_swa: jax.Array | None = None,  # per-layer-alternating SWA (gemma2)
     kv_limit: int | None = None,  # static bound on attention reads (see llama_forward)
+    cache_li: jax.Array | None = None,  # ABSOLUTE layer id for cache addressing
+    # (differs from the weight-stack index `li` when layers are scanned in
+    # structural groups — deepseek2's dense prefix)
 ):
     """One transformer layer. Weights stay layer-stacked; matmuls address the
     stack through `li` (scalar-prefetched on the pallas backend so no
@@ -127,18 +173,47 @@ def _layer_step(
     would copy 2 x S x H x D bytes per layer per step."""
     b, t, _ = x.shape
     h, h_kv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    cli = li if cache_li is None else cache_li
 
     attn_in = (
-        rms_norm(x, layers["attn_norm"][li], cfg.rms_eps) if "attn_norm" in layers else x
+        _block_norm(cfg, layers, "attn_norm", x, li) if "attn_norm" in layers else x
     )
     if mask_swa is not None:
         # gemma2 alternation: even layers use the sliding-window mask
-        use_swa = (li % jnp.int32(max(cfg.swa_every, 1))) == 0
+        use_swa = (cli % jnp.int32(max(cfg.swa_every, 1))) == 0
         mask = jax.lax.select(
             jnp.broadcast_to(use_swa, mask.shape), mask_swa, mask
         )
 
-    if "wqkv" in layers:
+    if "wkv_a" in layers:
+        # deepseek2 MLA (build_deepseek2, src/llama.cpp): per-head queries over
+        # nope+rope dims; keys/values decompressed from the shared low-rank
+        # c_kv; the rope part of K is MQA-style (one per position, broadcast
+        # across heads). Naive (uncompressed) cache: K = [k_nope; k_pe].
+        nope = dh - cfg.rope_dim
+        vd = cfg.v_dim
+        if "wq_a" in layers:  # optional query low-rank compression
+            qc = qmatmul_layer(attn_in, layers["wq_a"], li, backend, compute_dtype)
+            qc = rms_norm(qc, layers["q_a_norm"][li], cfg.rms_eps)
+            q = qmatmul_layer(qc, layers["wq_b"], li, backend, compute_dtype)
+        else:
+            q = qmatmul_layer(attn_in, layers["wq"], li, backend, compute_dtype)
+        q = q.reshape(b, t, h, dh)
+        ckv = qmatmul_layer(attn_in, layers["wkv_a"], li, backend, compute_dtype)
+        c_kv, k_pe = jnp.split(ckv, [cfg.kv_lora_rank], axis=-1)
+        c_kv = rms_norm(c_kv, layers["kv_a_norm"][li], cfg.rms_eps)
+        kvb = qmatmul_layer(c_kv, layers["wkv_b"], li, backend, compute_dtype)
+        kvb = kvb.reshape(b, t, h, nope + vd)
+        k_nope, v = jnp.split(kvb, [nope], axis=-1)
+        q_nope, q_pe = jnp.split(q, [nope], axis=-1)
+        q_pe = apply_rope(q_pe, positions, inv_freq)
+        k_pe = apply_rope(k_pe[:, :, None, :], positions, inv_freq)
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (*k_nope.shape[:-1], cfg.rope_dim))],
+            axis=-1,
+        )
+    elif "wqkv" in layers:
         qkv = qmatmul_layer(attn_in, layers["wqkv"], li, backend, compute_dtype)
         if "bqkv" in layers:  # qwen2-style attention biases
             qkv = qkv + layers["bqkv"][li].astype(qkv.dtype)
@@ -152,24 +227,33 @@ def _layer_step(
             q = q + bq.astype(q.dtype)
             k = k + bk.astype(k.dtype)
             v = v + bv.astype(v.dtype)
-    if "attn_q_norm" in layers:
-        # olmo2: ONE rms norm across the flat projection (weight [H*Dh])
-        qn, kn = layers["attn_q_norm"][li], layers["attn_k_norm"][li]
-        if qn.shape[-1] == h * dh:
-            q = rms_norm(q, qn, cfg.rms_eps)
-            k = rms_norm(k, kn, cfg.rms_eps)
-    q = q.reshape(b, t, h, dh)
-    k = k.reshape(b, t, h_kv, dh)
-    v = v.reshape(b, t, h_kv, dh)
-    if "attn_q_norm" in layers:
-        # qwen3: per-head rms norm (weight [Dh]), applied before rope
-        qn, kn = layers["attn_q_norm"][li], layers["attn_k_norm"][li]
-        if qn.shape[-1] == dh:
-            q = rms_norm(q, qn, cfg.rms_eps)
-            k = rms_norm(k, kn, cfg.rms_eps)
+    if "wkv_a" not in layers:  # MLA already produced roped [B,T,H,*] q/k/v
+        if "attn_q_norm" in layers:
+            # olmo2: ONE rms norm across the flat projection (weight [H*Dh])
+            qn, kn = layers["attn_q_norm"][li], layers["attn_k_norm"][li]
+            if qn.shape[-1] == h * dh:
+                q = rms_norm(q, qn, cfg.rms_eps)
+                k = rms_norm(k, kn, cfg.rms_eps)
+        q = q.reshape(b, t, h, dh)
+        k = k.reshape(b, t, h_kv, dh)
+        v = v.reshape(b, t, h_kv, dh)
+        if "attn_q_norm" in layers:
+            # qwen3: per-head rms norm (weight [Dh]), applied before rope
+            qn, kn = layers["attn_q_norm"][li], layers["attn_k_norm"][li]
+            if qn.shape[-1] == dh:
+                q = rms_norm(q, qn, cfg.rms_eps)
+                k = rms_norm(k, kn, cfg.rms_eps)
 
-    q = apply_rope(q, positions, inv_freq)
-    k = apply_rope(k, positions, inv_freq)
+        if cfg.rope_dim >= dh:
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
+        elif cfg.rope_dim > 0:
+            # partial rotary (phi2/stablelm/gpt-neox rot_pct): only the first
+            # rope_dim features rotate (build_phi2, src/llama.cpp)
+            rd = cfg.rope_dim
+            q = jnp.concatenate([apply_rope(q[..., :rd], positions, inv_freq), q[..., rd:]], axis=-1)
+            k = jnp.concatenate([apply_rope(k[..., :rd], positions, inv_freq), k[..., rd:]], axis=-1)
+        # rope_dim == 0: no rotary at all (gpt2 — learned absolute positions)
 
     b_idx = jnp.arange(b)[:, None, None]  # [B,1,1]
     h_idx = jnp.arange(h_kv)[None, :, None]  # [1,H,1]
@@ -184,34 +268,35 @@ def _layer_step(
 
         k_q, k_s = quantize_kv_vec(k_hm)
         v_q, v_s = quantize_kv_vec(v_hm)
-        k_cache = k_cache.at[li, b_idx, h_idx, s_idx].set(k_q)
-        v_cache = v_cache.at[li, b_idx, h_idx, s_idx].set(v_q)
-        k_scale = k_scale.at[li, b_idx, h_idx, s_idx].set(k_s)
-        v_scale = v_scale.at[li, b_idx, h_idx, s_idx].set(v_s)
+        k_cache = k_cache.at[cli, b_idx, h_idx, s_idx].set(k_q)
+        v_cache = v_cache.at[cli, b_idx, h_idx, s_idx].set(v_q)
+        k_scale = k_scale.at[cli, b_idx, h_idx, s_idx].set(k_s)
+        v_scale = v_scale.at[cli, b_idx, h_idx, s_idx].set(v_s)
         attn = gqa_attention(
             q,
-            dequantize_kv(k_cache[li, :, :, :lim], k_scale[li, :, :, :lim]),
-            dequantize_kv(v_cache[li, :, :, :lim], v_scale[li, :, :, :lim]),
+            dequantize_kv(k_cache[cli, :, :, :lim], k_scale[cli, :, :, :lim]),
+            dequantize_kv(v_cache[cli, :, :, :lim], v_scale[cli, :, :, :lim]),
             mask,
             scale=cfg.attn_scale,
             softcap=cfg.attn_softcap,
         )
     else:
-        k_cache = k_cache.at[li, b_idx, h_idx, s_idx].set(k_hm.astype(k_cache.dtype))
-        v_cache = v_cache.at[li, b_idx, h_idx, s_idx].set(v_hm.astype(v_cache.dtype))
+        k_cache = k_cache.at[cli, b_idx, h_idx, s_idx].set(k_hm.astype(k_cache.dtype))
+        v_cache = v_cache.at[cli, b_idx, h_idx, s_idx].set(v_hm.astype(v_cache.dtype))
 
         if (
             backend == "pallas"
             and cfg.attn_softcap == 0.0
+            and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: Dv != Dk
             and supports_flash(t, h, h_kv, lim, dh)
         ):
-            attn = flash_attention_cached(q, k_cache, v_cache, mask, li, s_limit=lim)
+            attn = flash_attention_cached(q, k_cache, v_cache, mask, cli, s_limit=lim)
         else:
             attn = gqa_attention(
-                q, k_cache[li, :, :, :lim], v_cache[li, :, :, :lim], mask,
+                q, k_cache[cli, :, :, :lim], v_cache[cli, :, :, :lim], mask,
                 scale=cfg.attn_scale, softcap=cfg.attn_softcap,
             )
-    attn_flat = attn.reshape(b, t, h * dh)
+    attn_flat = attn.reshape(b, t, -1)  # H * Dv (Dv != Dh for MLA)
 
     from ..ops.pallas_ffn import ffn_block_pallas, supports_ffn_block
 
@@ -219,10 +304,11 @@ def _layer_step(
     rows = b * t
     import os
 
+    fused_mode = os.environ.get("EAGLE_TPU_FUSED_FFN", "0")
     if (
         backend == "pallas"
         and rows <= 64  # decode/verify shapes; prefill scratch would blow VMEM
-        and os.environ.get("EAGLE_TPU_FUSED_FFN", "0") == "1"
+        and fused_mode in ("1", "all", "wo")
         and supports_ffn_block(layers, cfg)
     ):
         # fused attn-out + FFN block: three back-to-back pallas kernels
@@ -238,32 +324,35 @@ def _layer_step(
             a2, r2, layers["ffn_norm"][li],
             layers["wo"], layers["w_gate_up"], layers["w_down"], li,
             rms_eps=cfg.rms_eps, act_fn=cfg.act, compute_dtype=compute_dtype,
+            stages="wo" if fused_mode == "wo" else "all",
         )
         x = out[:rows].reshape(b, t, d)
     else:
         attn_out = qmatmul_layer(attn_flat, layers["wo"], li, backend, compute_dtype)
+        if "bo" in layers:  # attention output bias (gpt2/phi2/starcoder2)
+            attn_out = attn_out + layers["bo"][li].astype(attn_out.dtype)
         if "post_attn_norm" in layers:  # gemma2 sandwich norm
             attn_out = rms_norm(attn_out, layers["post_attn_norm"][li], cfg.rms_eps)
-        x = x + attn_out
-
-        # olmo2 has no pre-FFN norm (post-norm-only block)
-        ffn_in = (
-            rms_norm(x, layers["ffn_norm"][li], cfg.rms_eps) if "ffn_norm" in layers else x
-        )
         act = jax.nn.silu if cfg.act == "silu" else partial(jax.nn.gelu, approximate=True)
-        if "ffn_gate_inp" in layers:
-            ffn_out = _moe_ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
+        if cfg.parallel_blocks:
+            # one shared input norm feeds attention AND the FFN; both add into
+            # the residual (build_command_r / build_phi2 / build_falcon)
+            ffn_out = _ffn(cfg, layers, li, attn_in, act, backend, compute_dtype)
+            x = x + attn_out + ffn_out
         else:
-            if "w_gate_up" in layers:
-                gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
-                gate, up = jnp.split(gate_up, 2, axis=-1)
-            else:
-                gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
-                up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
-            ffn_out = qmatmul_layer(act(gate) * up, layers["w_down"], li, backend, compute_dtype)
-        if "post_ffn_norm" in layers:
-            ffn_out = rms_norm(ffn_out, layers["post_ffn_norm"][li], cfg.rms_eps)
-        x = x + ffn_out
+            if cfg.resid_scale != 1.0:  # granite residual multiplier
+                attn_out = attn_out * cfg.resid_scale
+            x = x + attn_out
+            # olmo2 has no pre-FFN norm (post-norm-only block)
+            ffn_in = (
+                _block_norm(cfg, layers, "ffn_norm", x, li) if "ffn_norm" in layers else x
+            )
+            ffn_out = _ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
+            if "post_ffn_norm" in layers:
+                ffn_out = rms_norm(ffn_out, layers["post_ffn_norm"][li], cfg.rms_eps)
+            if cfg.resid_scale != 1.0:
+                ffn_out = ffn_out * cfg.resid_scale
+            x = x + ffn_out
     if "cvec" in layers:  # control vector (llama_adapter_cvec.apply_to, src/llama-adapter.cpp)
         x = x + layers["cvec"][li].astype(x.dtype)
     return x, k_cache, v_cache, k_scale, v_scale
@@ -307,6 +396,8 @@ def llama_forward(
     x = input_embeds if input_embeds is not None else embed_lookup(params["tok_embd"], tokens)
     if cfg.embd_scale != 1.0:  # gemma: embeddings scaled by sqrt(n_embd)
         x = x * jnp.asarray(cfg.embd_scale, x.dtype)
+    if cfg.has_pos_embd:  # gpt2 learned absolute positions (wpe — build_gpt2)
+        x = x + params["pos_embd"][positions].astype(x.dtype)
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
     layers = params["layers"]
     if kv_limit is not None:
@@ -320,25 +411,51 @@ def llama_forward(
         s_idx = jnp.arange(mask.shape[-1], dtype=jnp.int32)[None, None, :]
         mask_swa = mask & (positions[:, :, None] - s_idx < cfg.swa_window)
 
-    def scan_body(carry, li):
-        x, k_all, v_all, k_s, v_s = carry
-        x, k_all, v_all, k_s, v_s = _layer_step(
-            cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
-            x, layers, li, k_all, v_all, k_s, v_s, mask_swa=mask_swa,
-            kv_limit=kv_limit,
-        )
-        return (x, k_all, v_all, k_s, v_s), None
+    # deepseek2 puts dense FFN layers before the MoE layers — different weight
+    # shapes can't share one stack, so each structural group gets its own scan
+    # (cache indexing stays absolute via the scanned layer ids)
+    groups: list[tuple[dict, int]] = []
+    if "layers_dense" in params:
+        groups.append((params["layers_dense"], 0))
+        groups.append((layers, cfg.n_dense_layers))
+    else:
+        groups.append((layers, 0))
 
-    (x, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
-        scan_body, (x, kv.k, kv.v, kv.k_scale, kv.v_scale),
-        jnp.arange(cfg.n_layers, dtype=jnp.int32),
-    )
+    carry = (x, kv.k, kv.v, kv.k_scale, kv.v_scale)
+    for grp, base in groups:
+        n_grp = next(iter(grp.values())).shape[0] if grp else 0
+
+        def scan_body(c, ids, _grp=grp):
+            wi, cli = ids
+            x, k_all, v_all, k_s, v_s = c
+            x, k_all, v_all, k_s, v_s = _layer_step(
+                cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
+                x, _grp, wi, k_all, v_all, k_s, v_s, mask_swa=mask_swa,
+                kv_limit=kv_limit, cache_li=cli,
+            )
+            return (x, k_all, v_all, k_s, v_s), None
+
+        carry, _ = jax.lax.scan(
+            scan_body, carry,
+            (jnp.arange(n_grp, dtype=jnp.int32),
+             jnp.arange(base, base + n_grp, dtype=jnp.int32)),
+        )
+    (x, new_k, new_v, new_ks, new_vs) = carry
 
     kv = dataclasses.replace(kv, k=new_k, v=new_v, k_scale=new_ks, v_scale=new_vs)
-    hidden = rms_norm(x, params.get("output_norm"), cfg.rms_eps)
+    if cfg.norm_type == "layer":
+        hidden = layer_norm(
+            x, params.get("output_norm"), params.get("output_norm_b"), cfg.rms_eps
+        )
+    else:
+        hidden = rms_norm(x, params.get("output_norm"), cfg.rms_eps)
     logits = None
     if return_logits:
         logits = qmatmul(hidden, params["output"], backend, compute_dtype)
+        if "output_b" in params:  # phi2 lm_head bias
+            logits = logits + params["output_b"].astype(logits.dtype)
+        if cfg.logit_scale != 1.0:  # command-r/granite LLM_KV_LOGIT_SCALE
+            logits = logits * cfg.logit_scale
         if cfg.final_softcap > 0:  # gemma2 final logit softcapping
             c = cfg.final_softcap
             logits = c * jnp.tanh(logits / c)

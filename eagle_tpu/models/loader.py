@@ -99,10 +99,95 @@ def fuse_layer_weights(stacked: dict[str, Any]) -> dict[str, Any]:
     from ..quant.qtensor import concat_qtensors
 
     out = dict(stacked)
-    out["wqkv"] = concat_qtensors([out.pop("wq"), out.pop("wk"), out.pop("wv")])
-    if "w_gate" in out:  # MoE layers have expert tensors instead
+    if "wq" in out and "wk" in out:  # fused-qkv GGUFs / MLA have no wk/wv
+        out["wqkv"] = concat_qtensors([out.pop("wq"), out.pop("wk"), out.pop("wv")])
+    if "w_gate" in out:  # MoE layers have expert tensors instead; no-gate
         out["w_gate_up"] = concat_qtensors([out.pop("w_gate"), out.pop("w_up")])
     return out
+
+
+def _mla_rope_perm(n_heads: int, head_dim: int, rope_dim: int, lead: int) -> np.ndarray:
+    """Row map for deepseek2's NORM-rope sub-slices: within each head (or the
+    single MQA k_pe slice), the trailing `rope_dim` rows move from the GGUF's
+    pair-interleaved order to the runtime's half-split order; the leading
+    `lead` rows (nope dims / kv_lora) pass through."""
+    within_rope = unpermute_rows(rope_dim, 1)
+    per_head = np.concatenate([np.arange(lead), lead + within_rope])
+    stride = lead + rope_dim
+    return (np.arange(n_heads)[:, None] * stride + per_head[None, :]).reshape(-1)
+
+
+def load_deepseek2_params(
+    reader: GGUFReader,
+    cfg: ModelConfig,
+    device_put: Callable | None = None,
+    fuse: bool = True,
+) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
+    """deepseek2 (MLA + leading-dense MoE, build_deepseek2): per-layer tensors
+    split into two structural groups — the first `leading_dense_block_count`
+    layers carry a plain gated FFN, the rest carry router + experts (+ shared
+    expert). Attention rope rows (q per-head tail, kv_a_mqa tail) un-permute
+    from the NORM (pair-interleaved) layout like llama q/k rows."""
+    nope = cfg.head_dim - cfg.rope_dim
+    q_perm = _mla_rope_perm(cfg.n_heads, cfg.head_dim, cfg.rope_dim, nope)
+    kv_a_perm = _mla_rope_perm(1, 0, cfg.rope_dim, cfg.kv_lora_rank)
+
+    attn_map = {
+        "attn_norm": "attn_norm.weight",
+        "wkv_a": "attn_kv_a_mqa.weight",
+        "wkv_b": "attn_kv_b.weight",
+        "wo": "attn_output.weight",
+        "ffn_norm": "ffn_norm.weight",
+    }
+    if cfg.q_lora_rank:
+        attn_map.update(wq_a="attn_q_a.weight", wq_b="attn_q_b.weight")
+    else:
+        attn_map["wq"] = "attn_q.weight"
+    dense_map = {**attn_map, "w_gate": "ffn_gate.weight", "w_up": "ffn_up.weight",
+                 "w_down": "ffn_down.weight"}
+    moe_map = dict(attn_map)
+
+    def load_group(idx: list[int], key_map) -> dict[str, Any]:
+        group: dict[str, list] = {k: [] for k in key_map}
+        for i in idx:
+            for ours, suffix in key_map.items():
+                perm = (
+                    q_perm if ours in ("wq", "wq_b")
+                    else kv_a_perm if ours == "wkv_a" else None
+                )
+                group[ours].append(
+                    _load_tensor(reader, f"blk.{i}.{suffix}", row_perm=perm, layout="kn")
+                )
+            for ours, name in (
+                ("kv_a_norm", f"blk.{i}.attn_kv_a_norm.weight"),
+                ("q_a_norm", f"blk.{i}.attn_q_a_norm.weight"),
+                ("ffn_gate_inp", f"blk.{i}.ffn_gate_inp.weight"),
+                ("w_gate_exps", f"blk.{i}.ffn_gate_exps.weight"),
+                ("w_up_exps", f"blk.{i}.ffn_up_exps.weight"),
+                ("w_down_exps", f"blk.{i}.ffn_down_exps.weight"),
+                ("w_gate_shexp", f"blk.{i}.ffn_gate_shexp.weight"),
+                ("w_up_shexp", f"blk.{i}.ffn_up_shexp.weight"),
+                ("w_down_shexp", f"blk.{i}.ffn_down_shexp.weight"),
+            ):
+                if name in reader.tensors:
+                    group.setdefault(ours, []).append(reader.tensor_f32(name))
+        stacked = {k: _stack(v) for k, v in group.items()}
+        return fuse_layer_weights(stacked) if fuse else stacked
+
+    nd = cfg.n_dense_layers
+    params: dict[str, Any] = {
+        "tok_embd": _load_tensor(reader, "token_embd.weight"),
+        "layers": load_group(list(range(nd, cfg.n_layers)), moe_map),
+        "output_norm": _load_tensor(reader, "output_norm.weight"),
+    }
+    if nd:
+        params["layers_dense"] = load_group(list(range(nd)), dense_map)
+    if "output.weight" in reader.tensors:
+        params["output"] = _load_tensor(reader, "output.weight", layout="kn")
+    else:
+        params["output"] = params["tok_embd"]
+    put = device_put if device_put is not None else jnp.asarray
+    return _device_put_tree(params, put), cfg, reader.metadata
 
 
 def load_llama_params(
@@ -113,6 +198,8 @@ def load_llama_params(
     """Load a llama-architecture GGUF. Returns (params, config, metadata)."""
     reader = GGUFReader(path)
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
+    if cfg.kv_lora_rank:
+        return load_deepseek2_params(reader, cfg, device_put, fuse)
 
     from .config import PERMUTED_ROPE_ARCHS
 
@@ -130,8 +217,20 @@ def load_llama_params(
         "post_ffn_norm": "ffn_post_norm.weight",
         "attn_q_norm": "attn_q_norm.weight",
         "attn_k_norm": "attn_k_norm.weight",
+        # LayerNorm-family archs (gpt2/starcoder2/phi2/falcon): norm biases,
+        # attention output bias, FFN biases (canonical names llama-arch.cpp)
+        "attn_norm_b": "attn_norm.bias",
+        "ffn_norm_b": "ffn_norm.bias",
+        "bo": "attn_output.bias",
+        "b_up": "ffn_up.bias",
+        "b_down": "ffn_down.bias",
     }
     key_map = dict(LayerKeyMap)
+    if f"blk.0.attn_qkv.weight" in reader.tensors:
+        # pre-fused qkv projection (gpt2/gpt-neox/falcon GGUF layout)
+        for k in ("wq", "wk", "wv"):
+            key_map.pop(k)
+        key_map["wqkv"] = "attn_qkv.weight"
     if is_moe:
         for k in ("w_gate", "w_up", "w_down"):
             key_map.pop(k)
@@ -146,10 +245,11 @@ def load_llama_params(
             w_up_shexp="ffn_up_shexp.weight",
             w_down_shexp="ffn_down_shexp.weight",
         )
-    # norms may be absent per arch (olmo2 has no pre-norms; eagle no attn_norm)
-    for norm_key in ("attn_norm", "ffn_norm"):
-        if f"blk.0.{key_map[norm_key]}" not in reader.tensors:
-            optional[norm_key] = key_map.pop(norm_key)
+    # norms may be absent per arch (olmo2 has no pre-norms; eagle no attn_norm;
+    # command-r has no ffn_norm — one shared input norm; gpt2 has no gate)
+    for opt_key in ("attn_norm", "ffn_norm", "w_gate"):
+        if opt_key in key_map and f"blk.0.{key_map[opt_key]}" not in reader.tensors:
+            optional[opt_key] = key_map.pop(opt_key)
 
     layers: dict[str, list] = {k: [] for k in key_map}
     for i in range(cfg.n_layers):
@@ -171,6 +271,11 @@ def load_llama_params(
                     w = w[k_perm]
                 layers.setdefault(ours, []).append(w)
 
+    # pre-fused qkv bias (gpt2/gpt-neox layout)
+    if f"blk.0.attn_qkv.bias" in reader.tensors:
+        layers["bqkv"] = [
+            reader.tensor_f32(f"blk.{i}.attn_qkv.bias") for i in range(cfg.n_layers)
+        ]
     # optional attention biases (qwen2 family)
     if f"blk.0.attn_q.bias" in reader.tensors:
         biases = []
@@ -191,10 +296,18 @@ def load_llama_params(
         "layers": stacked,
         "output_norm": _load_tensor(reader, "output_norm.weight"),
     }
+    if "output_norm.bias" in reader.tensors:
+        params["output_norm_b"] = reader.tensor_f32("output_norm.bias")
+    if "position_embd.weight" in reader.tensors:  # gpt2 learned positions
+        params["pos_embd"] = reader.tensor_f32("position_embd.weight").reshape(
+            -1, cfg.n_embd
+        )
     if "output.weight" in reader.tensors:
         params["output"] = _load_tensor(reader, "output.weight", layout="kn")
     else:
         params["output"] = params["tok_embd"]  # tied embeddings (stays "nk")
+    if "output.bias" in reader.tensors:  # phi2 lm_head bias
+        params["output_b"] = reader.tensor_f32("output.bias")
 
     put = device_put if device_put is not None else jnp.asarray
     params = _device_put_tree(params, put)

@@ -33,6 +33,7 @@ def synth_qtensor(
     stack: int | None = None,
     packed: bool = False,
     scale_dtype=jnp.float32,
+    coded: bool = False,
 ) -> QTensor:
     """rng is either a numpy Generator (host synth) or a jax PRNG key (device
     synth — generates weights directly in HBM, no host->device transfer; used
@@ -72,11 +73,41 @@ def synth_qtensor(
             )
         )
         q, scale, bias = gen(k1, k2, k3)
-    if scale_dtype != jnp.float32:
+    sup = sup_min = None
+    if coded:
+        # k-quant super-block factorization kept on-chip: u8 sub-scale codes +
+        # f32 per-256 super-scales (f16 d promoted losslessly; Mosaic has no f16)
+        assert layout == "kn" and k % 256 == 0
+        import jax
+
+        ks, km = jax.random.split(jax.random.PRNGKey(1) if not isinstance(rng, np.random.Generator) else jax.random.PRNGKey(2), 2)
+        sshape2 = lead + (k // 256, n)
+        code_mag = 0.02 / max(1, hi - 1) / 32.0
+        if isinstance(rng, np.random.Generator):
+            codes = rng.integers(1, 64, size=sshape).astype(np.int8)
+            sup = (rng.uniform(0.5, 1.5, size=sshape2).astype(np.float32) * code_mag)
+            scale = jnp.asarray(codes)
+            sup = jnp.asarray(sup.astype(np.float32))
+            if has_bias:
+                bias = jnp.asarray(rng.integers(0, 64, size=sshape).astype(np.int8))
+                sup_min = jnp.asarray(
+                    (-rng.uniform(0.5, 1.5, size=sshape2) * code_mag).astype(np.float32)
+                )
+        else:
+            import jax.numpy as _jnp
+
+            scale = jax.random.randint(ks, sshape, 1, 64, dtype=_jnp.int32).astype(_jnp.int8)
+            sup = jax.random.uniform(km, sshape2, _jnp.float32, 0.5, 1.5) * code_mag
+            if has_bias:
+                k2, k3 = jax.random.split(km)
+                bias = jax.random.randint(k2, sshape, 0, 64, dtype=_jnp.int32).astype(_jnp.int8)
+                sup_min = -jax.random.uniform(k3, sshape2, _jnp.float32, 0.5, 1.5) * code_mag
+    elif scale_dtype != jnp.float32:
         scale = scale.astype(scale_dtype)
         bias = None if bias is None else bias.astype(scale_dtype)
     qt = QTensor(
-        q=q, scale=scale, bias=bias, group=group, ggml_type=int(qtype), layout=layout
+        q=q, scale=scale, bias=bias, group=group, ggml_type=int(qtype), layout=layout,
+        sup=sup, sup_min=sup_min,
     )
     if packed:
         assert layout == "kn" and hi <= 16 and lo >= 0
@@ -102,10 +133,12 @@ def synth_llama_params(
     on_device: bool = False,
     packed: bool = False,
     scale_dtype=jnp.float32,
+    coded: bool = False,
 ) -> dict[str, Any]:
     if on_device:
         return _synth_llama_on_device(
-            cfg, qtype, seed, embed_dtype, packed=packed, scale_dtype=scale_dtype
+            cfg, qtype, seed, embed_dtype, packed=packed, scale_dtype=scale_dtype,
+            coded=coded,
         )
     rng = np.random.default_rng(seed)
     L, d, dh, h, hkv, f, v = (
@@ -133,7 +166,7 @@ def synth_llama_params(
     }
 
 
-def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=False, scale_dtype=jnp.float32) -> dict[str, Any]:
+def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=False, scale_dtype=jnp.float32, coded=False) -> dict[str, Any]:
     import jax
 
     keys = iter(jax.random.split(jax.random.PRNGKey(seed), 16))
@@ -145,11 +178,11 @@ def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=Fa
         "attn_norm": jnp.ones((L, d), jnp.float32),
         # qkv and gate+up fused along N: one MXU dispatch each (halves the
         # per-layer kernel-launch overhead on the decode critical path)
-        "wqkv": synth_qtensor(next(keys), (h + 2 * hkv) * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
-        "wo": synth_qtensor(next(keys), d, h * dh, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        "wqkv": synth_qtensor(next(keys), (h + 2 * hkv) * dh, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype, coded=coded),
+        "wo": synth_qtensor(next(keys), d, h * dh, qtype, stack=L, packed=packed, scale_dtype=scale_dtype, coded=coded),
         "ffn_norm": jnp.ones((L, d), jnp.float32),
-        "w_gate_up": synth_qtensor(next(keys), 2 * f, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
-        "w_down": synth_qtensor(next(keys), d, f, qtype, stack=L, packed=packed, scale_dtype=scale_dtype),
+        "w_gate_up": synth_qtensor(next(keys), 2 * f, d, qtype, stack=L, packed=packed, scale_dtype=scale_dtype, coded=coded),
+        "w_down": synth_qtensor(next(keys), d, f, qtype, stack=L, packed=packed, scale_dtype=scale_dtype, coded=coded),
     }
     emb = jax.jit(
         lambda k: (jax.random.normal(k, (v, d), jnp.float32) * 0.02).astype(embed_dtype)
@@ -158,7 +191,7 @@ def _synth_llama_on_device(cfg: ModelConfig, qtype, seed, embed_dtype, packed=Fa
         "tok_embd": emb,
         "layers": layers,
         "output_norm": jnp.ones((d,), jnp.float32),
-        "output": synth_qtensor(next(keys), v, d, qtype, packed=packed, scale_dtype=scale_dtype),
+        "output": synth_qtensor(next(keys), v, d, qtype, packed=packed, scale_dtype=scale_dtype, coded=coded),
     }
 
 

@@ -45,4 +45,5 @@ def gqa_attention(
         "bkgts,bksd->btkgd", probs.astype(cdt), v_cache,
         preferred_element_type=jnp.float32,
     )
-    return out.reshape(b, t, h, d)
+    # value width can differ from the QK head dim (deepseek2 MLA)
+    return out.reshape(b, t, h, v_cache.shape[-1])

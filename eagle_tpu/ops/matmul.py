@@ -32,20 +32,21 @@ def _qmatmul_xla(x: jax.Array, w: QTensor, compute_dtype=jnp.bfloat16) -> jax.Ar
     if w.packed:
         w = w.unpack()
     g = w.group
+    scale, bias = w.effective_scale_bias()
     if w.layout == "nk":
         n, k = w.q.shape
         wq = w.q.astype(compute_dtype).reshape(n, k // g, g)
-        wd = wq * w.scale.astype(compute_dtype)[:, :, None]
-        if w.bias is not None:
-            wd = wd + w.bias.astype(compute_dtype)[:, :, None]
+        wd = wq * scale.astype(compute_dtype)[:, :, None]
+        if bias is not None:
+            wd = wd + bias.astype(compute_dtype)[:, :, None]
         wd = wd.reshape(n, k)
         contract = (1,)
     else:
         k, n = w.q.shape
         wq = w.q.astype(compute_dtype).reshape(k // g, g, n)
-        wd = wq * w.scale.astype(compute_dtype)[:, None, :]
-        if w.bias is not None:
-            wd = wd + w.bias.astype(compute_dtype)[:, None, :]
+        wd = wq * scale.astype(compute_dtype)[:, None, :]
+        if bias is not None:
+            wd = wd + bias.astype(compute_dtype)[:, None, :]
         wd = wd.reshape(k, n)
         contract = (0,)
     return jax.lax.dot_general(

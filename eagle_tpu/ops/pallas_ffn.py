@@ -41,6 +41,7 @@ from .pallas_qmm import (
     _squeeze_lead,
     _valid_tiles,
 )
+from .matmul import qmatmul_layer
 
 
 def supports_ffn_block(layers: dict, cfg) -> bool:
@@ -56,6 +57,8 @@ def supports_ffn_block(layers: dict, cfg) -> bool:
     ws = [layers.get("wo"), layers.get("w_gate_up"), layers.get("w_down")]
     for w in ws:
         if not isinstance(w, QTensor) or w.layout != "kn" or w.q.ndim != 3:
+            return False
+        if w.sup is not None:  # coded scales: not wired into the fused stages
             return False
         k = w.q.shape[1] * (2 if w.packed else 1)
         n = w.q.shape[2]
@@ -111,7 +114,6 @@ def _fused_qmm_call(
     epilogue,  # fn(o_ref, extra_refs, aux_out_refs) run on the last K step
     aux_out_shapes: list[jax.ShapeDtypeStruct],
     *,
-    acc_is_output: bool,  # False: accumulator lives in scratch, not HBM
     compute_dtype,
     interpret: bool,
 ):
@@ -204,19 +206,15 @@ def _fused_qmm_call(
         )
         for s in aux_out_shapes
     ]
-    scratch_shapes = []
-    if acc_is_output:
-        out_shapes.insert(0, jax.ShapeDtypeStruct((r, n), jnp.float32))
-        out_specs.insert(
-            0,
-            pl.BlockSpec(
-                (r, n),
-                (lambda i, j, l: (0, 0)) if stacked else (lambda i, j: (0, 0)),
-                memory_space=pltpu.VMEM,
-            ),
-        )
-    else:
-        scratch_shapes.append(pltpu.VMEM((r, n), jnp.float32))
+    out_shapes.insert(0, jax.ShapeDtypeStruct((r, n), jnp.float32))
+    out_specs.insert(
+        0,
+        pl.BlockSpec(
+            (r, n),
+            (lambda i, j, l: (0, 0)) if stacked else (lambda i, j: (0, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+    )
 
     def kernel(*refs):
         refs = list(refs)
@@ -230,13 +228,8 @@ def _fused_qmm_call(
         else:
             b_ref = xs_ref = None
         extra_refs = refs[:n_extras]
-        refs = refs[n_extras:]
-        if acc_is_output:
-            o_ref = refs[0]
-            aux_refs = refs[1:]
-        else:
-            o_ref = refs[-1]  # scratch comes after outputs
-            aux_refs = refs[:-1]
+        o_ref = refs[n_extras]
+        aux_refs = refs[n_extras + 1:]
         sq = _squeeze_lead if stacked else (lambda ref: ref)
         _qmm_kernel(
             x_ref, sq(q_ref), sq(s_ref),
@@ -260,7 +253,6 @@ def _fused_qmm_call(
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=scratch_shapes,
         )
         return pl.pallas_call(
             kernel,
@@ -276,7 +268,157 @@ def _fused_qmm_call(
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
+        cost_estimate=cost,
+    )(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_tiles_pair(k: int, f: int, g: int, packed: bool, r: int) -> tuple[int, int]:
+    """(tile_n, tile_k) for the paired gate/up kernel: each grid step streams
+    TWO weight blocks (the gate tile and the matching up tile), so the VMEM
+    and traffic terms double relative to pallas_qmm._pick_tiles_2d."""
+    n_tiles = _valid_tiles(f) if f % 128 == 0 else [f]
+    k_tiles = [
+        t for t in _valid_tiles(k)
+        if t % g == 0 and ((t // g) % 8 == 0 or t == k)
+    ] or [k]
+    best = fallback = None
+    for tn in n_tiles:
+        for tk in k_tiles:
+            qb = 2 * tk * tn * (0.5 if packed else 1)
+            sb = 2 * (tk // g) * tn * 2 * 2
+            xb = r * tk * 4
+            ob = r * tn * 2
+            acc = 2 * r * tn * 4  # two f32 accumulators live across K steps
+            vmem = 2 * (qb + sb + xb) + 2 * ob + acc
+            steps = (f // tn) * (k // tk)
+            score = (
+                ((qb + sb) * steps + r * 4 * k * (f // tn) + r * f * 2 + qb + sb + xb) / _BW_STREAM
+                + _C_STEP * steps
+                + _C_KREV * (f // tn) * (k // tk - 1)
+            )
+            if fallback is None or (qb + sb + xb + ob) < fallback[0]:
+                fallback = (qb + sb + xb + ob, (tn, tk))
+            if vmem > _VMEM_BUDGET:
+                continue
+            if best is None or score < best[0]:
+                best = (score, (tn, tk))
+    return best[1] if best is not None else fallback[1]
+
+
+def _gate_up_act_2d(
+    h: jax.Array,  # [R, K]
+    w: QTensor,  # stacked kn [L, K(/2), 2F] — gate cols [0,F), up cols [F,2F)
+    layer: jax.Array,
+    *,
+    act,
+    compute_dtype,
+    interpret: bool,
+):
+    """act(h @ Wgate) * (h @ Wup) with free 2D tiling: every grid step streams
+    the gate tile AND its paired up tile (same array, offset index map), the
+    two f32 accumulators live in scratch, and the activation epilogue fires on
+    the last K step per N tile. Unlike a full-row accumulator this keeps the
+    calibrated tile picker's shape freedom (the K-only fused down kernel
+    measured +7 us/layer from forced 43-step grids)."""
+    assert w.layout == "kn" and w.q.ndim == 3
+    g = w.group
+    L = w.q.shape[0]
+    if w.packed:
+        _, kq, two_f = w.q.shape
+        k = 2 * kq
+    else:
+        _, k, two_f = w.q.shape
+    f = two_f // 2
+    r = h.shape[0]
+    has_bias = w.bias is not None
+    if L == 1:
+        w = jax.tree_util.tree_map(lambda a: a[0], w)
+        stacked = False
+    else:
+        stacked = True
+
+    tn, tk = _pick_tiles_pair(k, f, g, w.packed, r)
+    steps_k = k // tk
+    f_tiles = f // tn
+    grid = (f_tiles, steps_k)
+    q_block = (tk // 2, tn) if w.packed else (tk, tn)
+
+    def spec(block, imap):
+        if stacked:
+            return pl.BlockSpec((1,) + block, lambda i, j, l, m=imap: (l[0],) + m(i, j),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, lambda i, j, m=imap: m(i, j), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((r, tk), (lambda i, j, l: (0, j)) if stacked else (lambda i, j: (0, j)),
+                     memory_space=pltpu.VMEM),
+        spec(q_block, lambda i, j: (j, i)),  # gate tile
+        spec(q_block, lambda i, j: (j, i + f_tiles)),  # paired up tile
+        spec((tk // g, tn), lambda i, j: (j, i)),
+        spec((tk // g, tn), lambda i, j: (j, i + f_tiles)),
+    ]
+    args = [h, w.q, w.q, w.scale, w.scale]
+    if has_bias:
+        in_specs.append(spec((k // g, tn), lambda i, j: (0, i)))
+        in_specs.append(spec((k // g, tn), lambda i, j: (0, i + f_tiles)))
+        args += [w.bias, w.bias]
+        in_specs.append(
+            pl.BlockSpec((r, k // g), (lambda i, j, l: (0, 0)) if stacked else (lambda i, j: (0, 0)),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(h.astype(jnp.float32).reshape(r, k // g, g).sum(axis=-1))
+
+    def kernel(*refs):
+        refs = list(refs)
+        if stacked:
+            refs.pop(0)
+        x_ref, qg_ref, qu_ref, sg_ref, su_ref = refs[:5]
+        refs = refs[5:]
+        if has_bias:
+            bg_ref, bu_ref, xs_ref = refs[:3]
+            refs = refs[3:]
+        else:
+            bg_ref = bu_ref = xs_ref = None
+        o_ref, accg, accu = refs
+        sq = _squeeze_lead if stacked else (lambda ref: ref)
+        _qmm_kernel(x_ref, sq(qg_ref), sq(sg_ref),
+                    None if bg_ref is None else sq(bg_ref), accg,
+                    group=g, compute_dtype=compute_dtype, packed=w.packed, xs_ref=xs_ref)
+        _qmm_kernel(x_ref, sq(qu_ref), sq(su_ref),
+                    None if bu_ref is None else sq(bu_ref), accu,
+                    group=g, compute_dtype=compute_dtype, packed=w.packed, xs_ref=xs_ref)
+
+        @pl.when(pl.program_id(1) == steps_k - 1)
+        def _():
+            o_ref[:] = (act(accg[:]) * accu[:]).astype(o_ref.dtype)
+
+    out_spec = pl.BlockSpec(
+        (r, tn), (lambda i, j, l: (0, i)) if stacked else (lambda i, j: (0, i)),
+        memory_space=pltpu.VMEM,
+    )
+    scratch = [pltpu.VMEM((r, tn), jnp.float32), pltpu.VMEM((r, tn), jnp.float32)]
+    cost = pl.CostEstimate(
+        flops=2 * r * k * two_f,
+        bytes_accessed=(k // (2 if w.packed else 1)) * two_f + (k // g) * two_f * 2 + r * (k + f) * 4,
+        transcendentals=r * f,
+    )
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((r, f), compute_dtype),
+            grid_spec=grid_spec, interpret=interpret,
+            compiler_params=None if interpret else _compiler_params(),
+            cost_estimate=cost,
+        )(jnp.asarray(layer, jnp.int32).reshape(1), *args)
+    return pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((r, f), compute_dtype),
+        grid=grid, in_specs=in_specs, out_specs=out_spec, scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else _compiler_params(),
         cost_estimate=cost,
@@ -296,6 +438,7 @@ def ffn_block_pallas(
     act_fn: str = "silu",
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    stages: str = "all",  # "all" | "wo" (fuse only the wo+resid+norm stage)
 ) -> jax.Array:
     """resid + FFN(rms_norm(resid + attn @ Wo)) for one layer, fused.
 
@@ -303,8 +446,6 @@ def ffn_block_pallas(
     f32 matmul accumulation into the residual)."""
     r = attn.shape[0]
     d = resid.shape[-1]
-    two_f = w_gate_up.shape[0]
-    f = two_f // 2
     act = jax.nn.silu if act_fn == "silu" else functools.partial(
         jax.nn.gelu, approximate=True
     )
@@ -324,29 +465,33 @@ def ffn_block_pallas(
     x, h = _fused_qmm_call(
         attn, wo, layer, [resid, nw], epi_out_norm,
         [jax.ShapeDtypeStruct((r, d), compute_dtype)],
-        acc_is_output=True, compute_dtype=compute_dtype, interpret=interpret,
+        compute_dtype=compute_dtype, interpret=interpret,
     )
 
-    # stage 2: a = act(gate) * up, gate/up the two halves of h @ Wgate_up.
-    # The [R, 2F] accumulator never leaves VMEM (scratch, not an output).
-    def epi_act(o_ref, extra_refs, aux_refs):
-        (a_ref,) = aux_refs
-        t = o_ref[:]
-        a_ref[:] = (act(t[:, :f]) * t[:, f:]).astype(compute_dtype)
+    def _mm(inp, w):
+        if interpret:
+            # qmatmul_layer's pallas path doesn't thread interpret; use the
+            # exact XLA dequant matmul for CPU tests (numerics identical)
+            w_l = jax.tree_util.tree_map(lambda t: t[layer], w)
+            from .matmul import qmatmul
 
-    (a,) = _fused_qmm_call(
-        h, w_gate_up, layer, [], epi_act,
-        [jax.ShapeDtypeStruct((r, f), compute_dtype)],
-        acc_is_output=False, compute_dtype=compute_dtype, interpret=interpret,
-    )
+            return qmatmul(inp, w_l, backend="xla", compute_dtype=compute_dtype)
+        return qmatmul_layer(inp, w, layer, backend="pallas", compute_dtype=compute_dtype)
 
-    # stage 3: out = a @ Wdown + x
-    def epi_resid(o_ref, extra_refs, aux_refs):
-        (x_ref,) = extra_refs
-        o_ref[:] = o_ref[:] + x_ref[:]
+    if stages == "wo":
+        # only stage 1 fused (it measured a net win: 20.2 us incl. resid+norm
+        # vs 19.5 + ~3 us of XLA fusions); gate_up/down stay on the standard
+        # kernels whose XLA interleaving hides launch gaps
+        gate, up = jnp.split(_mm(h, w_gate_up), 2, axis=-1)
+        a = (act(gate) * up).astype(compute_dtype)
+    else:
+        # stage 2: a = act(gate) * up — paired-tile kernel, VMEM accumulators
+        a = _gate_up_act_2d(
+            h, w_gate_up, layer, act=act, compute_dtype=compute_dtype,
+            interpret=interpret,
+        )
 
-    (out,) = _fused_qmm_call(
-        a, w_down, layer, [x], epi_resid, [],
-        acc_is_output=True, compute_dtype=compute_dtype, interpret=interpret,
-    )
-    return out
+    # stage 3: out = a @ Wdown + x. Left on the standard 2D-tiled kernel — the
+    # K-only fused variant forces a 43-step grid at F=11008 (measured
+    # +7 us/layer on TPU); the residual add is a single cheap XLA fusion.
+    return _mm(a, w_down) + x

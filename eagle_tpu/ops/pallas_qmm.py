@@ -75,7 +75,8 @@ _C_KREV = 0.3e-6
 
 
 @functools.lru_cache(maxsize=None)
-def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[int, int]:
+def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
+                   coded: bool = False, has_bias: bool = True) -> tuple[int, int]:
     """Choose (tile_n, tile_k) minimizing MODELED kernel time under a VMEM
     budget:
 
@@ -90,10 +91,14 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[in
     n_tiles = _valid_tiles(n) if n % 128 == 0 else [n]
     if k % 128 == 0 and (128 % g == 0 or k % 128 == 0):
         # the scale/bias blocks have sublane extent tile_k/g — Mosaic requires
-        # it divisible by 8 unless the block spans the whole array
+        # it divisible by 8 unless the block spans the whole array; coded mode
+        # additionally slices the resident super-scale by tile_k/256 rows
         k_tiles = [
             t for t in _valid_tiles(k)
             if t % g == 0 and ((t // g) % 8 == 0 or t == k)
+            # coded: the resident super-scale is sliced by t/256 sublane rows
+            # per K step — the offset must be provably 8-aligned (Mosaic)
+            and (not coded or t % 2048 == 0 or t == k)
         ] or [k]
     else:
         k_tiles = [k]
@@ -108,7 +113,14 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[in
     for tn in n_tiles:
         for tk in k_tiles:
             qb = tk * tn * (1 if not packed else 0.5)
-            sb = (tk // g) * tn * 2 * 2  # scale+bias, bf16 upper bound
+            if coded:
+                # u8 codes per group (x2 with min codes) + f16 super-scales
+                # resident per n-tile + per-step transposed group-sums
+                sb = (tk // g) * tn * (2 if has_bias else 1)
+                sb += (k // 256) * tn * 4 * (2 if has_bias else 1) / max(k // tk, 1)
+                sb += (tk // g) * b * 4 if has_bias else 0
+            else:
+                sb = (tk // g) * tn * 2 * (2 if has_bias else 1)  # bf16 products
             xb = b * tk * 4
             ob = b * tn * 4
             vmem = 2 * (qb + sb + xb) + 2 * ob + staged_out
@@ -133,7 +145,8 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8) -> tuple[in
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
-                packed: bool, xs_ref=None):
+                packed: bool, xs_ref=None, sup_ref=None, supmin_ref=None,
+                xst_ref=None):
     """One (TILE_K, TILE_N) weight tile: dequant on VPU, matmul on MXU.
 
     x: [B, TILE_K]; q: [TILE_K, TILE_N] int8 (or [TILE_K/2, TILE_N] nibble-
@@ -145,7 +158,15 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
     xsum_g[b, g] = sum of x over group g — a [B, TK/G] x [TK/G, TN] side dot
     (xs_ref, computed outside the kernel). That removes one add and one
     sublane-broadcast per weight from the VPU hot loop, which is the measured
-    wall (NOTES.md round-2 kernel findings)."""
+    wall (NOTES.md round-2 kernel findings).
+
+    Coded-scale mode (sup_ref given): s/b blocks carry raw u8 sub-scale codes
+    (HALF the HBM bytes of bf16 products) and the f32 scale is reconstructed
+    here as  sup[k//256] * code[k//G]  — per-GROUP work, 1/G of the per-weight
+    dequant, and bit-exact with ggml's f32 d*sc. sup_ref/supmin_ref are tiny
+    full-K resident blocks sliced by the K grid step; the bias side-dot runs
+    per step against xst_ref ([TILE_K/G, B] transposed group-sums, streamed
+    per step — lane-dim rules forbid slicing the [B, K/G] layout)."""
     if packed:
         tkp, tn = q_ref.shape
         tk = 2 * tkp
@@ -158,7 +179,19 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
     else:
         tk, tn = q_ref.shape
         w = q_ref[:].astype(jnp.float32).reshape(tk // group, group, tn)
-    w = w * s_ref[:].astype(jnp.float32)[:, None, :]
+    if sup_ref is not None:
+        rows = tk // 256
+        per = 256 // group
+        j = pl.program_id(1)
+        if sup_ref.shape[0] == rows:  # single K step: whole block, static
+            sup = sup_ref[:].astype(jnp.float32)
+        else:  # rows % 8 == 0 by the tile constraint; hint the alignment
+            sup = sup_ref[pl.ds(pl.multiple_of(j * rows, 8), rows)].astype(jnp.float32)
+        codes = s_ref[:].astype(jnp.float32).reshape(rows, per, tn)
+        scale = (sup[:, None, :] * codes).reshape(tk // group, tn)
+    else:
+        scale = s_ref[:].astype(jnp.float32)
+    w = w * scale[:, None, :]
     w = w.reshape(tk, tn).astype(compute_dtype)
     acc = jax.lax.dot_general(
         x_ref[:].astype(compute_dtype),
@@ -166,7 +199,31 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if b_ref is not None:
+    if sup_ref is not None and b_ref is not None:
+        # coded bias: reconstruct this tile's [TK/G, TN] bias and fold it via
+        # a per-step side-dot (the full-K resident trick is pointless once the
+        # codes stream at 1 byte/group)
+        if supmin_ref.shape[0] == rows:
+            supm = supmin_ref[:].astype(jnp.float32)
+        else:
+            supm = supmin_ref[pl.ds(pl.multiple_of(j * rows, 8), rows)].astype(jnp.float32)
+        mcodes = b_ref[:].astype(jnp.float32).reshape(rows, per, tn)
+        bias_mat = (supm[:, None, :] * mcodes).reshape(tk // group, tn)
+        acc = acc + jax.lax.dot_general(
+            xst_ref[:].astype(compute_dtype),
+            bias_mat.astype(compute_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            o_ref[:] = acc
+
+        @pl.when(pl.program_id(1) != 0)
+        def _():
+            o_ref[:] = o_ref[:] + acc
+    elif b_ref is not None:
         # xs_ref and b_ref carry the FULL K/G group extent (K/G is rarely
         # 128-aligned, so neither can be block-split along it; both blocks
         # stay resident across the K grid steps). One whole-K bias dot on the
@@ -212,15 +269,17 @@ def qmatmul_pallas_2d(
     else:
         k, n = w.q.shape
     b = x.shape[0]
+    coded = w.sup is not None
+    has_bias = w.bias is not None
 
     # Mosaic: block last dims must be multiples of (8-ish, 128) or span the
     # whole array; tile_k also must divide into whole quant groups.
     if tile_n is None and tile_k is None:
-        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed, b)
+        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed, b, coded, has_bias)
     else:
         tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
         tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
-    if tile_k % g != 0:
+    if tile_k % g != 0 or (coded and tile_k % 2048 != 0 and tile_k != k):
         tile_k = k
     assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0, (n, k, tile_n, tile_k, g)
 
@@ -233,8 +292,27 @@ def qmatmul_pallas_2d(
         pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
     ]
     args = [x, w.q, w.scale]  # scale/bias stream at their stored dtype
-    has_bias = w.bias is not None
-    if has_bias:
+    if coded:
+        # resident full-K super-scales (tiny), per-step code blocks, per-step
+        # TRANSPOSED group-sums for the bias side-dot (see _qmm_kernel)
+        in_specs.append(
+            pl.BlockSpec((k // 256, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w.sup)
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
+            )
+            args.append(w.bias)
+            in_specs.append(
+                pl.BlockSpec((k // 256, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(w.sup_min)
+            in_specs.append(
+                pl.BlockSpec((tile_k // g, b), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(x.reshape(b, k // g, g).sum(axis=-1).T)
+    elif has_bias:
         # full-K bias block (resident across K steps; see _qmm_kernel)
         in_specs.append(
             pl.BlockSpec((k // g, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM)
@@ -248,13 +326,20 @@ def qmatmul_pallas_2d(
         args.append(x.reshape(b, k // g, g).sum(axis=-1))
 
     def kernel(x_ref, q_ref, s_ref, *rest):
-        if has_bias:
-            b_ref, xs_ref, o_ref = rest
-        else:
-            (o_ref,) = rest
-            b_ref = xs_ref = None
+        sup_ref = supmin_ref = xst_ref = b_ref = xs_ref = None
+        rest = list(rest)
+        if coded:
+            sup_ref = rest.pop(0)
+            if has_bias:
+                b_ref, supmin_ref, xst_ref = rest[:3]
+                rest = rest[3:]
+        elif has_bias:
+            b_ref, xs_ref = rest[:2]
+            rest = rest[2:]
+        (o_ref,) = rest
         _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, group=g,
-                    compute_dtype=compute_dtype, packed=w.packed, xs_ref=xs_ref)
+                    compute_dtype=compute_dtype, packed=w.packed, xs_ref=xs_ref,
+                    sup_ref=sup_ref, supmin_ref=supmin_ref, xst_ref=xst_ref)
 
     out = pl.pallas_call(
         kernel,
@@ -388,13 +473,15 @@ def qmatmul_pallas_stacked(
     else:
         _, k, n = w.q.shape
     b = x.shape[0]
+    coded = w.sup is not None
+    has_bias = w.bias is not None
 
     if tile_n is None and tile_k is None:
-        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed, b)
+        tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed, b, coded, has_bias)
     else:
         tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
         tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
-    if tile_k % g != 0:
+    if tile_k % g != 0 or (coded and tile_k % 2048 != 0 and tile_k != k):
         tile_k = k
     assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0
 
@@ -408,8 +495,25 @@ def qmatmul_pallas_stacked(
         pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM),
     ]
     args = [x, w.q, w.scale]
-    has_bias = w.bias is not None
-    if has_bias:
+    if coded:
+        in_specs.append(
+            pl.BlockSpec((1, k // 256, tile_n), lambda i, j, l: (l[0], 0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(w.sup)
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM)
+            )
+            args.append(w.bias)
+            in_specs.append(
+                pl.BlockSpec((1, k // 256, tile_n), lambda i, j, l: (l[0], 0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(w.sup_min)
+            in_specs.append(
+                pl.BlockSpec((tile_k // g, b), lambda i, j, l: (j, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(x.reshape(b, k // g, g).sum(axis=-1).T)
+    elif has_bias:
         # full-K bias block (resident across K steps; see _qmm_kernel)
         in_specs.append(
             pl.BlockSpec((1, k // g, tile_n), lambda i, j, l: (l[0], 0, i), memory_space=pltpu.VMEM)
@@ -421,21 +525,31 @@ def qmatmul_pallas_stacked(
         args.append(x.reshape(b, k // g, g).sum(axis=-1))
 
     def kernel(l_ref, x_ref, q_ref, s_ref, *rest):
-        if has_bias:
-            b_ref, xs_ref, o_ref = rest
-        else:
-            (o_ref,) = rest
-            b_ref = xs_ref = None
+        sup_ref = supmin_ref = xst_ref = b_ref = xs_ref = None
+        rest = list(rest)
+        if coded:
+            sup_ref = _squeeze_lead(rest.pop(0))
+            if has_bias:
+                b_ref = _squeeze_lead(rest.pop(0))
+                supmin_ref = _squeeze_lead(rest.pop(0))
+                xst_ref = rest.pop(0)
+        elif has_bias:
+            b_ref = _squeeze_lead(rest.pop(0))
+            xs_ref = rest.pop(0)
+        (o_ref,) = rest
         _qmm_kernel(
             x_ref,
             _squeeze_lead(q_ref),
             _squeeze_lead(s_ref),
-            None if b_ref is None else _squeeze_lead(b_ref),
+            b_ref,
             o_ref,
             group=g,
             compute_dtype=compute_dtype,
             packed=w.packed,
             xs_ref=xs_ref,
+            sup_ref=sup_ref,
+            supmin_ref=supmin_ref,
+            xst_ref=xst_ref,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

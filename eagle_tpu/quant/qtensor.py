@@ -56,6 +56,17 @@ class QTensor:
     #: K-rows, packed row j holds values (j, j+G/2) in (lo, hi) nibbles — so
     #: unpacking is two contiguous sublane blocks per group, no interleave.
     packed: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    #: coded scales (k-quant super-block factorization kept on-chip): when
+    #: `sup` is set, `scale` holds the raw u8/i8 sub-scale CODES and the
+    #: effective scale is  sup[k//256] * scale[k//G]  (f32 product computed in
+    #: the kernel — ~HALF the scale stream of materialized bf16 products, and
+    #: bit-exact with ggml's d*sc f32 math, which a bf16 product is not).
+    #: sup/sup_min are f32: the GGUF f16 d/dmin promote losslessly and Mosaic
+    #: has no f16 vector type; at 1 f32 per 256 weights the stream is noise.
+    #: Likewise `sup_min` (stored NEGATED: -dmin) with `bias` holding min
+    #: codes: bias = sup_min[k//256] * bias[k//G].
+    sup: jax.Array | None = None
+    sup_min: jax.Array | None = None
 
     @property
     def shape(self):
@@ -69,8 +80,30 @@ class QTensor:
             q=self.q.T,
             scale=self.scale.T,
             bias=None if self.bias is None else self.bias.T,
+            sup=None if self.sup is None else self.sup.T,
+            sup_min=None if self.sup_min is None else self.sup_min.T,
             layout="kn" if self.layout == "nk" else "nk",
         )
+
+    def effective_scale_bias(self):
+        """Materialized f32 (scale [.., K/G], bias|None) regardless of coding.
+        Group axis is -1 for "nk", -2 for "kn"."""
+        import jax.numpy as _jnp
+
+        if self.sup is None:
+            s = self.scale.astype(_jnp.float32)
+            b = None if self.bias is None else self.bias.astype(_jnp.float32)
+            return s, b
+        ax = -1 if self.layout == "nk" else -2
+        per = self.scale.shape[ax] // self.sup.shape[ax]
+
+        def expand(sup, codes):
+            supx = _jnp.repeat(sup.astype(_jnp.float32), per, axis=ax)
+            return supx * codes.astype(_jnp.float32)
+
+        s = expand(self.sup, self.scale)
+        b = None if self.bias is None else expand(self.sup_min, self.bias)
+        return s, b
 
     def unpack(self) -> "QTensor":
         """Expand nibble packing back to one int8 per value ("kn" only)."""
@@ -102,18 +135,19 @@ class QTensor:
         if self.packed:
             return self.unpack().dequantize(dtype)
         g = self.group
+        scale, bias = self.effective_scale_bias()
         if self.layout == "nk":
             n, k = self.q.shape
             w = self.q.astype(jnp.float32).reshape(n, k // g, g)
-            w = w * self.scale.astype(jnp.float32)[:, :, None]
-            if self.bias is not None:
-                w = w + self.bias.astype(jnp.float32)[:, :, None]
+            w = w * scale[:, :, None]
+            if bias is not None:
+                w = w + bias[:, :, None]
             return w.reshape(n, k).astype(dtype)
         k, n = self.q.shape
         w = self.q.astype(jnp.float32).reshape(k // g, g, n)
-        w = w * self.scale.astype(jnp.float32)[:, None, :]
-        if self.bias is not None:
-            w = w + self.bias.astype(jnp.float32)[:, None, :]
+        w = w * scale[:, None, :]
+        if bias is not None:
+            w = w + bias[:, None, :]
         return w.reshape(k, n).T.astype(dtype)
 
 

@@ -43,7 +43,7 @@ class Generator:
     def __post_init__(self):
         self.kv = KVCache.create(
             self.cfg.n_layers, self.batch, self.max_seq, self.cfg.n_kv_heads,
-            self.cfg.head_dim, dtype=self.kv_dtype,
+            self.cfg.head_dim, dtype=self.kv_dtype, v_head_dim=self.cfg.v_dim,
         )
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",), donate_argnames=("kv",))
         self._decode_jit = jax.jit(

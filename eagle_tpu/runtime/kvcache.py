@@ -41,19 +41,23 @@ class KVCache:
         return self.k_scale is not None
 
     @staticmethod
-    def create(n_layers, batch, max_seq, n_kv_heads, head_dim, dtype=jnp.bfloat16):
+    def create(n_layers, batch, max_seq, n_kv_heads, head_dim, dtype=jnp.bfloat16,
+               v_head_dim: int | None = None):
+        """`v_head_dim` differs from the (QK) head_dim only for MLA archs
+        (deepseek2: key = nope+rope dims, value = v_head_dim)."""
         shape = (n_layers, batch, n_kv_heads, max_seq, head_dim)
+        vshape = shape[:-1] + (v_head_dim or head_dim,)
         if dtype == jnp.int8:
             return KVCache(
                 k=jnp.zeros(shape, jnp.int8),
-                v=jnp.zeros(shape, jnp.int8),
+                v=jnp.zeros(vshape, jnp.int8),
                 slot_pos=jnp.full((batch, max_seq), -1, jnp.int32),
                 k_scale=jnp.zeros(shape[:-1], jnp.float32),
                 v_scale=jnp.zeros(shape[:-1], jnp.float32),
             )
         return KVCache(
             k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            v=jnp.zeros(vshape, dtype),
             slot_pos=jnp.full((batch, max_seq), -1, jnp.int32),
         )
 

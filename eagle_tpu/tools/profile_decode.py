@@ -91,6 +91,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--kv-limit", type=int, default=None,
+                    help="static attention-read bucket (the bench passes one; "
+                    "without it every step streams all max_seq cache slots)")
     ap.add_argument("--logdir", default="/tmp/eagle_profile")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--top", type=int, default=40)
@@ -139,7 +142,8 @@ def main(argv=None):
     os.makedirs(args.logdir, exist_ok=True)
     with jax.profiler.trace(args.logdir):
         toks, gen.kv, _ = gen._decode_jit(gen.params, gen.kv, tok, pos, key,
-                                          scfg, n_steps=args.steps)
+                                          scfg, n_steps=args.steps,
+                                          kv_limit=args.kv_limit)
         int(toks[0, -1])  # hard sync
     print("# trace captured", file=sys.stderr)
     ev, nm, tn = parse_trace(args.logdir)

@@ -15,7 +15,8 @@ from eagle_tpu.runtime.kvcache import KVCache, causal_mask_from_tags
 
 def run_fwd(params, cfg, tokens, swa=0):
     b, t = tokens.shape
-    kv = KVCache.create(cfg.n_layers, b, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    kv = KVCache.create(cfg.n_layers, b, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32,
+                        v_head_dim=cfg.v_dim)
     pos = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
     kv = kv.with_tags(pos, pos)
     mask = causal_mask_from_tags(kv.slot_pos, pos, swa_window=swa)
@@ -408,3 +409,159 @@ def test_gemma1_gguf_round_trip(tmp_path, rng):
         run_fwd(params, lcfg, tokens), run_fwd(direct, cfg, tokens),
         atol=1e-4, rtol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm-family archs (LLM_NORM path): command-r, starcoder2, gpt2, phi2
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from eagle_tpu.gguf.constants import GGMLType
+from eagle_tpu.models.hf_convert import convert_hf_to_gguf
+from eagle_tpu.models.loader import load_llama_params
+
+
+def _round_trip(model, cfg, arch, tmp_path, tokens):
+    path = tmp_path / f"{arch}.gguf"
+    convert_hf_to_gguf(model.state_dict(), cfg, path, qtype=GGMLType.F32, arch=arch)
+    params, lcfg, _ = load_llama_params(path)
+    ours = run_fwd(params, lcfg, tokens)
+    with torch.no_grad():
+        theirs = model(torch.tensor(tokens, dtype=torch.long)).logits.numpy()
+    return ours, theirs
+
+
+def test_command_r_parity(tmp_path, rng):
+    """Cohere/command-r: LayerNorm (no bias), parallel attn+FFN residual,
+    logit_scale, interleaved (NORM) rope — build_command_r."""
+    torch.manual_seed(11)
+    hf_cfg = transformers.CohereConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, logit_scale=0.25,
+        layer_norm_eps=1e-5, attn_implementation="eager", use_qk_norm=False,
+    )
+    model = transformers.CohereForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="command-r", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=4, head_dim=8, n_ff=64, rms_eps=1e-5, rope_dim=8,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", parallel_blocks=True, logit_scale=0.25,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "command-r", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_starcoder2_parity(tmp_path, rng):
+    """starcoder2: LayerNorm with biases everywhere, no-gate gelu FFN with
+    biases, attention biases."""
+    torch.manual_seed(12)
+    hf_cfg = transformers.Starcoder2Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, norm_epsilon=1e-5, use_bias=True,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.Starcoder2ForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="starcoder2", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=2, head_dim=8, n_ff=64, rms_eps=1e-5, rope_dim=8,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", act="gelu", attn_bias=True,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "starcoder2", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_gpt2_parity(tmp_path, rng):
+    """gpt2: learned absolute positions (wpe), fused Conv1D qkv, LayerNorm
+    with biases, no rope, tied lm_head — build_gpt2."""
+    torch.manual_seed(13)
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=128, n_embd=32, n_layer=2, n_head=4, n_positions=128,
+        n_inner=None, attn_implementation="eager",
+    )
+    model = transformers.GPT2LMHeadModel(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="gpt2", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=4, head_dim=8, n_ff=128, rms_eps=1e-5, rope_dim=0,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", act="gelu", has_pos_embd=True,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "gpt2", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_phi2_parity(tmp_path, rng):
+    """phi2: parallel attn+FFN from ONE shared LayerNorm, partial rotary
+    (rot_pct), biases incl. lm_head bias — build_phi2."""
+    torch.manual_seed(14)
+    hf_cfg = transformers.PhiConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, partial_rotary_factor=0.5,
+        layer_norm_eps=1e-5, attn_implementation="eager",
+        qk_layernorm=False,
+    )
+    model = transformers.PhiForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="phi2", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=4, head_dim=8, n_ff=64, rms_eps=1e-5, rope_dim=4,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", act="gelu", parallel_blocks=True, attn_bias=True,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "phi2", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# deepseek2: MLA attention + leading-dense MoE (build_deepseek2)
+# ---------------------------------------------------------------------------
+
+
+def _deepseek_cfg(q_lora):
+    return transformers.AutoConfig.for_model(
+        "deepseek_v2",
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, kv_lora_rank=16, q_lora_rank=q_lora,
+        qk_nope_head_dim=8, qk_rope_head_dim=4, v_head_dim=8,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, topk_method="greedy", n_group=1, topk_group=1,
+        routed_scaling_factor=2.0, norm_topk_prob=False, scoring_func="softmax",
+        max_position_embeddings=128, attn_implementation="eager",
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+    )
+
+
+@pytest.mark.parametrize("q_lora", [None, 12])
+def test_deepseek2_parity(tmp_path, rng, q_lora):
+    torch.manual_seed(21)
+    hf_cfg = _deepseek_cfg(q_lora)
+    model = transformers.AutoModelForCausalLM.from_config(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="deepseek2", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=4, head_dim=12, n_ff=64, rms_eps=1e-6, rope_dim=4,
+            n_ctx_train=128, n_expert=4, n_expert_used=2, moe_softmax_all=True,
+        ),
+        kv_lora_rank=16, q_lora_rank=q_lora or 0, v_head_dim=8,
+        n_dense_layers=1, n_shared_experts=1, n_ff_exp=32,
+        expert_weights_scale=2.0, expert_weights_norm=False,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "deepseek2", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)

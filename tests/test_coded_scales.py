@@ -1,0 +1,63 @@
+"""Coded-scale QTensors: u8 sub-scale codes + f16 super-scales reconstructed
+in-kernel (half the scale HBM stream of materialized bf16 products and
+bit-exact with ggml's f32 d*sc — see QTensor docstring).
+
+The pallas kernels must agree with the dense dequantize reference in every
+mode: 2d/stacked, packed/unpacked, with/without the coded bias."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eagle_tpu.gguf.constants import GGMLType
+from eagle_tpu.models.synth import synth_qtensor
+from eagle_tpu.ops.matmul import qmatmul
+from eagle_tpu.ops.pallas_qmm import qmatmul_pallas, qmatmul_pallas_stacked_nd
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q6_K])
+def test_coded_2d_matches_dense(rng, packed, qtype):
+    if packed and qtype == GGMLType.Q6_K:
+        pytest.skip("Q6_K codes are signed 6-bit: no nibble packing")
+    qt = synth_qtensor(rng, 256, 512, qtype, coded=True, packed=packed)
+    assert qt.sup is not None
+    x = jnp.asarray(rng.normal(0, 1, (8, 512)).astype(np.float32))
+    want = np.asarray(x) @ np.asarray(qt.dequantize()).T
+    got = np.asarray(qmatmul_pallas(x, qt, compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * np.abs(want).max())
+
+
+def test_coded_stacked_matches_dense(rng):
+    qts = synth_qtensor(rng, 256, 512, GGMLType.Q4_K, stack=3, coded=True, packed=True)
+    x = jnp.asarray(rng.normal(0, 1, (8, 512)).astype(np.float32))
+    for li in (0, 2):
+        qt = jax.tree_util.tree_map(lambda a: a[li], qts)
+        want = np.asarray(x) @ np.asarray(qt.dequantize()).T
+        got = np.asarray(
+            qmatmul_pallas_stacked_nd(
+                x, qts, jnp.asarray(li), compute_dtype=jnp.float32, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * np.abs(want).max())
+
+
+def test_coded_xla_path_matches_dense(rng):
+    """The XLA fallback materializes the effective scales the same way."""
+    qt = synth_qtensor(rng, 128, 256, GGMLType.Q4_K, coded=True)
+    x = jnp.asarray(rng.normal(0, 1, (4, 256)).astype(np.float32))
+    want = np.asarray(x) @ np.asarray(qt.dequantize()).T
+    got = np.asarray(qmatmul(x, qt, backend="xla", compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * np.abs(want).max())
+
+
+def test_effective_scale_bias_transpose(rng):
+    qt = synth_qtensor(rng, 128, 256, GGMLType.Q4_K, coded=True)
+    s_kn, b_kn = qt.effective_scale_bias()
+    qt_nk = qt.transpose()
+    s_nk, b_nk = qt_nk.effective_scale_bias()
+    np.testing.assert_array_equal(np.asarray(s_kn).T, np.asarray(s_nk))
+    np.testing.assert_array_equal(np.asarray(b_kn).T, np.asarray(b_nk))

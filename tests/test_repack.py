@@ -10,10 +10,14 @@ from eagle_tpu.ops.matmul import qmatmul
 from eagle_tpu.quant import blocks
 from eagle_tpu.quant.qtensor import REPACKABLE_TYPES, quantize_array, repack_numpy
 
+# these tests ENCODE first; the IQ codebook formats are decode-only (their
+# random-block decode parity lives in test_quant_blocks.py)
+ENCODABLE = [t for t in REPACKABLE_TYPES if t in blocks.SUPPORTED_QUANT_TYPES]
+
 SHAPES = [(8, 256), (16, 512)]
 
 
-@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+@pytest.mark.parametrize("qtype", ENCODABLE)
 @pytest.mark.parametrize("shape", SHAPES)
 def test_repack_reconstruction_exact(rng, qtype, shape):
     w = rng.standard_normal(shape).astype(np.float32)
@@ -28,7 +32,7 @@ def test_repack_reconstruction_exact(rng, qtype, shape):
     np.testing.assert_array_equal(recon.reshape(shape), golden)
 
 
-@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+@pytest.mark.parametrize("qtype", ENCODABLE)
 def test_qtensor_dequantize_matches_reference(rng, qtype):
     shape = (8, 256)
     w = rng.standard_normal(shape).astype(np.float32)
@@ -38,7 +42,7 @@ def test_qtensor_dequantize_matches_reference(rng, qtype):
     np.testing.assert_allclose(np.asarray(qt.dequantize()), golden, rtol=0, atol=0)
 
 
-@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+@pytest.mark.parametrize("qtype", ENCODABLE)
 def test_qmatmul_xla_close_to_dense(rng, qtype):
     n, k, b = 64, 512, 4
     w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
@@ -60,7 +64,7 @@ def test_qmatmul_dense_fallback(rng):
     assert np.abs(got - want).max() / np.abs(want).max() < 0.02
 
 
-@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+@pytest.mark.parametrize("qtype", ENCODABLE)
 def test_kn_layout_dequantize_matches(rng, qtype):
     shape = (64, 512)
     w = rng.standard_normal(shape).astype(np.float32)
@@ -69,7 +73,7 @@ def test_kn_layout_dequantize_matches(rng, qtype):
     np.testing.assert_array_equal(np.asarray(a.dequantize()), np.asarray(b.dequantize()))
 
 
-@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+@pytest.mark.parametrize("qtype", ENCODABLE)
 def test_qmatmul_xla_kn_equals_nk(rng, qtype):
     n, k, b = 64, 512, 4
     w = (rng.standard_normal((n, k)) * 0.05).astype(np.float32)
@@ -79,7 +83,7 @@ def test_qmatmul_xla_kn_equals_nk(rng, qtype):
     np.testing.assert_allclose(got_nk, got_kn, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("qtype", REPACKABLE_TYPES)
+@pytest.mark.parametrize("qtype", ENCODABLE)
 @pytest.mark.parametrize("bsz", [1, 8])
 def test_pallas_kernel_interpret_matches_xla(rng, qtype, bsz):
     """Dual execution: pallas (interpreter) vs the XLA dequant path, f32 compute
