@@ -52,6 +52,7 @@ def eagle_forward(
     compute_dtype=jnp.bfloat16,
     return_logits: bool = True,
     kv_limit: int | None = None,  # static attention-read bound (see llama_forward)
+    slots_contiguous: bool = False,  # STATIC: per-row slots are start+arange(T)
 ) -> EagleOutput:
     emb = embed_lookup(draft_params["tok_embd"], tokens)
     fused = jnp.concatenate([emb, features.astype(emb.dtype)], axis=-1)
@@ -67,7 +68,7 @@ def eagle_forward(
     x, k_c, v_c, k_s, v_s = _layer_step(
         cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
         x, draft_params["layers"], jnp.int32(0), kv.k, kv.v, kv.k_scale, kv.v_scale,
-        kv_limit=kv_limit,
+        kv_limit=kv_limit, slots_contiguous=slots_contiguous,
     )
     kv = dataclasses.replace(kv, k=k_c, v=v_c, k_scale=k_s, v_scale=v_s)
 

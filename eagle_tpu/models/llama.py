@@ -164,6 +164,7 @@ def _layer_step(
     cache_li: jax.Array | None = None,  # ABSOLUTE layer id for cache addressing
     # (differs from the weight-stack index `li` when layers are scanned in
     # structural groups — deepseek2's dense prefix)
+    slots_contiguous: bool = False,  # STATIC: per-row slots are start+arange(T)
 ):
     """One transformer layer. Weights stay layer-stacked; matmuls address the
     stack through `li` (scalar-prefetched on the pallas backend so no
@@ -260,6 +261,30 @@ def _layer_step(
     s_idx = slots[:, None, :]  # [B,1,T]
     k_hm = k.transpose(0, 2, 1, 3)  # [B, H_kv, T, D]
     v_hm = v.transpose(0, 2, 1, 3)
+
+    # T == 1 is trivially a contiguous run, EXCEPT that scatter DROPS
+    # out-of-bounds slots while dynamic_update_slice clamps them — so the
+    # auto-promotion stays off when a caller could pass slot -1 (callers that
+    # do — chunked prefill's shifted draft row — use scatter by not opting in)
+    slots_contiguous = slots_contiguous or t == 1
+    if slots_contiguous and b <= 16:
+        # per-row slots are a contiguous run (slots[b] = slots[b,0] + arange):
+        # write via dynamic_update_slice — the generic gather-indexed scatter
+        # measured 16.4 us per cache write on v5e (2 per layer ≈ 1 ms per
+        # 32-layer verify forward), the dus ~2 us. One dus per batch row (b is
+        # static and small on the decode path; rows update disjoint [b] lanes).
+        def _write(cache, upd):  # cache [L,B,H,S,...], upd [B,H,T,...]
+            upd = upd.astype(cache.dtype)
+            for bi in range(b):
+                idx = (cli, bi, 0, slots[bi, 0]) + (0,) * (upd.ndim - 3)
+                cache = jax.lax.dynamic_update_slice(
+                    cache, upd[bi][None, None], idx
+                )
+            return cache
+    else:
+        def _write(cache, upd):  # scatter: arbitrary per-row slot vectors
+            return cache.at[cli, b_idx, h_idx, s_idx].set(upd.astype(cache.dtype))
+
     # attention reads cover cache slots [0, lim) only — `mask` arrives already
     # sliced to lim by llama_forward; writes above still address the full cache
     lim = kv_limit if kv_limit is not None else k_cache.shape[3]
@@ -268,10 +293,10 @@ def _layer_step(
 
         k_q, k_s = quantize_kv_vec(k_hm)
         v_q, v_s = quantize_kv_vec(v_hm)
-        k_cache = k_cache.at[cli, b_idx, h_idx, s_idx].set(k_q)
-        v_cache = v_cache.at[cli, b_idx, h_idx, s_idx].set(v_q)
-        k_scale = k_scale.at[cli, b_idx, h_idx, s_idx].set(k_s)
-        v_scale = v_scale.at[cli, b_idx, h_idx, s_idx].set(v_s)
+        k_cache = _write(k_cache, k_q)
+        v_cache = _write(v_cache, v_q)
+        k_scale = _write(k_scale, k_s)
+        v_scale = _write(v_scale, v_s)
         attn = gqa_attention(
             q,
             dequantize_kv(k_cache[cli, :, :, :lim], k_scale[cli, :, :, :lim]),
@@ -281,8 +306,8 @@ def _layer_step(
             softcap=cfg.attn_softcap,
         )
     else:
-        k_cache = k_cache.at[cli, b_idx, h_idx, s_idx].set(k_hm.astype(k_cache.dtype))
-        v_cache = v_cache.at[cli, b_idx, h_idx, s_idx].set(v_hm.astype(v_cache.dtype))
+        k_cache = _write(k_cache, k_hm)
+        v_cache = _write(v_cache, v_hm)
 
         if (
             backend == "pallas"
@@ -372,6 +397,7 @@ def llama_forward(
     return_logits: bool = True,
     input_embeds: jax.Array | None = None,
     kv_limit: int | None = None,
+    slots_contiguous: bool = False,
 ) -> ForwardOutput:
     """Run the transformer.
 
@@ -432,6 +458,7 @@ def llama_forward(
                 cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
                 x, _grp, wi, k_all, v_all, k_s, v_s, mask_swa=mask_swa,
                 kv_limit=kv_limit, cache_li=cli,
+                slots_contiguous=slots_contiguous,
             )
             return (x, k_all, v_all, k_s, v_s), None
 

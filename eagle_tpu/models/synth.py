@@ -200,26 +200,30 @@ def synth_eagle_params(
     qtype: GGMLType = GGMLType.Q4_K,
     seed: int = 1,
     embed_dtype=jnp.bfloat16,
+    packed: bool = False,
+    scale_dtype=jnp.float32,
 ) -> dict[str, Any]:
+    """`packed`/`scale_dtype` should match the target's synth options in
+    benchmarks: an unpacked-int8 draft streams 2x the HBM bytes of the nibble-
+    packed form — measurable in the EAGLE cycle where the L=1 draft runs K
+    sequential forwards (profile 2026-08-18)."""
     rng = np.random.default_rng(seed)
     d, dh, h, hkv, f, v = (
         cfg.n_embd, cfg.head_dim, cfg.n_heads, cfg.n_kv_heads, cfg.n_ff, cfg.vocab_size
     )
+    q = dict(packed=packed, scale_dtype=scale_dtype)
     layers = {
-        "wq": synth_qtensor(rng, h * dh, d, qtype, stack=1),
-        "wk": synth_qtensor(rng, hkv * dh, d, qtype, stack=1),
-        "wv": synth_qtensor(rng, hkv * dh, d, qtype, stack=1),
-        "wo": synth_qtensor(rng, d, h * dh, qtype, stack=1),
+        "wqkv": synth_qtensor(rng, (h + 2 * hkv) * dh, d, qtype, stack=1, **q),
+        "wo": synth_qtensor(rng, d, h * dh, qtype, stack=1, **q),
         "ffn_norm": jnp.ones((1, d), jnp.float32),
-        "w_gate": synth_qtensor(rng, f, d, qtype, stack=1),
-        "w_up": synth_qtensor(rng, f, d, qtype, stack=1),
-        "w_down": synth_qtensor(rng, d, f, qtype, stack=1),
+        "w_gate_up": synth_qtensor(rng, 2 * f, d, qtype, stack=1, **q),
+        "w_down": synth_qtensor(rng, d, f, qtype, stack=1, **q),
     }
     return {
         "tok_embd": jnp.asarray(
             rng.normal(0, 0.02, size=(v, d)).astype(np.float32), dtype=embed_dtype
         ),
-        "fc_w": synth_qtensor(rng, d, 2 * d, qtype),
+        "fc_w": synth_qtensor(rng, d, 2 * d, qtype, **q),
         "fc_b": jnp.zeros((d,), jnp.float32),
         "layers": layers,
     }

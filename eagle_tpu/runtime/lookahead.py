@@ -183,6 +183,7 @@ class LookaheadEngine:
         out = llama_forward(
             params, self.cfg, toks, positions, kv, slots, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
+            slots_contiguous=True,
         )
         logits = out.logits[0]  # [T, V]
 

@@ -174,10 +174,12 @@ class ContinuousBatcher:
         slot.generated = []
         slot.on_token = on_token
         slot.stop_at_eos = stop_at_eos
-        if sampler is not None or spec_k is not None:
-            self.engine.bsampler = self.engine.bsampler.set_row(
-                slot.id, sampler or SamplerConfig(greedy=True), spec_k=spec_k
-            )
+        # always (re)configure the row: a reused slot must not inherit the
+        # previous request's sampler when this one carries none
+        self.engine.set_row_sampler(
+            slot.id, sampler or self.engine.scfg,
+            spec_k=spec_k if spec_k is not None else self.engine.K,
+        )
         self._prefill_queue.append(slot)
         return slot
 
@@ -320,7 +322,7 @@ class ContinuousBatcher:
             slot.max_new = max_new_tokens
         slot.on_token = on_token
         if sampler is not None:
-            self.engine.bsampler = self.engine.bsampler.set_row(slot_id, sampler)
+            self.engine.set_row_sampler(slot_id, sampler)
         slot.state = "generating"
         self._active_mask[slot_id] = True
         return slot

@@ -100,15 +100,23 @@ class EagleChainEngine:
 
         #: per-slot sampler parameters (server.cpp:272-278 equivalent); rows
         #: default to the engine-wide SamplerConfig. The batcher overwrites
-        #: rows per request via BatchedSamplerParams.set_row.
+        #: rows per request via set_row_sampler (which also maintains the
+        #: host-side all-greedy flag below).
         self.bsampler = BatchedSamplerParams.create(batch, self.scfg, n_draft=n_draft)
+        #: host-tracked per-row greediness. When every row is greedy the cycle
+        #: compiles a pure-argmax acceptance (`fast_greedy`) — the branch-free
+        #: per-row transform pipeline costs two full [B,V] sorts per verify
+        #: position (~0.5 ms/cycle measured on v5e) that cannot change an
+        #: argmax outcome (counts=None in the cycle, masks always keep the max).
+        self._row_greedy = [bool(self.scfg.greedy or self.scfg.temperature <= 0)] * batch
 
         # params are threaded as jit arguments (NOT captured in the closure:
         # closure-captured arrays become XLA constants, which bloats compiles
         # catastrophically for GB-scale weights)
         self._prefill_c = jax.jit(self._prefill, static_argnames=("t",))
         self._cycle_c = jax.jit(
-            self._cycle, static_argnames=("kv_limit",), donate_argnames=("state",)
+            self._cycle, static_argnames=("kv_limit", "fast_greedy"),
+            donate_argnames=("state",),
         )
         self._prefill_jit = lambda state, tokens, n_valid, t: self._prefill_c(
             self.tp, self.dp, state, tokens, n_valid, t=t
@@ -118,7 +126,14 @@ class EagleChainEngine:
             bs if bs is not None else self.bsampler,
             active if active is not None else jnp.ones((self.batch,), bool),
             kv_limit=kv_limit,
+            fast_greedy=all(self._row_greedy),
         )
+
+    def set_row_sampler(self, i: int, cfg: SamplerConfig, spec_k: int | None = None):
+        """Configure slot i's sampler (host-side). Keeps the all-greedy flag
+        in sync so the cycle picks the argmax-only acceptance when possible."""
+        self.bsampler = self.bsampler.set_row(i, cfg, spec_k=spec_k)
+        self._row_greedy[i] = bool(cfg.greedy or cfg.temperature <= 0)
 
     def kv_read_bucket(self, slot_end: int) -> int:
         """Static attention-read bound covering cache slots < slot_end (see
@@ -159,7 +174,7 @@ class EagleChainEngine:
         tout = llama_forward(
             tp, self.tcfg, tokens, positions, tgt_kv, positions, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
-            kv_limit=lim,
+            kv_limit=lim, slots_contiguous=True,
         )
         feats = self._pick_feature(tout.hidden, tout.hidden_pre)
 
@@ -173,7 +188,7 @@ class EagleChainEngine:
             dp, tp, self.dcfg, d_tokens, d_feats, positions, dft_kv,
             positions, d_mask, backend=self.draft_backend,
             compute_dtype=self.compute_dtype,
-            return_logits=False, kv_limit=lim,
+            return_logits=False, kv_limit=lim, slots_contiguous=True,
         )
 
         b_idx = jnp.arange(b)
@@ -214,6 +229,7 @@ class EagleChainEngine:
         tout = llama_forward(
             tp, self.tcfg, tokens, positions, tgt_kv, positions, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
+            slots_contiguous=True,
         )
         feats = self._pick_feature(tout.hidden, tout.hidden_pre)
 
@@ -249,7 +265,8 @@ class EagleChainEngine:
     # ------------------------------------------------------------------
 
     def _cycle(self, tp, dp, state: SpecState, bs: BatchedSamplerParams,
-               active: jax.Array, kv_limit: int | None = None) -> CycleOutput:
+               active: jax.Array, kv_limit: int | None = None,
+               fast_greedy: bool = False) -> CycleOutput:
         b, K = self.batch, self.K
         b_idx = jnp.arange(b)
         m = state.n_past  # [B]
@@ -282,16 +299,23 @@ class EagleChainEngine:
         tout = llama_forward(
             tp, self.tcfg, v_tokens, v_pos, tgt_kv, v_pos, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
-            kv_limit=kv_limit,
+            kv_limit=kv_limit, slots_contiguous=True,
         )
 
         # ---- 3. accept longest exact-match prefix ----
         # per-slot sampler params (greedy rows reduce to argmax exactly)
         key, sub = jax.random.split(state.key)
-        keys = jax.random.split(sub, K + 1)
-        t_true = jax.vmap(
-            lambda l, k: sample_batched(l, k, bs), in_axes=(1, 0), out_axes=1
-        )(tout.logits, keys)
+        if fast_greedy:
+            # all rows greedy (host-tracked): argmax of the raw logits is
+            # token-identical to the transform pipeline (no penalties in the
+            # cycle; top-k/p/min-p masks always keep the max; temperature
+            # cannot reorder) but skips its two full [B,V] sorts per position
+            t_true = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)
+        else:
+            keys = jax.random.split(sub, K + 1)
+            t_true = jax.vmap(
+                lambda l, k: sample_batched(l, k, bs), in_axes=(1, 0), out_axes=1
+            )(tout.logits, keys)
         match = drafts == t_true[:, :K]  # [B, K]
         n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
         # per-slot speculative override (server request's speculative.n_max)

@@ -157,7 +157,7 @@ class EagleTreeEngine(EagleChainEngine):
             out = eagle_forward(
                 dp, tp, self.dcfg, toks, feats, pos, dft_kv, slots, mask,
                 backend=self.draft_backend, compute_dtype=self.compute_dtype,
-                kv_limit=kv_limit,
+                kv_limit=kv_limit, slots_contiguous=True,
             )
             dft_kv = out.kv
             feat_out = self._pick_feature(out.feature, out.feature_pre)
@@ -182,7 +182,7 @@ class EagleTreeEngine(EagleChainEngine):
         tout = llama_forward(
             tp, self.tcfg, node_tokens, v_pos, tgt_kv, v_slots, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
-            kv_limit=kv_limit,
+            kv_limit=kv_limit, slots_contiguous=True,
         )
         # target decision per node: argmax (greedy) or one sampler-chain draw —
         # the stochastic tree acceptance of the reference's tree example

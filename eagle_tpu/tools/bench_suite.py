@@ -118,7 +118,8 @@ def main(argv=None):
         from ..runtime.speculative import EagleChainEngine
 
         dcfg = dataclasses.replace(cfg, n_layers=1, is_eagle=True)
-        dparams = synth_eagle_params(dcfg, seed=1)
+        dparams = synth_eagle_params(dcfg, seed=1, packed=True,
+                                     scale_dtype=jnp.bfloat16)
         dparams = jax.tree_util.tree_map(jnp.asarray, dparams)
         eng = EagleChainEngine(params, dparams, cfg, dcfg, n_draft=args.n_draft,
                                max_seq=args.max_seq, backend="pallas",

@@ -97,6 +97,10 @@ def main(argv=None):
     ap.add_argument("--logdir", default="/tmp/eagle_profile")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--spec", action="store_true",
+                    help="profile the EAGLE chain cycle instead of plain decode")
+    ap.add_argument("--n-draft", type=int, default=5)
+    ap.add_argument("--draft-backend", default=None, choices=[None, "xla", "pallas"])
     args = ap.parse_args(argv)
 
     if args.parse_only:
@@ -125,6 +129,40 @@ def main(argv=None):
                                 scale_dtype=jnp.bfloat16)
     jax.block_until_ready(params["layers"]["wqkv"].q)
     print(f"# params on-device in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.spec:
+        # EAGLE cycle profile: K draft steps + T=K+1 verify + accept, one jit.
+        from ..models.synth import synth_eagle_params
+        from ..runtime.speculative import EagleChainEngine
+
+        dcfg = dataclasses.replace(cfg, n_layers=1, is_eagle=True)
+        dparams = jax.tree_util.tree_map(
+            jnp.asarray,
+            synth_eagle_params(dcfg, seed=1, packed=args.backend == "pallas",
+                               scale_dtype=jnp.bfloat16),
+        )
+        eng = EagleChainEngine(params, dparams, cfg, dcfg, n_draft=args.n_draft,
+                               max_seq=args.max_seq, backend=args.backend,
+                               draft_backend=args.draft_backend, eos_id=-1)
+        st = eng.fresh_state()
+        pt = jnp.zeros((1, 16), jnp.int32)
+        st = eng._prefill_jit(st, pt, jnp.asarray([8], np.int32), t=16)
+        lim = eng.kv_read_bucket(8 + (args.steps + 2) * (args.n_draft + 2))
+        t0 = time.time()
+        res = eng._cycle_jit(st, kv_limit=lim)  # warmup/compile
+        int(np.asarray(res.n_out)[0])
+        print(f"# warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
+        st = res.state
+        os.makedirs(args.logdir, exist_ok=True)
+        with jax.profiler.trace(args.logdir):
+            for _ in range(args.steps):
+                res = eng._cycle_jit(st, kv_limit=lim)
+                st = res.state
+            int(np.asarray(res.n_out)[0])  # hard sync
+        print(f"# trace captured ({args.steps} cycles)", file=sys.stderr)
+        ev, nm, tn = parse_trace(args.logdir)
+        summarize(ev, nm, tn, args.top)
+        return 0
 
     gen = Generator(params, cfg, max_seq=args.max_seq, batch=1,
                     compute_dtype=jnp.bfloat16, backend=args.backend, eos_id=-1)
