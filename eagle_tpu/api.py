@@ -32,7 +32,8 @@ class EngineConfig:
     max_seq: int = 2048
     batch: int = 1  # >1 enables continuous-batching slots (needs draft_path)
     n_draft: int = 5  # chain draft length
-    tree_branching: tuple[int, ...] | None = None  # enables tree mode
+    tree_branching: tuple[int, ...] | None = None  # enables static tree mode
+    tree2: tuple[int, int, int] | None = None  # (beam, depth, n_verify) — EAGLE-2 dynamic trees
     lookahead: tuple[int, int, int] | None = None  # (W, N, G) — model-free lookahead decoding
     backend: str | None = None  # 'xla' | 'pallas'
     compute_dtype: Any = jnp.bfloat16
@@ -59,8 +60,19 @@ class Engine:
         self.draft_params = None
         if cfg.draft_path:
             self.draft_params, self.draft_cfg, _ = load_eagle_params(cfg.draft_path)
-            if cfg.tree_branching:
-                self.engine: Any = EagleTreeEngine(
+            if cfg.tree2:
+                from .runtime.tree2 import EagleTree2Engine
+
+                bm, dpt, nv = cfg.tree2
+                self.engine: Any = EagleTree2Engine(
+                    self.params, self.draft_params, self.model_cfg, self.draft_cfg,
+                    beam=bm, depth=dpt, n_verify=nv, max_seq=cfg.max_seq,
+                    compute_dtype=cfg.compute_dtype, kv_dtype=cfg.kv_dtype,
+                    backend=cfg.backend, feature_source=cfg.feature_source,
+                    sampler=cfg.sampler, eos_id=self.tokenizer.eos_id,
+                )
+            elif cfg.tree_branching:
+                self.engine = EagleTreeEngine(
                     self.params, self.draft_params, self.model_cfg, self.draft_cfg,
                     tree=TreeSpec(cfg.tree_branching), max_seq=cfg.max_seq,
                     compute_dtype=cfg.compute_dtype, kv_dtype=cfg.kv_dtype,
@@ -75,7 +87,7 @@ class Engine:
                     backend=cfg.backend, feature_source=cfg.feature_source,
                     sampler=cfg.sampler, eos_id=self.tokenizer.eos_id,
                 )
-            if cfg.batch > 1 and not cfg.tree_branching:
+            if cfg.batch > 1 and not cfg.tree_branching and not cfg.tree2:
                 from .runtime.scheduler import ContinuousBatcher
 
                 self.batcher = ContinuousBatcher(self.engine)

@@ -261,27 +261,50 @@ class EagleTreeEngine(EagleChainEngine):
 def _compact_kv(kv: KVCache, src: jax.Array, dst: jax.Array, keep: jax.Array) -> KVCache:
     """Copy K/V rows src->dst per batch where keep; also move the position tags.
 
-    src/dst/keep: [B, P]. Rows are gathered then scattered; gather-before-
-    scatter makes in-window permutation safe."""
+    src/dst/keep: [B, P]; per-row dst MUST be a contiguous run
+    (dst[b, j] == dst[b, 0] + j — true for both engines: accepted depth d
+    lands at base + d). That makes the data movement P dynamic-slice row
+    reads + ONE dynamic_update_slice write per batch row per buffer — the
+    TPU-fast path. The earlier generic put_along_axis scatter rewrote the
+    whole [L,B,H,S,D] buffer through computed indices (measured 23.5 ms per
+    buffer on v5e for a 7B cache — 40x the whole verify forward's share);
+    this form moves only the P accepted rows (~4 MB).
+
+    Rows with keep=False write back the dst slot's CURRENT content (identity),
+    and all src rows are read before any write, so in-window permutation is
+    safe. int8-KV scale planes move with their rows."""
     b, p = src.shape
     b_idx = jnp.arange(b)[:, None]
 
-    # cache is [L, B, H, S, D]; move rows along the S axis
-    def gather_s(buf, idx):
-        ii = idx[None, :, None, :, None]
-        ii = jnp.broadcast_to(ii, buf.shape[:3] + (idx.shape[1], buf.shape[4]))
-        return jnp.take_along_axis(buf, ii, axis=3)
+    def move(buf, per_slot: bool = False):
+        # buf: [L, B, H, S, D] (or [L, B, H, S] scale planes)
+        if buf is None:
+            return None
+        l, _, h = buf.shape[:3]
+        tail = buf.shape[4:]  # (D,) or ()
+        sizes = (l, 1, h, 1) + tail
+        out = buf
+        for bi in range(b):
+            rows = [
+                jax.lax.dynamic_slice(buf, (0, bi, 0, src[bi, j]) + (0,) * len(tail), sizes)
+                for j in range(p)
+            ]
+            new = jnp.concatenate(rows, axis=3)  # [L,1,H,P,...]
+            cur = jax.lax.dynamic_slice(
+                buf, (0, bi, 0, dst[bi, 0]) + (0,) * len(tail),
+                (l, 1, h, p) + tail,
+            )
+            kb = keep[bi].reshape((1, 1, 1, p) + (1,) * len(tail))
+            new = jnp.where(kb, new, cur)
+            out = jax.lax.dynamic_update_slice(
+                out, new, (0, bi, 0, dst[bi, 0]) + (0,) * len(tail)
+            )
+        return out
 
-    def scatter_s(buf, idx, rows):
-        ii = idx[None, :, None, :, None]
-        ii = jnp.broadcast_to(ii, rows.shape)
-        return jnp.put_along_axis(buf, ii, rows, axis=3, inplace=False)
-
-    k_rows = gather_s(kv.k, src)
-    v_rows = gather_s(kv.v, src)
     tag_rows = kv.slot_pos[b_idx, src]
-    safe_dst = jnp.where(keep, dst, src)  # no-op writes for dropped rows
-    k = scatter_s(kv.k, safe_dst, k_rows)
-    v = scatter_s(kv.v, safe_dst, v_rows)
+    safe_dst = jnp.where(keep, dst, src)  # no-op tag writes for dropped rows
     tags = kv.slot_pos.at[b_idx, safe_dst].set(tag_rows)
-    return dataclasses.replace(kv, k=k, v=v, slot_pos=tags)
+    return dataclasses.replace(
+        kv, k=move(kv.k), v=move(kv.v), slot_pos=tags,
+        k_scale=move(kv.k_scale), v_scale=move(kv.v_scale),
+    )

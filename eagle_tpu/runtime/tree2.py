@@ -127,7 +127,11 @@ class EagleTree2Engine(EagleChainEngine):
         dft_kv = out.kv
         root_feat = self._pick_feature(out.feature, out.feature_pre)[:, 0]
         logp = jax.nn.log_softmax(out.logits[:, 0].astype(jnp.float32), axis=-1)
-        bscore, btok = jax.lax.top_k(logp, M)  # [B, M]
+        # expansion top-k over the vocab: approx_max_k is TPU-native (~5x
+        # cheaper than the full-sort lowering of top_k); a missed near-tie
+        # only changes WHICH candidates get drafted — acceptance stays exact
+        bscore, btok = jax.lax.approx_max_k(logp, M, recall_target=0.95)
+        btok = btok.astype(jnp.int32)
         bpar = jnp.zeros((b, M), jnp.int32)  # all level-1 parents are the root
         bfeat = jnp.broadcast_to(root_feat[:, None], (b, M, root_feat.shape[-1]))
 
@@ -159,7 +163,8 @@ class EagleTree2Engine(EagleChainEngine):
             dft_kv = out.kv
             feat_out = self._pick_feature(out.feature, out.feature_pre)
             logp = jax.nn.log_softmax(out.logits.astype(jnp.float32), axis=-1)
-            cvals, cidx = jax.lax.top_k(logp, M)  # [B, M, M] per-node children
+            cvals, cidx = jax.lax.approx_max_k(logp, M, recall_target=0.95)
+            cidx = cidx.astype(jnp.int32)  # [B, M, M] per-node children
             flat_scores = (bscore[:, :, None] + cvals).reshape(b, M * M)
             bscore, flat = jax.lax.top_k(flat_scores, M)  # global best M
             prow = flat // M  # beam row of each chosen child's parent

@@ -36,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--tg", default="64")
     ap.add_argument("--batch", default="1")
     ap.add_argument("--spec", action="store_true", help="include EAGLE cycle bench")
+    ap.add_argument("--tree2", default=None, metavar="BEAM,DEPTH,NVERIFY",
+                    help="include EAGLE-2 dynamic-tree cycle bench, e.g. 8,6,32")
     ap.add_argument("--n-draft", type=int, default=5)
     ap.add_argument("--draft-backend", default=None, choices=[None, "xla", "pallas"])
     ap.add_argument("--json", action="store_true")
@@ -142,6 +144,38 @@ def main(argv=None):
         run_cycle(1)
         per = _time_slope(run_cycle, 2, 8)
         rows.append({"test": f"spec-cycle k{args.n_draft}", "ms/cycle": round(per * 1e3, 2)})
+
+    # -- EAGLE-2 dynamic-tree cycle -------------------------------------------
+    if args.tree2:
+        from ..runtime.tree2 import EagleTree2Engine
+
+        bm, dpt, nv = (int(x) for x in args.tree2.split(","))
+        dcfg = dataclasses.replace(cfg, n_layers=1, is_eagle=True)
+        dparams = synth_eagle_params(dcfg, seed=1, packed=True,
+                                     scale_dtype=jnp.bfloat16)
+        dparams = jax.tree_util.tree_map(jnp.asarray, dparams)
+        eng = EagleTree2Engine(params, dparams, cfg, dcfg, beam=bm, depth=dpt,
+                               n_verify=nv, max_seq=args.max_seq,
+                               backend="pallas",
+                               draft_backend=args.draft_backend, eos_id=-1)
+        st = eng.fresh_state()
+        pt = jnp.zeros((1, 16), jnp.int32)
+        st = eng._prefill_jit(st, pt, jnp.asarray([8], np.int32), t=16)
+        box = {"st": st}
+        # slope uses <=10 cycles; worst n_past grows depth+1 per cycle and the
+        # verify window extends W slots past it
+        lim = eng.kv_read_bucket(8 + 10 * (dpt + 1) + eng.W)
+
+        def run_t2(n, eng=eng):
+            for _ in range(n):
+                res = eng._cycle_jit(box["st"], kv_limit=lim)
+                box["st"] = res.state
+            int(np.asarray(res.n_out)[0])
+
+        run_t2(1)
+        per = _time_slope(run_t2, 2, 8)
+        rows.append({"test": f"tree2-cycle b{bm} d{dpt} n{nv}",
+                     "ms/cycle": round(per * 1e3, 2)})
 
     if args.json:
         print(json.dumps(rows))

@@ -20,6 +20,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--draft", default=None, help="EAGLE draft GGUF (enables speculation)")
     ap.add_argument("--n-draft", type=int, default=5, help="chain draft length")
     ap.add_argument("--tree", default=None, help="tree branching factors, e.g. 4,2,2")
+    ap.add_argument("--tree2", default=None, metavar="BEAM,DEPTH,NVERIFY",
+                    help="EAGLE-2 dynamic draft tree, e.g. 8,6,32")
     ap.add_argument("--lookahead", default=None, metavar="W,N,G",
                     help="model-free lookahead decoding (examples/lookahead), e.g. 8,4,8")
     ap.add_argument("--ctx", type=int, default=2048)
@@ -59,6 +61,7 @@ def main(argv=None):
         lora_scale=args.lora_scale,
         n_draft=args.n_draft,
         tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
+        tree2=tuple(int(x) for x in args.tree2.split(",")) if args.tree2 else None,
         lookahead=tuple(int(x) for x in args.lookahead.split(",")) if args.lookahead else None,
         max_seq=args.ctx,
         backend=args.backend,

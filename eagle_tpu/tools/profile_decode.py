@@ -99,6 +99,8 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--spec", action="store_true",
                     help="profile the EAGLE chain cycle instead of plain decode")
+    ap.add_argument("--tree2", default=None, metavar="BEAM,DEPTH,NVERIFY",
+                    help="profile the EAGLE-2 dynamic-tree cycle, e.g. 8,6,32")
     ap.add_argument("--n-draft", type=int, default=5)
     ap.add_argument("--draft-backend", default=None, choices=[None, "xla", "pallas"])
     args = ap.parse_args(argv)
@@ -130,10 +132,9 @@ def main(argv=None):
     jax.block_until_ready(params["layers"]["wqkv"].q)
     print(f"# params on-device in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    if args.spec:
-        # EAGLE cycle profile: K draft steps + T=K+1 verify + accept, one jit.
+    if args.spec or args.tree2:
+        # EAGLE cycle profile: draft steps + tree/chain verify + accept, one jit.
         from ..models.synth import synth_eagle_params
-        from ..runtime.speculative import EagleChainEngine
 
         dcfg = dataclasses.replace(cfg, n_layers=1, is_eagle=True)
         dparams = jax.tree_util.tree_map(
@@ -141,13 +142,26 @@ def main(argv=None):
             synth_eagle_params(dcfg, seed=1, packed=args.backend == "pallas",
                                scale_dtype=jnp.bfloat16),
         )
-        eng = EagleChainEngine(params, dparams, cfg, dcfg, n_draft=args.n_draft,
-                               max_seq=args.max_seq, backend=args.backend,
-                               draft_backend=args.draft_backend, eos_id=-1)
+        if args.tree2:
+            from ..runtime.tree2 import EagleTree2Engine
+
+            bm, dpt, nv = (int(x) for x in args.tree2.split(","))
+            eng = EagleTree2Engine(params, dparams, cfg, dcfg, beam=bm,
+                                   depth=dpt, n_verify=nv, max_seq=args.max_seq,
+                                   backend=args.backend,
+                                   draft_backend=args.draft_backend, eos_id=-1)
+            lim_steps = (args.steps + 2) * (dpt + 1) + eng.W
+        else:
+            from ..runtime.speculative import EagleChainEngine
+
+            eng = EagleChainEngine(params, dparams, cfg, dcfg, n_draft=args.n_draft,
+                                   max_seq=args.max_seq, backend=args.backend,
+                                   draft_backend=args.draft_backend, eos_id=-1)
+            lim_steps = (args.steps + 2) * (args.n_draft + 2)
         st = eng.fresh_state()
         pt = jnp.zeros((1, 16), jnp.int32)
         st = eng._prefill_jit(st, pt, jnp.asarray([8], np.int32), t=16)
-        lim = eng.kv_read_bucket(8 + (args.steps + 2) * (args.n_draft + 2))
+        lim = eng.kv_read_bucket(8 + lim_steps)
         t0 = time.time()
         res = eng._cycle_jit(st, kv_limit=lim)  # warmup/compile
         int(np.asarray(res.n_out)[0])

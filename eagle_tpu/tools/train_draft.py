@@ -357,13 +357,27 @@ def measure_acceptance(target_params, draft_params, tcfg, dcfg, lang: MarkovLang
                        n_prompts: int = 8, prompt_len: int = 32,
                        max_new_tokens: int = 96, n_draft: int = 5,
                        feature_source: str = "post_norm", backend: str = "xla",
-                       seed: int = 99) -> dict:
-    from ..runtime.speculative import EagleChainEngine
+                       seed: int = 99, engine: str = "chain",
+                       tree2: tuple[int, int, int] = (4, 5, 12)) -> dict:
+    """engine: 'chain' (K-step chain) or 'tree2' (EAGLE-2 dynamic tree with
+    (beam, depth, n_verify)) — the tree spends the same verify pass over many
+    branches, so its mean accept length upper-bounds the chain's."""
+    if engine == "tree2":
+        from ..runtime.tree2 import EagleTree2Engine
 
-    eng = EagleChainEngine(
-        target_params, draft_params, tcfg, dcfg, n_draft=n_draft,
-        max_seq=512, backend=backend, feature_source=feature_source, eos_id=-1,
-    )
+        bm, dpt, nv = tree2
+        eng = EagleTree2Engine(
+            target_params, draft_params, tcfg, dcfg, beam=bm, depth=dpt,
+            n_verify=nv, max_seq=512, backend=backend,
+            feature_source=feature_source, eos_id=-1,
+        )
+    else:
+        from ..runtime.speculative import EagleChainEngine
+
+        eng = EagleChainEngine(
+            target_params, draft_params, tcfg, dcfg, n_draft=n_draft,
+            max_seq=512, backend=backend, feature_source=feature_source, eos_id=-1,
+        )
     rng = np.random.default_rng(seed)
     prompts = lang.sample(rng, n_prompts, prompt_len)
     agg = {"n_cycles": 0, "n_drafted": 0, "n_accepted": 0, "n_tokens": 0}
