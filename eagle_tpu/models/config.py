@@ -69,6 +69,9 @@ class ModelConfig:
     # learned absolute position embeddings added to the token embedding
     # (gpt2 position_embd — build_gpt2); rope_dim == 0 disables rope
     has_pos_embd: bool = False
+    # ALiBi linear attention bias in place of rope (bloom/mpt/refact —
+    # build_bloom; slopes 2^(-8h/H) as in ggml's alibi)
+    use_alibi: bool = False
     # granite: residual_scale multiplies each block's output before the add
     resid_scale: float = 1.0
     # deepseek2 MLA (build_deepseek2, src/llama.cpp): low-rank kv compression.
@@ -155,16 +158,19 @@ class ModelConfig:
                 else None
             ),
             act=(
-                "gelu"
-                if arch.startswith("gemma")
-                or arch in ("gpt2", "starcoder2", "phi2", "falcon", "gptneox")
+                "relu2" if arch == "nemotron"  # squared relu (build_nemotron)
+                else "gelu" if arch.startswith("gemma") or arch in GELU_ARCHS
                 else "silu"
             ),
-            moe_softmax_all=(arch in ("qwen2moe", "qwen3moe", "deepseek2")),
+            moe_softmax_all=(arch in ("qwen2moe", "qwen3moe", "deepseek2", "olmoe")),
             norm_type="layer" if ln_arch else "rms",
-            parallel_blocks=arch in PARALLEL_BLOCK_ARCHS,
+            parallel_blocks=(
+                arch in PARALLEL_BLOCK_ARCHS
+                or bool(md.get(f"{arch}.use_parallel_residual", False))
+            ),
             logit_scale=float(md.get(f"{arch}.logit_scale", 1.0) or 1.0),
-            has_pos_embd=(arch == "gpt2"),
+            has_pos_embd=(arch in POS_EMBD_ARCHS),
+            use_alibi=(arch in ALIBI_ARCHS),
             resid_scale=float(md.get(f"{arch}.residual_scale", 1.0) or 1.0),
             kv_lora_rank=int(md.get(f"{arch}.attention.kv_lora_rank", 0) or 0),
             q_lora_rank=int(md.get(f"{arch}.attention.q_lora_rank", 0) or 0),
@@ -181,16 +187,35 @@ class ModelConfig:
 #: (reference convert_hf_to_gguf.py LlamaModel.permute; rope type NORM in
 #: src/llama-model.cpp). NEOX-rope archs (qwen*, gemma*, phi3, olmo2, ...)
 #: store rows in the HF half-split layout and must NOT be (un)permuted.
-PERMUTED_ROPE_ARCHS = frozenset({"llama", "mixtral", "eagle", "vicuna", "command-r"})
+PERMUTED_ROPE_ARCHS = frozenset(
+    {"llama", "mixtral", "eagle", "vicuna", "command-r", "granite"}
+)
 
 #: archs on the mean-subtracted LayerNorm path (LLM_NORM in llm_build_norm)
 LAYERNORM_ARCHS = frozenset(
-    {"gpt2", "starcoder2", "command-r", "phi2", "falcon", "gptneox"}
+    {"gpt2", "starcoder2", "command-r", "phi2", "falcon", "gptneox",
+     "stablelm", "starcoder", "bloom", "mpt", "gptj", "nemotron"}
 )
 
 #: parallel-residual archs: one shared input norm feeds BOTH attention and the
-#: FFN, summed into the residual (build_command_r / build_phi2 / build_falcon)
-PARALLEL_BLOCK_ARCHS = frozenset({"command-r", "phi2", "falcon"})
+#: FFN, summed into the residual (build_command_r/build_phi2/build_falcon/
+#: build_gptj). gptneox/stablelm opt in per-checkpoint via the
+#: `{arch}.use_parallel_residual` metadata key (llama-arch.cpp); when their
+#: FFN norm tensor exists the FFN branch norms with it instead of sharing.
+PARALLEL_BLOCK_ARCHS = frozenset({"command-r", "phi2", "falcon", "gptj"})
 
-#: archs with no rotary embedding at all (gpt2 uses learned absolute wpe)
-NO_ROPE_ARCHS = frozenset({"gpt2"})
+#: archs with no rotary embedding at all (learned/ALiBi positions instead)
+NO_ROPE_ARCHS = frozenset({"gpt2", "starcoder", "bloom", "mpt"})
+
+#: learned absolute position embeddings added to the token embedding
+POS_EMBD_ARCHS = frozenset({"gpt2", "starcoder"})
+
+#: ALiBi attention bias instead of rotary (build_bloom/build_mpt; slope
+#: formula ggml_rope's alibi path / hparams.f_max_alibi_bias)
+ALIBI_ARCHS = frozenset({"bloom", "mpt", "refact"})
+
+#: no-gate gelu-family FFN / gelu act archs (beyond the gemma family)
+GELU_ARCHS = frozenset(
+    {"gpt2", "starcoder2", "phi2", "falcon", "gptneox", "starcoder",
+     "bloom", "mpt", "gptj"}
+)

@@ -138,6 +138,129 @@ GENERIC_HF_MAPS: dict[str, dict[str, Any]] = {
             ("ffn_down.bias", "mlp.fc2.bias"),
         ],
     },
+    "stablelm": {  # StableLmForCausalLM (LayerNorm+biases, partial NEOX rope)
+        "prefix": "model.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": "model.norm.weight",
+        "final_norm_b": "model.norm.bias",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_norm.bias", "input_layernorm.bias"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_q.bias", "self_attn.q_proj.bias"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_k.bias", "self_attn.k_proj.bias"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_v.bias", "self_attn.v_proj.bias"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("ffn_norm.weight", "post_attention_layernorm.weight"),
+            ("ffn_norm.bias", "post_attention_layernorm.bias"),
+            ("ffn_gate.weight", "mlp.gate_proj.weight"),
+            ("ffn_up.weight", "mlp.up_proj.weight"),
+            ("ffn_down.weight", "mlp.down_proj.weight"),
+        ],
+    },
+    "gptneox": {  # GPTNeoXForCausalLM (fused interleaved qkv, optional
+        # parallel residual with its own ffn norm — GPTNeoXModel converter)
+        "prefix": "gpt_neox.layers",
+        "embed": "gpt_neox.embed_in.weight",
+        "final_norm": "gpt_neox.final_layer_norm.weight",
+        "final_norm_b": "gpt_neox.final_layer_norm.bias",
+        "lm_head": "embed_out.weight",
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_norm.bias", "input_layernorm.bias"),
+            ("attn_qkv.weight", "attention.query_key_value.weight", "neox_qkv"),
+            ("attn_qkv.bias", "attention.query_key_value.bias", "neox_qkv_b"),
+            ("attn_output.weight", "attention.dense.weight"),
+            ("attn_output.bias", "attention.dense.bias"),
+            ("ffn_norm.weight", "post_attention_layernorm.weight"),
+            ("ffn_norm.bias", "post_attention_layernorm.bias"),
+            ("ffn_up.weight", "mlp.dense_h_to_4h.weight"),
+            ("ffn_up.bias", "mlp.dense_h_to_4h.bias"),
+            ("ffn_down.weight", "mlp.dense_4h_to_h.weight"),
+            ("ffn_down.bias", "mlp.dense_4h_to_h.bias"),
+        ],
+    },
+    "nemotron": {  # NemotronForCausalLM (LayerNorm1p folded to w+1, relu^2
+        # no-gate FFN, partial NEOX rope — reference NemotronModel)
+        "prefix": "model.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": ("model.norm.weight", "add1"),
+        "final_norm_b": "model.norm.bias",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight", "add1"),
+            ("attn_norm.bias", "input_layernorm.bias"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("ffn_norm.weight", "post_attention_layernorm.weight", "add1"),
+            ("ffn_norm.bias", "post_attention_layernorm.bias"),
+            ("ffn_up.weight", "mlp.up_proj.weight"),
+            ("ffn_down.weight", "mlp.down_proj.weight"),
+        ],
+    },
+    "starcoder": {  # GPTBigCodeForCausalLM (MQA fused qkv Linear, learned
+        # positions, LayerNorm+biases, no-gate gelu — build_starcoder)
+        "prefix": "transformer.h",
+        "embed": "transformer.wte.weight",
+        "pos_embd": "transformer.wpe.weight",
+        "final_norm": "transformer.ln_f.weight",
+        "final_norm_b": "transformer.ln_f.bias",
+        "layer": [
+            ("attn_norm.weight", "ln_1.weight"),
+            ("attn_norm.bias", "ln_1.bias"),
+            ("attn_qkv.weight", "attn.c_attn.weight"),
+            ("attn_qkv.bias", "attn.c_attn.bias"),
+            ("attn_output.weight", "attn.c_proj.weight"),
+            ("attn_output.bias", "attn.c_proj.bias"),
+            ("ffn_norm.weight", "ln_2.weight"),
+            ("ffn_norm.bias", "ln_2.bias"),
+            ("ffn_up.weight", "mlp.c_fc.weight"),
+            ("ffn_up.bias", "mlp.c_fc.bias"),
+            ("ffn_down.weight", "mlp.c_proj.weight"),
+            ("ffn_down.bias", "mlp.c_proj.bias"),
+        ],
+    },
+    "bloom": {  # BloomForCausalLM (ALiBi, embedding LayerNorm, fused
+        # interleaved qkv — reference BloomModel converter)
+        "prefix": "transformer.h",
+        "embed": "transformer.word_embeddings.weight",
+        "embed_norm": "transformer.word_embeddings_layernorm.weight",
+        "embed_norm_b": "transformer.word_embeddings_layernorm.bias",
+        "final_norm": "transformer.ln_f.weight",
+        "final_norm_b": "transformer.ln_f.bias",
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_norm.bias", "input_layernorm.bias"),
+            ("attn_qkv.weight", "self_attention.query_key_value.weight", "neox_qkv"),
+            ("attn_qkv.bias", "self_attention.query_key_value.bias", "neox_qkv_b"),
+            ("attn_output.weight", "self_attention.dense.weight"),
+            ("attn_output.bias", "self_attention.dense.bias"),
+            ("ffn_norm.weight", "post_attention_layernorm.weight"),
+            ("ffn_norm.bias", "post_attention_layernorm.bias"),
+            ("ffn_up.weight", "mlp.dense_h_to_4h.weight"),
+            ("ffn_up.bias", "mlp.dense_h_to_4h.bias"),
+            ("ffn_down.weight", "mlp.dense_4h_to_h.weight"),
+            ("ffn_down.bias", "mlp.dense_4h_to_h.bias"),
+        ],
+    },
+    "mpt": {  # MptForCausalLM (ALiBi, fused q;k;v Wqkv, no biases)
+        "prefix": "transformer.blocks",
+        "embed": "transformer.wte.weight",
+        "final_norm": "transformer.norm_f.weight",
+        "layer": [
+            ("attn_norm.weight", "norm_1.weight"),
+            ("attn_qkv.weight", "attn.Wqkv.weight"),
+            ("attn_output.weight", "attn.out_proj.weight"),
+            ("ffn_norm.weight", "norm_2.weight"),
+            ("ffn_up.weight", "ffn.up_proj.weight"),
+            ("ffn_down.weight", "ffn.down_proj.weight"),
+        ],
+    },
 }
 
 
@@ -594,13 +717,32 @@ def convert_hf_to_gguf(
     gmap = GENERIC_HF_MAPS.get(arch)
     if gmap is not None:
         lp = gmap["prefix"]
+        if cfg.parallel_blocks:
+            # gptneox/stablelm opt into parallel residual per checkpoint
+            # (add_parallel_residual in the reference's GPTNeoXModel)
+            w.add(f"{arch}.use_parallel_residual", True)
 
-        def gput(gguf_name: str, hf_name: str, kind: str | None = None, qt: bool = True):
+        def gput(gguf_name: str, hf_name, kind: str | None = None, qt: bool = True):
+            if isinstance(hf_name, tuple):  # (name, kind) form in map values
+                hf_name, kind = hf_name
             if hf_name not in sd:
                 return
             t = sd[hf_name]
             if kind == "conv1d":  # HF Conv1D stores [in, out]
                 t = np.ascontiguousarray(t.T)
+            elif kind == "neox_qkv":
+                # fused qkv stored head-interleaved [H, 3, Dh, K] -> GGUF's
+                # q-block;k-block;v-block rows (reference GPTNeoXModel/
+                # BloomModel modify_tensors)
+                h = cfg.n_heads
+                t = t.reshape(h, 3, t.shape[0] // h // 3, t.shape[1])
+                t = np.concatenate([t[:, j].reshape(-1, t.shape[-1]) for j in range(3)])
+            elif kind == "neox_qkv_b":
+                h = cfg.n_heads
+                t = t.reshape(h, 3, t.shape[0] // h // 3)
+                t = np.concatenate([t[:, j].reshape(-1) for j in range(3)])
+            elif kind == "add1":  # nemotron LayerNorm1P: fold (1 + w)
+                t = t + 1.0
             if t.ndim == 2 and qt:
                 w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
             else:
@@ -609,6 +751,9 @@ def convert_hf_to_gguf(
         gput("token_embd.weight", gmap["embed"])
         if "pos_embd" in gmap:
             gput("position_embd.weight", gmap["pos_embd"], qt=False)
+        if "embed_norm" in gmap:  # bloom word-embedding LayerNorm
+            gput("token_embd_norm.weight", gmap["embed_norm"], qt=False)
+            gput("token_embd_norm.bias", gmap.get("embed_norm_b", "\0"), qt=False)
         gput("output_norm.weight", gmap["final_norm"], qt=False)
         if "final_norm_b" in gmap:
             gput("output_norm.bias", gmap["final_norm_b"], qt=False)

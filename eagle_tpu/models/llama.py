@@ -108,6 +108,29 @@ def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
     return moe
 
 
+def _relu2(x: jax.Array) -> jax.Array:
+    """Squared ReLU (nemotron/refact FFN act — build_nemotron)."""
+    r = jax.nn.relu(x)
+    return r * r
+
+
+def alibi_slopes(n_heads: int):
+    """Per-head ALiBi slopes (Press et al.; matches HF/ggml's formula:
+    geometric 2^(-8/n) over the largest power-of-two head count, interleaved
+    2^(-4/n)-stepped slopes for the remainder)."""
+    import math
+
+    import numpy as np
+
+    n = 2 ** math.floor(math.log2(n_heads))
+    base = 2.0 ** (-8.0 / n)
+    slopes = [base ** (i + 1) for i in range(n)]
+    if n < n_heads:
+        base2 = 2.0 ** (-4.0 / n)
+        slopes += [base2 ** (2 * i + 1) for i in range(n_heads - n)]
+    return np.asarray(slopes, np.float32)
+
+
 def _block_norm(cfg: ModelConfig, layers, key: str, x: jax.Array, li) -> jax.Array:
     """Per-arch block norm: RMSNorm (llama family) or mean-subtracted
     LayerNorm with optional bias (LLM_NORM archs — gpt2/starcoder2/command-r/
@@ -165,6 +188,7 @@ def _layer_step(
     # (differs from the weight-stack index `li` when layers are scanned in
     # structural groups — deepseek2's dense prefix)
     slots_contiguous: bool = False,  # STATIC: per-row slots are start+arange(T)
+    alibi: jax.Array | None = None,  # [H] per-head ALiBi slopes (bloom/mpt)
 ):
     """One transformer layer. Weights stay layer-stacked; matmuls address the
     stack through `li` (scalar-prefetched on the pallas backend so no
@@ -304,6 +328,7 @@ def _layer_step(
             mask,
             scale=cfg.attn_scale,
             softcap=cfg.attn_softcap,
+            alibi=alibi, q_pos=positions,
         )
     else:
         k_cache = _write(k_cache, k_hm)
@@ -312,6 +337,7 @@ def _layer_step(
         if (
             backend == "pallas"
             and cfg.attn_softcap == 0.0
+            and alibi is None
             and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: Dv != Dk
             and supports_flash(t, h, h_kv, lim, dh)
         ):
@@ -320,6 +346,7 @@ def _layer_step(
             attn = gqa_attention(
                 q, k_cache[cli, :, :, :lim], v_cache[cli, :, :, :lim], mask,
                 scale=cfg.attn_scale, softcap=cfg.attn_softcap,
+                alibi=alibi, q_pos=positions,
             )
     attn_flat = attn.reshape(b, t, -1)  # H * Dv (Dv != Dh for MLA)
 
@@ -358,11 +385,21 @@ def _layer_step(
             attn_out = attn_out + layers["bo"][li].astype(attn_out.dtype)
         if "post_attn_norm" in layers:  # gemma2 sandwich norm
             attn_out = rms_norm(attn_out, layers["post_attn_norm"][li], cfg.rms_eps)
-        act = jax.nn.silu if cfg.act == "silu" else partial(jax.nn.gelu, approximate=True)
+        act = (
+            jax.nn.silu if cfg.act == "silu"
+            else _relu2 if cfg.act == "relu2"  # nemotron squared relu
+            else partial(jax.nn.gelu, approximate=True)
+        )
         if cfg.parallel_blocks:
-            # one shared input norm feeds attention AND the FFN; both add into
-            # the residual (build_command_r / build_phi2 / build_falcon)
-            ffn_out = _ffn(cfg, layers, li, attn_in, act, backend, compute_dtype)
+            # parallel residual: x + attn + ffn. The FFN branch norms with its
+            # own ffn_norm when the tensor exists (gpt-neox/stablelm two-norm
+            # form) or shares the attention input norm (command-r/phi2/falcon/
+            # gptj single-norm form)
+            ffn_in = (
+                _block_norm(cfg, layers, "ffn_norm", x, li)
+                if "ffn_norm" in layers else attn_in
+            )
+            ffn_out = _ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
             x = x + attn_out + ffn_out
         else:
             if cfg.resid_scale != 1.0:  # granite residual multiplier
@@ -424,6 +461,13 @@ def llama_forward(
         x = x * jnp.asarray(cfg.embd_scale, x.dtype)
     if cfg.has_pos_embd:  # gpt2 learned absolute positions (wpe — build_gpt2)
         x = x + params["pos_embd"][positions].astype(x.dtype)
+    if "tok_embd_norm" in params:  # bloom word-embedding LayerNorm (build_bloom)
+        x = layer_norm(
+            x, params["tok_embd_norm"], params.get("tok_embd_norm_b"), cfg.rms_eps
+        )
+    alibi = (
+        jnp.asarray(alibi_slopes(cfg.n_heads)) if cfg.use_alibi else None
+    )
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
     layers = params["layers"]
     if kv_limit is not None:
@@ -458,7 +502,7 @@ def llama_forward(
                 cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
                 x, _grp, wi, k_all, v_all, k_s, v_s, mask_swa=mask_swa,
                 kv_limit=kv_limit, cache_li=cli,
-                slots_contiguous=slots_contiguous,
+                slots_contiguous=slots_contiguous, alibi=alibi,
             )
             return (x, k_all, v_all, k_s, v_s), None
 

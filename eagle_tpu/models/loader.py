@@ -39,9 +39,16 @@ LayerKeyMap = {
 
 
 def unpermute_rows(n_rows: int, n_heads: int) -> np.ndarray:
-    """Row index map inverting convert_hf_to_gguf LlamaModel.permute."""
+    """Row index map inverting convert_hf_to_gguf LlamaModel.permute
+    (convert_hf_to_gguf.py:1596: reshape(h, 2, d/2).swapaxes(1,2), i.e. GGUF
+    row 2j+m = HF row m*d/2 + j — pair-interleaved for ggml's NORM rope).
+    The inverse gather is reshape(d/2, 2).T: HF row i = GGUF row inv[i].
+
+    (The round-1 implementation built the FORWARD map here — an involution
+    only at head_dim 4, so writer∘loader round-trips masked it; real
+    reference-converted GGUFs would have loaded with scrambled rope pairs.)"""
     head_rows = n_rows // n_heads
-    within = np.arange(head_rows).reshape(2, head_rows // 2).T.reshape(-1)
+    within = np.arange(head_rows).reshape(head_rows // 2, 2).T.reshape(-1)
     return (np.arange(n_heads)[:, None] * head_rows + within[None, :]).reshape(-1)
 
 
@@ -298,6 +305,10 @@ def load_llama_params(
     }
     if "output_norm.bias" in reader.tensors:
         params["output_norm_b"] = reader.tensor_f32("output_norm.bias")
+    if "token_embd_norm.weight" in reader.tensors:  # bloom embedding LayerNorm
+        params["tok_embd_norm"] = reader.tensor_f32("token_embd_norm.weight")
+        if "token_embd_norm.bias" in reader.tensors:
+            params["tok_embd_norm_b"] = reader.tensor_f32("token_embd_norm.bias")
     if "position_embd.weight" in reader.tensors:  # gpt2 learned positions
         params["pos_embd"] = reader.tensor_f32("position_embd.weight").reshape(
             -1, cfg.n_embd

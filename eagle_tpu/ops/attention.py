@@ -19,6 +19,8 @@ def gqa_attention(
     mask: jax.Array,  # [B, T, S] bool
     scale: float | None = None,
     softcap: float = 0.0,  # gemma2 attn_logit_softcapping
+    alibi: jax.Array | None = None,  # [H] per-head ALiBi slopes (bloom/mpt)
+    q_pos: jax.Array | None = None,  # [B, T] query positions (ALiBi only)
 ) -> jax.Array:
     """Returns [B, T, H, D] (f32).
 
@@ -39,6 +41,15 @@ def gqa_attention(
     scores = scores * scale
     if softcap > 0:
         scores = softcap * jnp.tanh(scores / softcap)
+    if alibi is not None:
+        # ALiBi: score(i, j) -= slope_h * (i - j). Key position == slot index
+        # (the engines' slot==position cache invariant); computed as broadcast
+        # iota math so XLA fuses it into the score computation — never a
+        # materialized [B, H, T, S] tensor in HBM.
+        s_io = jnp.arange(k_cache.shape[2], dtype=jnp.int32)[None, None, :]
+        dist = (q_pos[:, :, None] - s_io).astype(jnp.float32)  # [B, T, S]
+        slopes = alibi.astype(jnp.float32).reshape(1, h_kv, group, 1, 1)
+        scores = scores - slopes * dist[:, None, None, :, :]
     scores = jnp.where(mask[:, None, None, :, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(

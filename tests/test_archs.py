@@ -565,3 +565,202 @@ def test_deepseek2_parity(tmp_path, rng, q_lora):
     tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
     ours, theirs = _round_trip(model, cfg, "deepseek2", tmp_path, tokens)
     np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# round-3 arch batch: stablelm / gptneox / nemotron / starcoder(bigcode) /
+# bloom / mpt (ALiBi) / olmoe
+# ---------------------------------------------------------------------------
+
+
+def test_stablelm_parity(tmp_path, rng):
+    """stablelm: LayerNorm+biases, partial NEOX rope, qkv biases, gated silu
+    FFN (build_stablelm)."""
+    torch.manual_seed(31)
+    hf_cfg = transformers.StableLmConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.25, use_qkv_bias=True, qk_layernorm=False,
+        use_parallel_residual=False, layer_norm_eps=1e-5,
+        max_position_embeddings=128, attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    model = transformers.StableLmForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="stablelm", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=2, head_dim=8, n_ff=64, rms_eps=1e-5, rope_dim=2,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", attn_bias=True,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "stablelm", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("parallel", [True, False])
+def test_gptneox_parity(tmp_path, rng, parallel):
+    """gpt-neox: fused head-interleaved qkv (de-interleaved at convert, like
+    the reference's GPTNeoXModel), optional parallel residual with its OWN
+    ffn norm, partial rope, no-gate gelu."""
+    torch.manual_seed(32)
+    hf_cfg = transformers.GPTNeoXConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64, rotary_pct=0.25,
+        use_parallel_residual=parallel, layer_norm_eps=1e-5,
+        hidden_act="gelu_new", max_position_embeddings=128,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.GPTNeoXForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="gptneox", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=4, head_dim=8, n_ff=64, rms_eps=1e-5, rope_dim=2,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", act="gelu", parallel_blocks=parallel,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "gptneox", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_nemotron_parity(tmp_path, rng):
+    """nemotron: LayerNorm1P folded to (1+w) at convert, squared-relu no-gate
+    FFN, partial NEOX rope (build_nemotron / reference NemotronModel)."""
+    torch.manual_seed(33)
+    hf_cfg = transformers.NemotronConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        hidden_act="relu2", partial_rotary_factor=0.5, norm_eps=1e-5,
+        max_position_embeddings=128, attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    model = transformers.NemotronForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="nemotron", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=2, head_dim=8, n_ff=64, rms_eps=1e-5, rope_dim=4,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", act="relu2",
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "nemotron", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_starcoder_parity(tmp_path, rng):
+    """starcoder (gpt_bigcode): MQA (one kv head) fused qkv, learned absolute
+    positions, LayerNorm+biases, no-gate gelu (build_starcoder)."""
+    torch.manual_seed(34)
+    hf_cfg = transformers.GPTBigCodeConfig(
+        vocab_size=128, n_embd=32, n_layer=2, n_head=4, n_inner=64,
+        n_positions=128, multi_query=True, layer_norm_epsilon=1e-5,
+        activation_function="gelu_pytorch_tanh", attn_implementation="eager",
+    )
+    model = transformers.GPTBigCodeForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="starcoder", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=1, head_dim=8, n_ff=64, rms_eps=1e-5, rope_dim=0,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", act="gelu", has_pos_embd=True,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "starcoder", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_bloom_parity(tmp_path, rng):
+    """bloom: ALiBi attention bias (no rope), word-embedding LayerNorm, fused
+    head-interleaved qkv (build_bloom)."""
+    torch.manual_seed(35)
+    hf_cfg = transformers.BloomConfig(
+        vocab_size=128, hidden_size=32, n_layer=2, n_head=4,
+        layer_norm_epsilon=1e-5, attn_implementation="eager",
+        tie_word_embeddings=True,
+    )
+    model = transformers.BloomForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="bloom", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=4, head_dim=8, n_ff=128, rms_eps=1e-5, rope_dim=0,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", act="gelu", use_alibi=True,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "bloom", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_mpt_parity(tmp_path, rng):
+    """mpt: ALiBi, fused plain-order Wqkv, bias-free LayerNorm (build_mpt)."""
+    torch.manual_seed(36)
+    hf_cfg = transformers.MptConfig(
+        d_model=32, n_heads=4, n_layers=2, expansion_ratio=2, vocab_size=128,
+        max_seq_len=128, attn_config={"alibi": True, "alibi_bias_max": 8, "attn_impl": "torch"},
+        learned_pos_emb=False, no_bias=True, layer_norm_epsilon=1e-5,
+        attn_implementation="eager",
+    )
+    model = transformers.MptForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="mpt", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=4, head_dim=8, n_ff=64, rms_eps=1e-5, rope_dim=0,
+            n_ctx_train=128,
+        ),
+        norm_type="layer", act="gelu", use_alibi=True,
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "mpt", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_olmoe_parity(tmp_path, rng):
+    """olmoe: MoE with softmax-over-all router + flat q/k RMS norms, NEOX
+    rope (build_olmoe) — rides the qwen2moe converter/loader machinery."""
+    torch.manual_seed(37)
+    hf_cfg = transformers.OlmoeConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        rms_norm_eps=1e-6, max_position_embeddings=128,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.OlmoeForCausalLM(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        ModelConfig(
+            arch="olmoe", vocab_size=128, n_embd=32, n_layers=2, n_heads=4,
+            n_kv_heads=2, head_dim=8, n_ff=32, rms_eps=1e-6, rope_dim=8,
+            n_ctx_train=128, n_expert=4, n_expert_used=2, moe_softmax_all=True,
+        ),
+    )
+    tokens = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    ours, theirs = _round_trip(model, cfg, "olmoe", tmp_path, tokens)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-2)
+
+
+def test_permute_matches_reference_llama_permute():
+    """Interop regression: our GGUF row permutation must BE the reference's
+    LlamaModel.permute (convert_hf_to_gguf.py:1596), and the loader must
+    invert it. Round-1 had the forward/inverse maps swapped — an involution
+    only at head_dim 4, so writer/loader self-consistency masked it while any
+    real reference-converted GGUF would have loaded with scrambled rope
+    pairs."""
+    from eagle_tpu.models.hf_convert import permute_rows
+    from eagle_tpu.models.loader import unpermute_rows
+
+    def ref_permute(w, n_head):
+        return (
+            w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
+            .swapaxes(1, 2).reshape(w.shape)
+        )
+
+    for hr, h in [(8, 1), (16, 2), (128, 4)]:
+        hf = np.arange(hr * h)
+        assert (hf[permute_rows(hr * h, h)] == ref_permute(hf, h)).all()
+        assert (ref_permute(hf, h)[unpermute_rows(hr * h, h)] == hf).all()
