@@ -101,6 +101,13 @@ class Engine:
                 kv_dtype=cfg.kv_dtype, backend=cfg.backend,
                 eos_id=self.tokenizer.eos_id,
             )
+        elif self.model_cfg.is_recurrent:  # mamba: constant-size state
+            from .runtime.mamba_gen import MambaGenerator
+
+            self.engine = MambaGenerator(
+                self.params, self.model_cfg, max_seq=cfg.max_seq,
+                backend=cfg.backend, eos_id=self.tokenizer.eos_id,
+            )
         else:
             self.engine = Generator(
                 self.params, self.model_cfg, max_seq=cfg.max_seq,

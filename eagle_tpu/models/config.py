@@ -72,6 +72,17 @@ class ModelConfig:
     # ALiBi linear attention bias in place of rope (bloom/mpt/refact —
     # build_bloom; slopes 2^(-8h/H) as in ggml's alibi)
     use_alibi: bool = False
+    # Mamba selective SSM (llm_build_mamba, src/llama.cpp:899): recurrent
+    # state instead of a KV cache. ssm_d_inner > 0 marks a recurrent arch.
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
+    ssm_dt_b_c_rms: bool = False  # falcon-mamba RMS on dt/B/C
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.ssm_d_inner > 0
     # granite: residual_scale multiplies each block's output before the add
     resid_scale: float = 1.0
     # deepseek2 MLA (build_deepseek2, src/llama.cpp): low-rank kv compression.
@@ -114,7 +125,8 @@ class ModelConfig:
         n_embd = int(k(Keys.LLM.EMBEDDING_LENGTH))
         n_heads = int(k(Keys.Attention.HEAD_COUNT))
         n_kv_heads = int(k(Keys.Attention.HEAD_COUNT_KV, n_heads))
-        head_dim = int(k(Keys.Attention.KEY_LENGTH, n_embd // n_heads))
+        # recurrent archs (mamba) store head_count == 0 (MambaModel converter)
+        head_dim = int(k(Keys.Attention.KEY_LENGTH, n_embd // max(n_heads, 1)))
         vocab_size = md.get(Keys.LLM.VOCAB_SIZE.format(arch=arch))
         if vocab_size is None:
             vocab_size = len(md[Keys.Tokenizer.LIST])
@@ -171,6 +183,11 @@ class ModelConfig:
             logit_scale=float(md.get(f"{arch}.logit_scale", 1.0) or 1.0),
             has_pos_embd=(arch in POS_EMBD_ARCHS),
             use_alibi=(arch in ALIBI_ARCHS),
+            ssm_d_conv=int(md.get(Keys.SSM.CONV_KERNEL.format(arch=arch), 0) or 0),
+            ssm_d_inner=int(md.get(Keys.SSM.INNER_SIZE.format(arch=arch), 0) or 0),
+            ssm_d_state=int(md.get(Keys.SSM.STATE_SIZE.format(arch=arch), 0) or 0),
+            ssm_dt_rank=int(md.get(Keys.SSM.TIME_STEP_RANK.format(arch=arch), 0) or 0),
+            ssm_dt_b_c_rms=bool(md.get(Keys.SSM.DT_B_C_RMS.format(arch=arch), False)),
             resid_scale=float(md.get(f"{arch}.residual_scale", 1.0) or 1.0),
             kv_lora_rank=int(md.get(f"{arch}.attention.kv_lora_rank", 0) or 0),
             q_lora_rank=int(md.get(f"{arch}.attention.q_lora_rank", 0) or 0),

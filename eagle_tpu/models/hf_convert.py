@@ -714,6 +714,49 @@ def convert_hf_to_gguf(
 
     sd = {k: _to_np(v) for k, v in state_dict.items()}
 
+    if cfg.is_recurrent:  # mamba (reference MambaModel converter semantics)
+        w.add(Keys.SSM.CONV_KERNEL.format(arch=arch), cfg.ssm_d_conv)
+        w.add(Keys.SSM.INNER_SIZE.format(arch=arch), cfg.ssm_d_inner)
+        w.add(Keys.SSM.STATE_SIZE.format(arch=arch), cfg.ssm_d_state)
+        w.add(Keys.SSM.TIME_STEP_RANK.format(arch=arch), cfg.ssm_dt_rank)
+        if cfg.ssm_dt_b_c_rms:
+            w.add(Keys.SSM.DT_B_C_RMS.format(arch=arch), True)
+
+        def mput(gguf_name, hf_name, qt=True, transform=None):
+            if hf_name not in sd:
+                return
+            t = sd[hf_name]
+            if transform is not None:
+                t = transform(t)
+            if t.ndim == 2 and qt:
+                w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
+            else:
+                w.add_tensor(gguf_name, t.astype(np.float32))
+
+        mput("token_embd.weight", "backbone.embeddings.weight")
+        mput("output_norm.weight", "backbone.norm_f.weight", qt=False)
+        emb = sd.get("backbone.embeddings.weight")
+        lm = sd.get("lm_head.weight")
+        if lm is not None and (emb is None or not np.array_equal(lm, emb)):
+            mput("output.weight", "lm_head.weight")  # tied heads omitted
+        for i in range(cfg.n_layers):
+            pre = f"backbone.layers.{i}"
+            mput(f"blk.{i}.attn_norm.weight", f"{pre}.norm.weight", qt=False)
+            mput(f"blk.{i}.ssm_in.weight", f"{pre}.mixer.in_proj.weight")
+            mput(f"blk.{i}.ssm_conv1d.weight", f"{pre}.mixer.conv1d.weight",
+                 qt=False, transform=lambda t: t.reshape(t.shape[0], -1))
+            mput(f"blk.{i}.ssm_conv1d.bias", f"{pre}.mixer.conv1d.bias", qt=False)
+            mput(f"blk.{i}.ssm_x.weight", f"{pre}.mixer.x_proj.weight")
+            mput(f"blk.{i}.ssm_dt.weight", f"{pre}.mixer.dt_proj.weight")
+            mput(f"blk.{i}.ssm_dt.bias", f"{pre}.mixer.dt_proj.bias", qt=False)
+            # A_log -> A = -exp(A_log) (reference MambaModel.modify_tensors)
+            mput(f"blk.{i}.ssm_a", f"{pre}.mixer.A_log", qt=False,
+                 transform=lambda t: -np.exp(t))
+            mput(f"blk.{i}.ssm_d", f"{pre}.mixer.D", qt=False)
+            mput(f"blk.{i}.ssm_out.weight", f"{pre}.mixer.out_proj.weight")
+        w.write()
+        return
+
     gmap = GENERIC_HF_MAPS.get(arch)
     if gmap is not None:
         lp = gmap["prefix"]

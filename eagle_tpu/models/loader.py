@@ -197,6 +197,60 @@ def load_deepseek2_params(
     return _device_put_tree(params, put), cfg, reader.metadata
 
 
+def load_mamba_params(
+    reader: GGUFReader,
+    cfg: ModelConfig,
+    device_put: Callable | None = None,
+) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
+    """Mamba GGUF (LLM_ARCH_MAMBA tensor table, llama-arch.cpp): per-layer
+    attn_norm + ssm_{in,conv1d(+bias),x,dt(+bias),a,d,out}. Projection weights
+    load as QTensors (kn layout) when quantized; A/D/conv/norms are dense.
+    Layers stay as per-layer LISTS (the forward's layer loop is a static
+    python loop — no stacked scan, recurrent state dominates anyway)."""
+    names = {
+        "attn_norm": ("attn_norm.weight", False),
+        "ssm_in": ("ssm_in.weight", True),
+        "ssm_conv1d": ("ssm_conv1d.weight", False),
+        "ssm_conv1d_b": ("ssm_conv1d.bias", False),
+        "ssm_x": ("ssm_x.weight", True),
+        "ssm_dt": ("ssm_dt.weight", True),
+        "ssm_dt_b": ("ssm_dt.bias", False),
+        "ssm_a": ("ssm_a", False),
+        "ssm_d": ("ssm_d", False),
+        "ssm_out": ("ssm_out.weight", True),
+    }
+    layers: dict[str, list] = {k: [] for k in names}
+    for i in range(cfg.n_layers):
+        for ours, (suffix, mm) in names.items():
+            w = _load_tensor(reader, f"blk.{i}.{suffix}", layout="kn" if mm else "nk")
+            if ours == "ssm_conv1d" and not isinstance(w, np.ndarray):
+                w = reader.tensor_f32(f"blk.{i}.{suffix}")
+            layers[ours].append(w)
+    # conv weight may arrive [di, dc] (our converter squeezes) or [di, 1, dc]
+    # (HF Conv1d shape, written verbatim by the reference) — both collapse
+    # row-major to [di, dc]; ssm_a likewise normalizes to [di, ds]
+    layers["ssm_conv1d"] = [
+        np.asarray(w, np.float32).reshape(cfg.ssm_d_inner, cfg.ssm_d_conv)
+        for w in layers["ssm_conv1d"]
+    ]
+    layers["ssm_a"] = [
+        np.asarray(w, np.float32).reshape(cfg.ssm_d_inner, cfg.ssm_d_state)
+        for w in layers["ssm_a"]
+    ]
+    params: dict[str, Any] = {
+        "tok_embd": _load_tensor(reader, "token_embd.weight"),
+        "layers": layers,
+        "output_norm": _load_tensor(reader, "output_norm.weight"),
+    }
+    if "output.weight" in reader.tensors:
+        params["output"] = _load_tensor(reader, "output.weight", layout="kn")
+    else:
+        params["output"] = params["tok_embd"]
+    put = device_put if device_put is not None else jnp.asarray
+    params = _device_put_tree(params, put)
+    return params, cfg, reader.metadata
+
+
 def load_llama_params(
     path: str | Path,
     device_put: Callable | None = None,
@@ -207,6 +261,8 @@ def load_llama_params(
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
     if cfg.kv_lora_rank:
         return load_deepseek2_params(reader, cfg, device_put, fuse)
+    if cfg.is_recurrent:
+        return load_mamba_params(reader, cfg, device_put)
 
     from .config import PERMUTED_ROPE_ARCHS
 
