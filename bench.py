@@ -19,9 +19,22 @@ import time
 BASELINE_TOKS = 132.19  # 7B Q4_0 tg128, CUDA GPU (BASELINE.md)
 
 
+def _size_label(cfg) -> str:
+    if cfg.n_embd == 4096 and cfg.n_ff == 11008:
+        return "7B-shape"  # keep the driver's metric name stable
+    p = cfg.n_layers * (4 * cfg.n_embd * cfg.n_embd + 3 * cfg.n_embd * cfg.n_ff)
+    p += 2 * cfg.vocab_size * cfg.n_embd
+    return f"{p / 1e9:.1f}B-shape"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=32)
+    # model shape overrides (defaults = Vicuna-7B). 13B: --layers 40 --dim 5120
+    # --heads 40 --ff 13824 (vs BASELINE.md's 13B Q4_0 tg128 = 82.17 t/s CUDA)
+    ap.add_argument("--dim", type=int, default=None)
+    ap.add_argument("--heads", type=int, default=None)
+    ap.add_argument("--ff", type=int, default=None)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--backend", default="pallas")
@@ -54,6 +67,11 @@ def main():
     from eagle_tpu.runtime.generate import Generator
 
     cfg = dataclasses.replace(VICUNA_7B, n_layers=args.layers)
+    if args.dim:
+        cfg = dataclasses.replace(
+            cfg, n_embd=args.dim, n_heads=args.heads or args.dim // 128,
+            n_kv_heads=args.heads or args.dim // 128, n_ff=args.ff or 4 * args.dim,
+        )
     t0 = time.time()
     params = synth_llama_params(
         cfg, seed=0, on_device=True,
@@ -120,7 +138,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"decode tokens/s (7B-shape Q4_K, {args.layers}L, 1 chip, bs1, {args.backend})",
+                "metric": f"decode tokens/s ({_size_label(cfg)} Q4_K, {args.layers}L, 1 chip, bs1, {args.backend})",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(toks_per_s / BASELINE_TOKS, 3),

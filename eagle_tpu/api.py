@@ -316,6 +316,30 @@ class Engine:
         from .runtime.generate import pad_bucket
         from .runtime.kvcache import KVCache, causal_mask_from_tags
 
+        if self.model_cfg.arch in ("bert", "nomic-bert"):
+            # encoder embedding model: bidirectional attention + pooling
+            from .models.bert import bert_forward
+
+            pool = {1: "mean", 2: "cls"}.get(
+                self.metadata.get(f"{self.model_cfg.arch}.pooling_type"), pooling
+            )
+            out = []
+            for text in texts:
+                ids = np.asarray(self.tokenizer.encode(text), np.int32)
+                t = pad_bucket(len(ids))
+                padded = np.zeros((1, t), np.int32)
+                padded[0, : len(ids)] = ids
+                bo = bert_forward(
+                    self.params, self.model_cfg, jnp.asarray(padded),
+                    jnp.asarray([len(ids)], np.int32),
+                    backend=self.cfg.backend, pooling=pool,
+                )
+                v = np.asarray(bo.pooled)[0]
+                if normalize:
+                    v = v / (np.linalg.norm(v) + 1e-9)
+                out.append(v.astype(np.float32))
+            return out
+
         out = []
         for text in texts:
             ids = np.asarray(self.tokenizer.encode(text), np.int32)

@@ -211,7 +211,7 @@ PERMUTED_ROPE_ARCHS = frozenset(
 #: archs on the mean-subtracted LayerNorm path (LLM_NORM in llm_build_norm)
 LAYERNORM_ARCHS = frozenset(
     {"gpt2", "starcoder2", "command-r", "phi2", "falcon", "gptneox",
-     "stablelm", "starcoder", "bloom", "mpt", "gptj", "nemotron"}
+     "stablelm", "starcoder", "bloom", "mpt", "gptj", "nemotron", "bert"}
 )
 
 #: parallel-residual archs: one shared input norm feeds BOTH attention and the

@@ -248,6 +248,33 @@ GENERIC_HF_MAPS: dict[str, dict[str, Any]] = {
             ("ffn_down.bias", "mlp.dense_4h_to_h.bias"),
         ],
     },
+    "bert": {  # BertModel (encoder embeddings — build_bert)
+        "prefix": "encoder.layer",
+        "embed": "embeddings.word_embeddings.weight",
+        "token_types": "embeddings.token_type_embeddings.weight",
+        "pos_embd": "embeddings.position_embeddings.weight",
+        "embed_norm": "embeddings.LayerNorm.weight",
+        "embed_norm_b": "embeddings.LayerNorm.bias",
+        "final_norm": "\0absent",  # encoders have no final norm tensor
+        "layer": [
+            ("attn_q.weight", "attention.self.query.weight"),
+            ("attn_q.bias", "attention.self.query.bias"),
+            ("attn_k.weight", "attention.self.key.weight"),
+            ("attn_k.bias", "attention.self.key.bias"),
+            ("attn_v.weight", "attention.self.value.weight"),
+            ("attn_v.bias", "attention.self.value.bias"),
+            ("attn_output.weight", "attention.output.dense.weight"),
+            ("attn_output.bias", "attention.output.dense.bias"),
+            ("attn_output_norm.weight", "attention.output.LayerNorm.weight"),
+            ("attn_output_norm.bias", "attention.output.LayerNorm.bias"),
+            ("ffn_up.weight", "intermediate.dense.weight"),
+            ("ffn_up.bias", "intermediate.dense.bias"),
+            ("ffn_down.weight", "output.dense.weight"),
+            ("ffn_down.bias", "output.dense.bias"),
+            ("layer_output_norm.weight", "output.LayerNorm.weight"),
+            ("layer_output_norm.bias", "output.LayerNorm.bias"),
+        ],
+    },
     "mpt": {  # MptForCausalLM (ALiBi, fused q;k;v Wqkv, no biases)
         "prefix": "transformer.blocks",
         "embed": "transformer.wte.weight",
@@ -794,9 +821,11 @@ def convert_hf_to_gguf(
         gput("token_embd.weight", gmap["embed"])
         if "pos_embd" in gmap:
             gput("position_embd.weight", gmap["pos_embd"], qt=False)
-        if "embed_norm" in gmap:  # bloom word-embedding LayerNorm
+        if "embed_norm" in gmap:  # bloom/bert word-embedding LayerNorm
             gput("token_embd_norm.weight", gmap["embed_norm"], qt=False)
             gput("token_embd_norm.bias", gmap.get("embed_norm_b", "\0"), qt=False)
+        if "token_types" in gmap:  # bert token-type embedding table
+            gput("token_types.weight", gmap["token_types"], qt=False)
         gput("output_norm.weight", gmap["final_norm"], qt=False)
         if "final_norm_b" in gmap:
             gput("output_norm.bias", gmap["final_norm_b"], qt=False)

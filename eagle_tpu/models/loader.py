@@ -251,6 +251,44 @@ def load_mamba_params(
     return params, cfg, reader.metadata
 
 
+def load_bert_params(
+    reader: GGUFReader,
+    cfg: ModelConfig,
+    device_put: Callable | None = None,
+) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
+    """BERT encoder GGUF (LLM_ARCH_BERT table, llama-arch.cpp:397): token +
+    type + position embeddings with an embedding LayerNorm, post-norm blocks
+    (attn_output_norm / layer_output_norm), biases everywhere."""
+    names = {
+        "wq": ("attn_q.weight", "kn"), "bq": ("attn_q.bias", None),
+        "wk": ("attn_k.weight", "kn"), "bk": ("attn_k.bias", None),
+        "wv": ("attn_v.weight", "kn"), "bv": ("attn_v.bias", None),
+        "wo": ("attn_output.weight", "kn"), "bo": ("attn_output.bias", None),
+        "attn_out_norm": ("attn_output_norm.weight", None),
+        "attn_out_norm_b": ("attn_output_norm.bias", None),
+        "w_up": ("ffn_up.weight", "kn"), "b_up": ("ffn_up.bias", None),
+        "w_down": ("ffn_down.weight", "kn"), "b_down": ("ffn_down.bias", None),
+        "layer_out_norm": ("layer_output_norm.weight", None),
+        "layer_out_norm_b": ("layer_output_norm.bias", None),
+    }
+    layers: dict[str, list] = {k: [] for k in names}
+    for i in range(cfg.n_layers):
+        for ours, (suffix, layout) in names.items():
+            layers[ours].append(
+                _load_tensor(reader, f"blk.{i}.{suffix}", layout=layout or "nk")
+            )
+    params: dict[str, Any] = {
+        "tok_embd": _load_tensor(reader, "token_embd.weight"),
+        "token_types": reader.tensor_f32("token_types.weight").reshape(-1, cfg.n_embd),
+        "pos_embd": reader.tensor_f32("position_embd.weight").reshape(-1, cfg.n_embd),
+        "tok_embd_norm": reader.tensor_f32("token_embd_norm.weight"),
+        "tok_embd_norm_b": reader.tensor_f32("token_embd_norm.bias"),
+        "layers": layers,
+    }
+    put = device_put if device_put is not None else jnp.asarray
+    return _device_put_tree(params, put), cfg, reader.metadata
+
+
 def load_llama_params(
     path: str | Path,
     device_put: Callable | None = None,
@@ -263,6 +301,8 @@ def load_llama_params(
         return load_deepseek2_params(reader, cfg, device_put, fuse)
     if cfg.is_recurrent:
         return load_mamba_params(reader, cfg, device_put)
+    if cfg.arch in ("bert", "nomic-bert"):
+        return load_bert_params(reader, cfg, device_put)
 
     from .config import PERMUTED_ROPE_ARCHS
 
