@@ -150,10 +150,59 @@ def detect_template(jinja_src: str | None) -> str:
     return "chatml"
 
 
+def render_jinja(
+    jinja_src: str,
+    messages: list[Msg],
+    add_assistant: bool = True,
+    bos_token: str = "",
+    eos_token: str = "",
+    tools: list | None = None,
+) -> str:
+    """Execute the model's own chat template (the reference vendors minja, a
+    C++ jinja engine, for its --jinja mode — common/chat.cpp; in Python the
+    real jinja2 gives full fidelity). Sandboxed like transformers'
+    apply_chat_template, with the same extra globals templates expect
+    (raise_exception, strftime_now)."""
+    import json as _json
+    from datetime import datetime
+
+    from jinja2 import TemplateError
+    from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+    env = ImmutableSandboxedEnvironment(trim_blocks=True, lstrip_blocks=True)
+
+    def raise_exception(msg):
+        raise TemplateError(str(msg))
+
+    env.globals["raise_exception"] = raise_exception
+    env.globals["strftime_now"] = lambda fmt: datetime.now().strftime(fmt)
+    env.filters.setdefault("tojson", lambda v, **kw: _json.dumps(v, **kw))
+    tmpl = env.from_string(jinja_src)
+    return tmpl.render(
+        messages=messages,
+        add_generation_prompt=add_assistant,
+        bos_token=bos_token,
+        eos_token=eos_token,
+        tools=tools,
+    )
+
+
 def apply_template(
     messages: list[Msg], template: str | None = None, jinja_src: str | None = None,
-    add_assistant: bool = True,
+    add_assistant: bool = True, use_jinja: bool = False,
+    bos_token: str = "", eos_token: str = "", tools: list | None = None,
 ) -> str:
+    """use_jinja executes the GGUF's embedded template verbatim (the
+    reference's --jinja mode); otherwise the detected native family renders
+    (llm_chat_apply_template). Jinja failures fall back to the family."""
+    if use_jinja and jinja_src:
+        try:
+            return render_jinja(
+                jinja_src, messages, add_assistant,
+                bos_token=bos_token, eos_token=eos_token, tools=tools,
+            )
+        except Exception:
+            pass
     family = template or detect_template(jinja_src)
     fn = TEMPLATES.get(family, _chatml)
     return fn(messages, add_assistant)

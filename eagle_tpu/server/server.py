@@ -111,9 +111,11 @@ def apply_chat_template(messages: list[dict], template: str = "vicuna") -> str:
 
 
 class InferenceServer:
-    def __init__(self, engine, model_name: str = "eagle-tpu"):
+    def __init__(self, engine, model_name: str = "eagle-tpu", use_jinja: bool = False):
         self.engine = engine
         self.model_name = model_name
+        #: execute the GGUF's embedded chat template verbatim (--jinja)
+        self.use_jinja = use_jinja
         self.metrics = ServerMetrics()
         self.queue: asyncio.Queue = asyncio.Queue()
         self._worker_task = None
@@ -356,8 +358,13 @@ class InferenceServer:
                 # builds the same schema-derived GBNF, chat.cpp:1356-1378)
                 g, _ = build_tool_grammar(tools, fmt, required=True)
                 body = {**body, "grammar": g.gbnf_source}
+        tok = self.engine.tokenizer
         prompt = apply_template(
             messages, template=body.get("template"), jinja_src=jinja_src,
+            use_jinja=self.use_jinja,
+            bos_token=tok.decode([tok.bos_id]) if getattr(tok, "bos_id", -1) >= 0 else "",
+            eos_token=tok.decode([tok.eos_id]) if getattr(tok, "eos_id", -1) >= 0 else "",
+            tools=tools or None,
         )
         res = await self._complete(prompt, body)
         msg = parse_tool_output(res["text"].strip(), fmt if tools else "content_only")
@@ -542,6 +549,9 @@ def main(argv=None):
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--jinja", action="store_true",
+                    help="execute the model's embedded jinja chat template "
+                    "(the reference's --jinja / minja mode)")
     args = ap.parse_args(argv)
 
     cfg = EngineConfig(
@@ -551,7 +561,7 @@ def main(argv=None):
         tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
         max_seq=args.ctx,
     )
-    InferenceServer(Engine(cfg)).run(host=args.host, port=args.port)
+    InferenceServer(Engine(cfg), use_jinja=args.jinja).run(host=args.host, port=args.port)
 
 
 if __name__ == "__main__":
