@@ -64,10 +64,17 @@ def synth_qtensor(
     else:
         import jax
 
+        # when the caller wants nibble-packed codes, synthesize the PACKED
+        # bytes directly (random bytes == two random nibbles): materializing
+        # the unpacked int8 first costs K*N bytes of HBM — at 13B shapes that
+        # transient alone OOMs a 16GB chip
+        direct_pack = packed and layout == "kn" and hi <= 16 and lo >= 0
+        gshape = qshape if not direct_pack else qshape[:-2] + (qshape[-2] // 2, qshape[-1])
+        glo, ghi = (lo, hi) if not direct_pack else (-128, 128)
         k1, k2, k3 = jax.random.split(rng, 3)
         gen = jax.jit(
             lambda k1, k2, k3: (
-                jax.random.randint(k1, qshape, lo, hi, dtype=jnp.int8),
+                jax.random.randint(k1, gshape, glo, ghi, dtype=jnp.int8),
                 jax.random.uniform(k2, sshape, jnp.float32, 0.5, 1.5) * scale_mag,
                 jax.random.normal(k3, sshape, jnp.float32) * scale_mag if has_bias else None,
             )
@@ -111,17 +118,20 @@ def synth_qtensor(
     )
     if packed:
         assert layout == "kn" and hi <= 16 and lo >= 0
-        import jax
+        if qt.q.shape[-2] == k // 2:  # device path generated packed bytes
+            qt = dataclasses.replace(qt, packed=True)
+        else:
+            import jax
 
-        half = group // 2
+            half = group // 2
 
-        def pack(qa):
-            shp = qa.shape
-            qg = qa.astype(jnp.uint8).reshape(*shp[:-2], shp[-2] // group, group, shp[-1])
-            p = qg[..., :half, :] | (qg[..., half:, :] << 4)
-            return p.reshape(*shp[:-2], shp[-2] // 2, shp[-1]).astype(jnp.int8)
+            def pack(qa):
+                shp = qa.shape
+                qg = qa.astype(jnp.uint8).reshape(*shp[:-2], shp[-2] // group, group, shp[-1])
+                p = qg[..., :half, :] | (qg[..., half:, :] << 4)
+                return p.reshape(*shp[:-2], shp[-2] // 2, shp[-1]).astype(jnp.int8)
 
-        qt = dataclasses.replace(qt, q=jax.jit(pack)(qt.q), packed=True)
+            qt = dataclasses.replace(qt, q=jax.jit(pack)(qt.q), packed=True)
     return qt
 
 
