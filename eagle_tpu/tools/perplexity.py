@@ -109,3 +109,44 @@ def kl_divergence(
         "same_top_frac": same_top / count,
         "tokens": count,
     }
+
+
+def multiple_choice_score(
+    params: dict[str, Any],
+    cfg: ModelConfig,
+    tasks: list[dict],
+    compute_dtype=jnp.float32,
+    backend: str | None = None,
+) -> dict[str, float]:
+    """HellaSwag-style multiple choice accuracy (hellaswag_score /
+    multiple_choice_score, examples/perplexity/perplexity.cpp:742,1389).
+
+    tasks: [{"context": [token ids], "endings": [[ids], ...], "gold": int}].
+    Each ending is scored by its MEAN token log-prob given the context (the
+    reference divides the summed ending log-prob by the ending length,
+    perplexity.cpp:969) and the argmax is compared against gold."""
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def fwd(t):
+        return jax.jit(lambda p, tok: _chunk_logprobs(p, cfg, tok, compute_dtype, backend))
+
+    n_correct = 0
+    details = []
+    for task in tasks:
+        ctx = list(task["context"])
+        scores = []
+        for ending in task["endings"]:
+            seq = np.asarray(ctx + list(ending), np.int32)[None, :]
+            lp = np.asarray(fwd(seq.shape[1])(params, jnp.asarray(seq)))[0]
+            # ending token at position j is predicted by logits at j-1
+            pos = np.arange(len(ctx) - 1, len(seq[0]) - 1)
+            scores.append(float(lp[pos, seq[0, pos + 1]].mean()))
+        pick = int(np.argmax(scores))
+        n_correct += int(pick == int(task["gold"]))
+        details.append({"scores": scores, "pick": pick, "gold": int(task["gold"])})
+    return {
+        "accuracy": n_correct / max(1, len(tasks)),
+        "n_tasks": len(tasks),
+        "details": details,
+    }

@@ -159,3 +159,33 @@ def test_trace_forward_records(rng):
     assert len(seen) == len(recs)
     assert not any(r["has_nan"] for r in recs)
     assert recs[-1]["shape"] == (1, 6, 64)
+
+
+def test_multiple_choice_score_matches_torch(tiny, rng):
+    """HellaSwag-style scorer: choice by mean ending log-prob must agree with
+    the same math computed directly in torch (perplexity.cpp:964-979)."""
+    import torch as _torch
+
+    from eagle_tpu.models.hf_convert import params_from_hf_llama
+    from eagle_tpu.tools.perplexity import multiple_choice_score
+
+    params, cfg = params_from_hf_llama(tiny)
+    tasks = []
+    for i in range(4):
+        ctx = rng.integers(0, cfg.vocab_size, size=6).tolist()
+        endings = [rng.integers(0, cfg.vocab_size, size=rng.integers(2, 5)).tolist()
+                   for _ in range(4)]
+        tasks.append({"context": ctx, "endings": endings, "gold": i % 4})
+    res = multiple_choice_score(params, cfg, tasks)
+
+    # torch oracle
+    for task, det in zip(tasks, res["details"]):
+        want = []
+        for ending in task["endings"]:
+            seq = _torch.tensor([task["context"] + ending], dtype=_torch.long)
+            with _torch.no_grad():
+                lp = _torch.log_softmax(tiny(seq).logits, dim=-1)[0]
+            pos = list(range(len(task["context"]) - 1, seq.shape[1] - 1))
+            want.append(float(np.mean([lp[p, seq[0, p + 1]].item() for p in pos])))
+        assert int(np.argmax(want)) == det["pick"]
+        np.testing.assert_allclose(det["scores"], want, atol=2e-3, rtol=1e-2)
