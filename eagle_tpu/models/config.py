@@ -98,6 +98,20 @@ class ModelConfig:
     n_ff_exp: int = 0
     expert_weights_scale: float = 1.0
     expert_weights_norm: bool = False
+    # olmo: clamp q/k/v projections to ±clamp_kqv (build_olmo,
+    # hparams.f_clamp_kqv; 0 = disabled)
+    clamp_kqv: float = 0.0
+    # cohere2 sliding-window pattern: every n-th layer (il % n == n-1) is
+    # GLOBAL attention, the others sliding (build_cohere2's
+    # sliding_window_pattern = 4). Mutually exclusive with swa_every.
+    swa_full_every: int = 0
+    # cohere2: rope applies ONLY on sliding-window layers; global layers are
+    # NoPE (build_cohere2's is_sliding rope gate)
+    rope_swa_only: bool = False
+    # olmo: non-parametric LayerNorm — norm applies with no weight/bias even
+    # though no norm tensors exist (build_olmo passes NULL, NULL to
+    # llm_build_norm)
+    nonparam_norms: bool = False
 
     @property
     def v_dim(self) -> int:
@@ -158,12 +172,19 @@ class ModelConfig:
             attn_bias=(arch in ("qwen2", "qwen2moe", "starcoder2")),
             swa_window=int(md.get(f"{arch}.attention.sliding_window", 0) or 0),
             swa_every=2 if is_gemma2 else 0,
+            swa_full_every=4 if arch == "cohere2" else 0,
+            rope_swa_only=(arch == "cohere2"),
+            clamp_kqv=float(md.get(f"{arch}.attention.clamp_kqv", 0.0) or 0.0),
+            nonparam_norms=(arch in NONPARAM_NORM_ARCHS),
             n_expert=int(md.get(Keys.LLM.EXPERT_COUNT.format(arch=arch), 0) or 0),
             n_expert_used=int(md.get(Keys.LLM.EXPERT_USED_COUNT.format(arch=arch), 0) or 0),
             attn_softcap=float(md.get(f"{arch}.attn_logit_softcapping", 0.0) or 0.0),
             final_softcap=float(md.get(f"{arch}.final_logit_softcapping", 0.0) or 0.0),
             post_norms=is_gemma2,
-            embd_scale=float(n_embd) ** 0.5 if arch.startswith("gemma") else 1.0,
+            embd_scale=(
+                float(md.get(f"{arch}.embedding_scale", 0.0) or 0.0)  # minicpm/granite
+                or (float(n_embd) ** 0.5 if arch.startswith("gemma") else 1.0)
+            ),
             attn_scale=(
                 float(md[f"{arch}.attention.query_pre_attn_scalar"]) ** -0.5
                 if f"{arch}.attention.query_pre_attn_scalar" in md
@@ -205,13 +226,21 @@ class ModelConfig:
 #: src/llama-model.cpp). NEOX-rope archs (qwen*, gemma*, phi3, olmo2, ...)
 #: store rows in the HF half-split layout and must NOT be (un)permuted.
 PERMUTED_ROPE_ARCHS = frozenset(
-    {"llama", "mixtral", "eagle", "vicuna", "command-r", "granite"}
+    {"llama", "mixtral", "eagle", "vicuna", "command-r", "granite",
+     # rope type NORM table (src/llama-model.cpp:3963-3983). For archs whose
+     # reference converter does NOT permute (cohere2/orion/chatglm), GGUF rows
+     # are the HF interleaved-rotary layout, and the interleave->half map the
+     # loader applies equals the same inverse permutation. chatglm's partial
+     # rotary permutes only the first rope_dim dims per head (loader handles).
+     "olmo", "minicpm", "xverse", "baichuan", "orion", "internlm2", "plamo",
+     "cohere2", "chatglm", "arctic", "deepseek", "granitemoe", "chameleon"}
 )
 
 #: archs on the mean-subtracted LayerNorm path (LLM_NORM in llm_build_norm)
 LAYERNORM_ARCHS = frozenset(
     {"gpt2", "starcoder2", "command-r", "phi2", "falcon", "gptneox",
-     "stablelm", "starcoder", "bloom", "mpt", "gptj", "nemotron", "bert"}
+     "stablelm", "starcoder", "bloom", "mpt", "gptj", "nemotron", "bert",
+     "olmo", "orion", "cohere2", "jais", "dbrx"}
 )
 
 #: parallel-residual archs: one shared input norm feeds BOTH attention and the
@@ -234,5 +263,9 @@ ALIBI_ARCHS = frozenset({"bloom", "mpt", "refact"})
 #: no-gate gelu-family FFN / gelu act archs (beyond the gemma family)
 GELU_ARCHS = frozenset(
     {"gpt2", "starcoder2", "phi2", "falcon", "gptneox", "starcoder",
-     "bloom", "mpt", "gptj"}
+     "bloom", "mpt", "gptj", "jais"}
 )
+
+#: archs whose norms are NON-PARAMETRIC: the norm applies with NULL
+#: weight/bias and no norm tensors exist in the GGUF (build_olmo)
+NONPARAM_NORM_ARCHS = frozenset({"olmo"})

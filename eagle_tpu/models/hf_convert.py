@@ -68,6 +68,46 @@ GENERIC_HF_MAPS: dict[str, dict[str, Any]] = {
             ("ffn_down.weight", "mlp.down_proj.weight"),
         ],
     },
+    "cohere2": {  # Cohere2ForCausalLM (build_cohere2; LayerNorm, parallel
+        # blocks, 3-of-4 sliding-window layers, rope only when sliding).
+        # Rows stay in the HF interleaved-rotary layout (Cohere2Model has no
+        # permute); the loader's interleave->half map restores half-split.
+        "prefix": "model.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": "model.norm.weight",
+        "lm_head": "lm_head.weight",  # usually tied (absent)
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("ffn_gate.weight", "mlp.gate_proj.weight"),
+            ("ffn_up.weight", "mlp.up_proj.weight"),
+            ("ffn_down.weight", "mlp.down_proj.weight"),
+        ],
+    },
+    "chatglm": {  # GlmForCausalLM (glm-4 split-qkv form of build_chatglm:
+        # RMSNorm, q/k/v biases, partial interleaved rotary, fused-SWIGLU
+        # ffn_up; ChatGLMModel keeps HF layout — no permute at write)
+        "prefix": "model.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": "model.norm.weight",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_q.bias", "self_attn.q_proj.bias"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_k.bias", "self_attn.k_proj.bias"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_v.bias", "self_attn.v_proj.bias"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("ffn_norm.weight", "post_attention_layernorm.weight"),
+            ("ffn_up.weight", "mlp.gate_up_proj.weight"),
+            ("ffn_down.weight", "mlp.down_proj.weight"),
+        ],
+    },
     "starcoder2": {  # Starcoder2ForCausalLM (LayerNorm+biases, no-gate gelu)
         "prefix": "model.layers",
         "embed": "model.embed_tokens.weight",
@@ -734,6 +774,14 @@ def convert_hf_to_gguf(
         w.add(Keys.Attention.LAYERNORM_EPS.format(arch=arch), cfg.rms_eps)
     if cfg.logit_scale != 1.0:
         w.add(f"{arch}.logit_scale", cfg.logit_scale)
+    if cfg.clamp_kqv:  # olmo (OlmoModel.set_gguf_parameters add_clamp_kqv)
+        w.add(f"{arch}.attention.clamp_kqv", cfg.clamp_kqv)
+    if cfg.embd_scale != 1.0 and not arch.startswith("gemma"):
+        # minicpm scale_emb / granite embedding_scale (LLM_KV_EMBEDDING_SCALE);
+        # gemma's sqrt(d) scale is implied by the arch, never written
+        w.add(f"{arch}.embedding_scale", cfg.embd_scale)
+    if cfg.resid_scale != 1.0:  # minicpm scale_depth/sqrt(L), granite
+        w.add(f"{arch}.residual_scale", cfg.resid_scale)
     if metadata:
         for key, val in metadata.items():
             if key.startswith(("tokenizer.", "general.")) and key != "general.name":

@@ -201,11 +201,19 @@ def _layer_step(
     cli = li if cache_li is None else cache_li
 
     attn_in = (
-        _block_norm(cfg, layers, "attn_norm", x, li) if "attn_norm" in layers else x
+        _block_norm(cfg, layers, "attn_norm", x, li)
+        if ("attn_norm" in layers or cfg.nonparam_norms) else x
     )
+    use_swa = None
     if mask_swa is not None:
-        # gemma2 alternation: even layers use the sliding-window mask
-        use_swa = (cli % jnp.int32(max(cfg.swa_every, 1))) == 0
+        if cfg.swa_full_every > 0:
+            # cohere2 pattern: every n-th layer is global, the rest sliding
+            # (build_cohere2's `il % 4 < 3` sliding_window_pattern)
+            n = jnp.int32(cfg.swa_full_every)
+            use_swa = (cli % n) != (n - 1)
+        else:
+            # gemma2 alternation: even layers use the sliding-window mask
+            use_swa = (cli % jnp.int32(max(cfg.swa_every, 1))) == 0
         mask = jax.lax.select(
             jnp.broadcast_to(use_swa, mask.shape), mask_swa, mask
         )
@@ -252,6 +260,10 @@ def _layer_step(
             q = q + bq.astype(q.dtype)
             k = k + bk.astype(k.dtype)
             v = v + bv.astype(v.dtype)
+    if cfg.clamp_kqv > 0 and "wkv_a" not in layers:
+        # olmo: clamp the q/k/v projections (build_olmo, hparams.f_clamp_kqv)
+        c = jnp.asarray(cfg.clamp_kqv, q.dtype)
+        q, k, v = jnp.clip(q, -c, c), jnp.clip(k, -c, c), jnp.clip(v, -c, c)
     if "wkv_a" not in layers:  # MLA already produced roped [B,T,H,*] q/k/v
         if "attn_q_norm" in layers:
             # olmo2: ONE rms norm across the flat projection (weight [H*Dh])
@@ -270,15 +282,24 @@ def _layer_step(
                 k = rms_norm(k, kn, cfg.rms_eps)
 
         if cfg.rope_dim >= dh:
-            q = apply_rope(q, positions, inv_freq)
-            k = apply_rope(k, positions, inv_freq)
+            q_r = apply_rope(q, positions, inv_freq)
+            k_r = apply_rope(k, positions, inv_freq)
         elif cfg.rope_dim > 0:
             # partial rotary (phi2/stablelm/gpt-neox rot_pct): only the first
             # rope_dim features rotate (build_phi2, src/llama.cpp)
             rd = cfg.rope_dim
-            q = jnp.concatenate([apply_rope(q[..., :rd], positions, inv_freq), q[..., rd:]], axis=-1)
-            k = jnp.concatenate([apply_rope(k[..., :rd], positions, inv_freq), k[..., rd:]], axis=-1)
-        # rope_dim == 0: no rotary at all (gpt2 — learned absolute positions)
+            q_r = jnp.concatenate([apply_rope(q[..., :rd], positions, inv_freq), q[..., rd:]], axis=-1)
+            k_r = jnp.concatenate([apply_rope(k[..., :rd], positions, inv_freq), k[..., rd:]], axis=-1)
+        else:
+            # rope_dim == 0: no rotary at all (gpt2 — learned absolute pos)
+            q_r, k_r = q, k
+        if cfg.rope_swa_only and use_swa is not None:
+            # cohere2: global-attention layers are NoPE — rope only applies
+            # on sliding-window layers (build_cohere2's is_sliding gate)
+            q = jnp.where(use_swa, q_r, q)
+            k = jnp.where(use_swa, k_r, k)
+        else:
+            q, k = q_r, k_r
 
     b_idx = jnp.arange(b)[:, None, None]  # [B,1,1]
     h_idx = jnp.arange(h_kv)[None, :, None]  # [1,H,1]
@@ -405,9 +426,11 @@ def _layer_step(
             if cfg.resid_scale != 1.0:  # granite residual multiplier
                 attn_out = attn_out * cfg.resid_scale
             x = x + attn_out
-            # olmo2 has no pre-FFN norm (post-norm-only block)
+            # olmo2 has no pre-FFN norm (post-norm-only block); olmo's pre-FFN
+            # norm is non-parametric (no tensor, but the norm still applies)
             ffn_in = (
-                _block_norm(cfg, layers, "ffn_norm", x, li) if "ffn_norm" in layers else x
+                _block_norm(cfg, layers, "ffn_norm", x, li)
+                if ("ffn_norm" in layers or cfg.nonparam_norms) else x
             )
             ffn_out = _ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
             if "post_ffn_norm" in layers:
@@ -474,7 +497,7 @@ def llama_forward(
         kv_limit = min(kv_limit, mask.shape[-1])
         mask = mask[..., :kv_limit]
     mask_swa = None
-    if cfg.swa_window > 0 and cfg.swa_every > 0:
+    if cfg.swa_window > 0 and (cfg.swa_every > 0 or cfg.swa_full_every > 0):
         # gemma2: alternating global/sliding layers need both masks (the
         # per-layer select happens inside the scan). Slot index == position is
         # the engines' cache invariant, so the window test uses slot indices.

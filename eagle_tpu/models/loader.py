@@ -38,17 +38,25 @@ LayerKeyMap = {
 }
 
 
-def unpermute_rows(n_rows: int, n_heads: int) -> np.ndarray:
+def unpermute_rows(n_rows: int, n_heads: int, rope_dim: int | None = None) -> np.ndarray:
     """Row index map inverting convert_hf_to_gguf LlamaModel.permute
     (convert_hf_to_gguf.py:1596: reshape(h, 2, d/2).swapaxes(1,2), i.e. GGUF
     row 2j+m = HF row m*d/2 + j — pair-interleaved for ggml's NORM rope).
     The inverse gather is reshape(d/2, 2).T: HF row i = GGUF row inv[i].
 
+    This same gather converts pair-interleaved rotary rows (ggml NORM rope /
+    HF interleaved models like cohere/glm) to the runtime's half-split
+    layout. `rope_dim` < head_rows restricts the map to the first rope_dim
+    rows of each head — partial rotary stored interleaved (chatglm's
+    head_dim/2 rotary; build_chatglm ropes n_rot dims in NORM style).
+
     (The round-1 implementation built the FORWARD map here — an involution
     only at head_dim 4, so writer∘loader round-trips masked it; real
     reference-converted GGUFs would have loaded with scrambled rope pairs.)"""
     head_rows = n_rows // n_heads
-    within = np.arange(head_rows).reshape(head_rows // 2, 2).T.reshape(-1)
+    rd = head_rows if rope_dim is None or rope_dim <= 0 else min(rope_dim, head_rows)
+    within = np.arange(head_rows)
+    within[:rd] = np.arange(rd).reshape(rd // 2, 2).T.reshape(-1)
     return (np.arange(n_heads)[:, None] * head_rows + within[None, :]).reshape(-1)
 
 
@@ -309,8 +317,14 @@ def load_llama_params(
     # only adjacent-pair-rope archs carry LlamaModel.permute'd q/k rows in
     # GGUF; NEOX-rope archs are already in the runtime's half-split layout
     permuted = cfg.arch in PERMUTED_ROPE_ARCHS
-    q_perm = unpermute_rows(cfg.n_q_dim, cfg.n_heads) if permuted else None
-    k_perm = unpermute_rows(cfg.n_kv_dim, cfg.n_kv_heads) if permuted else None
+    q_perm = unpermute_rows(cfg.n_q_dim, cfg.n_heads, cfg.rope_dim) if permuted else None
+    k_perm = unpermute_rows(cfg.n_kv_dim, cfg.n_kv_heads, cfg.rope_dim) if permuted else None
+    # fused-qkv GGUFs of NORM-rope archs (chatglm): permute the q/k segments
+    # of the fused rows, keep v
+    qkv_perm = None
+    if permuted:
+        nq, nkv = cfg.n_q_dim, cfg.n_kv_dim
+        qkv_perm = np.concatenate([q_perm, nq + k_perm, nq + nkv + np.arange(nkv)])
 
     is_moe = "blk.0.ffn_gate_inp.weight" in reader.tensors
     # optional per-arch tensors (gemma2 sandwich norms; q/k norms; MoE router
@@ -353,12 +367,20 @@ def load_llama_params(
     for opt_key in ("attn_norm", "ffn_norm", "w_gate"):
         if opt_key in key_map and f"blk.0.{key_map[opt_key]}" not in reader.tensors:
             optional[opt_key] = key_map.pop(opt_key)
+    if cfg.arch == "chatglm" and "w_gate" not in key_map:
+        # chatglm stores [gate;up] fused in ffn_up (LLM_FFN_SWIGLU splits the
+        # projection in half — build_chatglm); load it straight into the
+        # runtime's fused w_gate_up slot
+        key_map["w_gate_up"] = key_map.pop("w_up")
 
     layers: dict[str, list] = {k: [] for k in key_map}
     for i in range(cfg.n_layers):
         for ours, suffix in key_map.items():
             name = f"blk.{i}.{suffix}"
-            perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
+            perm = (
+                q_perm if ours == "wq" else k_perm if ours == "wk"
+                else qkv_perm if ours == "wqkv" else None
+            )
             layers[ours].append(_load_tensor(reader, name, row_perm=perm, layout="kn"))
         for ours, suffix in optional.items():
             name = f"blk.{i}.{suffix}"
@@ -374,10 +396,13 @@ def load_llama_params(
                     w = w[k_perm]
                 layers.setdefault(ours, []).append(w)
 
-    # pre-fused qkv bias (gpt2/gpt-neox layout)
+    # pre-fused qkv bias (gpt2/gpt-neox/chatglm layout)
     if f"blk.0.attn_qkv.bias" in reader.tensors:
         layers["bqkv"] = [
-            reader.tensor_f32(f"blk.{i}.attn_qkv.bias") for i in range(cfg.n_layers)
+            reader.tensor_f32(f"blk.{i}.attn_qkv.bias")[
+                qkv_perm if qkv_perm is not None else slice(None)
+            ]
+            for i in range(cfg.n_layers)
         ]
     # optional attention biases (qwen2 family)
     if f"blk.0.attn_q.bias" in reader.tensors:
@@ -397,8 +422,10 @@ def load_llama_params(
     params: dict[str, Any] = {
         "tok_embd": _load_tensor(reader, "token_embd.weight"),
         "layers": stacked,
-        "output_norm": _load_tensor(reader, "output_norm.weight"),
     }
+    if "output_norm.weight" in reader.tensors:
+        params["output_norm"] = _load_tensor(reader, "output_norm.weight")
+    # else: non-parametric final norm (olmo) — llama_forward norms with None
     if "output_norm.bias" in reader.tensors:
         params["output_norm_b"] = reader.tensor_f32("output_norm.bias")
     if "token_embd_norm.weight" in reader.tensors:  # bloom embedding LayerNorm
