@@ -186,7 +186,11 @@ class ModelConfig:
                 or (float(n_embd) ** 0.5 if arch.startswith("gemma") else 1.0)
             ),
             attn_scale=(
-                float(md[f"{arch}.attention.query_pre_attn_scalar"]) ** -0.5
+                # granite/granitemoe store the multiplier directly
+                # (LLM_KV_ATTENTION_SCALE); gemma2 stores query_pre_attn_scalar
+                float(md[f"{arch}.attention.scale"])
+                if f"{arch}.attention.scale" in md
+                else float(md[f"{arch}.attention.query_pre_attn_scalar"]) ** -0.5
                 if f"{arch}.attention.query_pre_attn_scalar" in md
                 else None
             ),

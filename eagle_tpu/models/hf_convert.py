@@ -832,6 +832,40 @@ def convert_hf_to_gguf(
         w.write()
         return
 
+    if arch == "dbrx":
+        # DbrxForCausalLM (build_dbrx: LayerNorm, fused clamped qkv, NEOX
+        # rope, mixtral-gated MoE; reference DbrxModel.modify_tensors views
+        # the flat expert params as [E, ff, d] and transposes w2)
+        E, ff, d = cfg.n_expert, cfg.n_ff, cfg.n_embd
+
+        def bput(gguf_name, t, qt=True):
+            if t.ndim >= 2 and qt:
+                w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
+            else:
+                w.add_tensor(gguf_name, t.astype(np.float32))
+
+        bput("token_embd.weight", sd["transformer.wte.weight"])
+        bput("output_norm.weight", sd["transformer.norm_f.weight"], qt=False)
+        bput("output.weight", sd["lm_head.weight"])
+        for i in range(cfg.n_layers):
+            pre = f"transformer.blocks.{i}"
+            bput(f"blk.{i}.attn_norm.weight",
+                 sd[f"{pre}.norm_attn_norm.norm_1.weight"], qt=False)
+            bput(f"blk.{i}.attn_qkv.weight", sd[f"{pre}.norm_attn_norm.attn.Wqkv.weight"])
+            bput(f"blk.{i}.attn_output.weight",
+                 sd[f"{pre}.norm_attn_norm.attn.out_proj.weight"])
+            bput(f"blk.{i}.attn_output_norm.weight",
+                 sd[f"{pre}.norm_attn_norm.norm_2.weight"], qt=False)
+            bput(f"blk.{i}.ffn_gate_inp.weight", sd[f"{pre}.ffn.router.layer.weight"])
+            w1 = sd[f"{pre}.ffn.experts.mlp.w1"].reshape(E, ff, d)
+            v1 = sd[f"{pre}.ffn.experts.mlp.v1"].reshape(E, ff, d)
+            w2 = sd[f"{pre}.ffn.experts.mlp.w2"].reshape(E, ff, d).transpose(0, 2, 1)
+            w.add_tensor(f"blk.{i}.ffn_gate_exps.weight", np.ascontiguousarray(w1))
+            w.add_tensor(f"blk.{i}.ffn_up_exps.weight", np.ascontiguousarray(v1))
+            w.add_tensor(f"blk.{i}.ffn_down_exps.weight", np.ascontiguousarray(w2))
+        w.write()
+        return
+
     gmap = GENERIC_HF_MAPS.get(arch)
     if gmap is not None:
         lp = gmap["prefix"]
@@ -1032,6 +1066,20 @@ def convert_hf_to_gguf(
             put_norm(f"blk.{i}.attn_norm.weight", f"{lp}.{i}.input_layernorm.weight")
             put_norm(f"blk.{i}.ffn_norm.weight",
                      f"{lp}.{i}.post_attention_layernorm.weight")
+        if f"{lp}.{i}.block_sparse_moe.input_linear.weight" in sd:
+            # granitemoe: JetMoe-style parallel experts — input_linear fuses
+            # [gate; up] along dim -2; pulled apart for mixtral-layout GGUF
+            # (reference GraniteMoeModel.modify_tensors)
+            w.add_tensor(f"blk.{i}.ffn_gate_inp.weight",
+                         sd[f"{lp}.{i}.block_sparse_moe.router.layer.weight"])
+            il_w = sd[f"{lp}.{i}.block_sparse_moe.input_linear.weight"]  # [E,2ff,d]
+            ffd = il_w.shape[1] // 2
+            w.add_tensor(f"blk.{i}.ffn_gate_exps.weight",
+                         np.ascontiguousarray(il_w[:, :ffd, :]))
+            w.add_tensor(f"blk.{i}.ffn_up_exps.weight",
+                         np.ascontiguousarray(il_w[:, ffd:, :]))
+            w.add_tensor(f"blk.{i}.ffn_down_exps.weight",
+                         sd[f"{lp}.{i}.block_sparse_moe.output_linear.weight"])
         if f"{lp}.{i}.block_sparse_moe.gate.weight" in sd:  # mixtral MoE
             w.add_tensor(f"blk.{i}.ffn_gate_inp.weight",
                          sd[f"{lp}.{i}.block_sparse_moe.gate.weight"])

@@ -367,6 +367,11 @@ def load_llama_params(
     for opt_key in ("attn_norm", "ffn_norm", "w_gate"):
         if opt_key in key_map and f"blk.0.{key_map[opt_key]}" not in reader.tensors:
             optional[opt_key] = key_map.pop(opt_key)
+    if cfg.arch == "dbrx":
+        # dbrx's pre-FFN norm is named attn_output_norm (norm_2 of the
+        # fused norm_attn_norm block — build_dbrx uses it as the MoE input
+        # norm); route it into the runtime's ffn_norm slot
+        optional["ffn_norm"] = "attn_output_norm.weight"
     if cfg.arch == "chatglm" and "w_gate" not in key_map:
         # chatglm stores [gate;up] fused in ffn_up (LLM_FFN_SWIGLU splits the
         # projection in half — build_chatglm); load it straight into the
