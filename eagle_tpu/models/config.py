@@ -163,6 +163,9 @@ class ModelConfig:
             rope_base=float(md.get(Keys.Rope.FREQ_BASE.format(arch=arch), 10000.0)),
             rope_dim=(
                 0 if arch in NO_ROPE_ARCHS
+                # baichuan-13B is the ALiBi variant (llm_load_hparams keys the
+                # 7B/13B split on n_layer; build_baichuan cases MODEL_13B)
+                or (arch == "baichuan" and n_layers == 40)
                 else int(md.get(Keys.Rope.DIMENSION_COUNT.format(arch=arch), head_dim))
             ),
             n_ctx_train=int(k(Keys.LLM.CONTEXT_LENGTH, 2048)),
@@ -207,7 +210,9 @@ class ModelConfig:
             ),
             logit_scale=float(md.get(f"{arch}.logit_scale", 1.0) or 1.0),
             has_pos_embd=(arch in POS_EMBD_ARCHS),
-            use_alibi=(arch in ALIBI_ARCHS),
+            use_alibi=(
+                arch in ALIBI_ARCHS or (arch == "baichuan" and n_layers == 40)
+            ),
             ssm_d_conv=int(md.get(Keys.SSM.CONV_KERNEL.format(arch=arch), 0) or 0),
             ssm_d_inner=int(md.get(Keys.SSM.INNER_SIZE.format(arch=arch), 0) or 0),
             ssm_d_state=int(md.get(Keys.SSM.STATE_SIZE.format(arch=arch), 0) or 0),
@@ -244,7 +249,7 @@ PERMUTED_ROPE_ARCHS = frozenset(
 LAYERNORM_ARCHS = frozenset(
     {"gpt2", "starcoder2", "command-r", "phi2", "falcon", "gptneox",
      "stablelm", "starcoder", "bloom", "mpt", "gptj", "nemotron", "bert",
-     "olmo", "orion", "cohere2", "jais", "dbrx"}
+     "olmo", "orion", "cohere2", "jais", "dbrx", "codeshell"}
 )
 
 #: parallel-residual archs: one shared input norm feeds BOTH attention and the
@@ -252,22 +257,24 @@ LAYERNORM_ARCHS = frozenset(
 #: build_gptj). gptneox/stablelm opt in per-checkpoint via the
 #: `{arch}.use_parallel_residual` metadata key (llama-arch.cpp); when their
 #: FFN norm tensor exists the FFN branch norms with it instead of sharing.
-PARALLEL_BLOCK_ARCHS = frozenset({"command-r", "phi2", "falcon", "gptj"})
+PARALLEL_BLOCK_ARCHS = frozenset({"command-r", "phi2", "falcon", "gptj",
+                                  "cohere2", "plamo"})
 
 #: archs with no rotary embedding at all (learned/ALiBi positions instead)
-NO_ROPE_ARCHS = frozenset({"gpt2", "starcoder", "bloom", "mpt"})
+NO_ROPE_ARCHS = frozenset({"gpt2", "starcoder", "bloom", "mpt", "refact",
+                           "jais"})
 
 #: learned absolute position embeddings added to the token embedding
 POS_EMBD_ARCHS = frozenset({"gpt2", "starcoder"})
 
 #: ALiBi attention bias instead of rotary (build_bloom/build_mpt; slope
 #: formula ggml_rope's alibi path / hparams.f_max_alibi_bias)
-ALIBI_ARCHS = frozenset({"bloom", "mpt", "refact"})
+ALIBI_ARCHS = frozenset({"bloom", "mpt", "refact", "jais"})
 
 #: no-gate gelu-family FFN / gelu act archs (beyond the gemma family)
 GELU_ARCHS = frozenset(
     {"gpt2", "starcoder2", "phi2", "falcon", "gptneox", "starcoder",
-     "bloom", "mpt", "gptj", "jais"}
+     "bloom", "mpt", "gptj", "codeshell"}
 )
 
 #: archs whose norms are NON-PARAMETRIC: the norm applies with NULL

@@ -108,6 +108,120 @@ GENERIC_HF_MAPS: dict[str, dict[str, Any]] = {
             ("ffn_down.weight", "mlp.down_proj.weight"),
         ],
     },
+    "qwen": {  # QWenLMHeadModel (qwen v1: RMS, fused c_attn+bias MHA, NEOX
+        # rope, silu; w2=gate / w1=up per the reference tensor map)
+        "prefix": "transformer.h",
+        "embed": "transformer.wte.weight",
+        "final_norm": "transformer.ln_f.weight",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "ln_1.weight"),
+            ("attn_qkv.weight", "attn.c_attn.weight"),
+            ("attn_qkv.bias", "attn.c_attn.bias"),
+            ("attn_output.weight", "attn.c_proj.weight"),
+            ("ffn_norm.weight", "ln_2.weight"),
+            ("ffn_gate.weight", "mlp.w2.weight"),
+            ("ffn_up.weight", "mlp.w1.weight"),
+            ("ffn_down.weight", "mlp.c_proj.weight"),
+        ],
+    },
+    "exaone": {  # ExaoneForCausalLM (build_exaone: llama graph, NEOX rope,
+        # transformer.h naming with attn.attention + c_fc_0/c_fc_1 FFN)
+        "prefix": "transformer.h",
+        "embed": "transformer.wte.weight",
+        "final_norm": "transformer.ln_f.weight",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "ln_1.weight"),
+            ("attn_q.weight", "attn.attention.q_proj.weight"),
+            ("attn_k.weight", "attn.attention.k_proj.weight"),
+            ("attn_v.weight", "attn.attention.v_proj.weight"),
+            ("attn_output.weight", "attn.attention.out_proj.weight"),
+            ("ffn_norm.weight", "ln_2.weight"),
+            ("ffn_gate.weight", "mlp.c_fc_0.weight"),
+            ("ffn_up.weight", "mlp.c_fc_1.weight"),
+            ("ffn_down.weight", "mlp.c_proj.weight"),
+        ],
+    },
+    "codeshell": {  # CodeShellForCausalLM (build_codeshell: gpt2-style LN +
+        # biases + fused qkv MQA, but rotary instead of learned positions)
+        "prefix": "transformer.h",
+        "embed": "transformer.wte.weight",
+        "final_norm": "transformer.ln_f.weight",
+        "final_norm_b": "transformer.ln_f.bias",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "ln_1.weight"),
+            ("attn_norm.bias", "ln_1.bias"),
+            ("attn_qkv.weight", "attn.c_attn.weight"),
+            ("attn_qkv.bias", "attn.c_attn.bias"),
+            ("attn_output.weight", "attn.c_proj.weight"),
+            ("attn_output.bias", "attn.c_proj.bias"),
+            ("ffn_norm.weight", "ln_2.weight"),
+            ("ffn_norm.bias", "ln_2.bias"),
+            ("ffn_up.weight", "mlp.c_fc.weight"),
+            ("ffn_up.bias", "mlp.c_fc.bias"),
+            ("ffn_down.weight", "mlp.c_proj.weight"),
+            ("ffn_down.bias", "mlp.c_proj.bias"),
+        ],
+    },
+    "refact": {  # GPTRefactForCausalLM (build_refact: RMS norms, separate
+        # q/k/v MQA, ALiBi instead of rope, silu-gated linear_1/linear_3 FFN)
+        "prefix": "transformer.h",
+        "embed": "transformer.wte.weight",
+        "final_norm": "transformer.ln_f.weight",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "ln_1.weight"),
+            ("attn_q.weight", "attn.q.weight"),
+            ("attn_k.weight", "attn.k.weight"),
+            ("attn_v.weight", "attn.v.weight"),
+            ("attn_output.weight", "attn.c_proj.weight"),
+            ("ffn_norm.weight", "ln_2.weight"),
+            ("ffn_gate.weight", "mlp.linear_1.weight"),
+            ("ffn_up.weight", "mlp.linear_3.weight"),
+            ("ffn_down.weight", "mlp.c_proj.weight"),
+        ],
+    },
+    "plamo": {  # PlamoForCausalLM (build_plamo: ONE shared RMS norm feeds
+        # attention AND FFN, x + attn + ffn parallel residual; the doubly
+        # nested model.layers.layers prefix is plamo's own naming)
+        "prefix": "model.layers.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": "model.norm.weight",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "norm.weight"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("ffn_gate.weight", "mlp.gate_proj.weight"),
+            ("ffn_up.weight", "mlp.up_proj.weight"),
+            ("ffn_down.weight", "mlp.down_proj.weight"),
+        ],
+    },
+    "orion": {  # OrionForCausalLM (build_orion: LayerNorm with biases,
+        # llama-shaped attention/FFN; converter keeps HF row layout)
+        "prefix": "model.layers",
+        "embed": "model.embed_tokens.weight",
+        "final_norm": "model.norm.weight",
+        "final_norm_b": "model.norm.bias",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("attn_norm.bias", "input_layernorm.bias"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("ffn_norm.weight", "post_attention_layernorm.weight"),
+            ("ffn_norm.bias", "post_attention_layernorm.bias"),
+            ("ffn_gate.weight", "mlp.gate_proj.weight"),
+            ("ffn_up.weight", "mlp.up_proj.weight"),
+            ("ffn_down.weight", "mlp.down_proj.weight"),
+        ],
+    },
     "starcoder2": {  # Starcoder2ForCausalLM (LayerNorm+biases, no-gate gelu)
         "prefix": "model.layers",
         "embed": "model.embed_tokens.weight",
@@ -972,6 +1086,53 @@ def convert_hf_to_gguf(
                 dput(f"blk.{i}.ffn_down.weight", f"{pre}.mlp.down_proj.weight")
         w.write()
         return
+    if arch == "baichuan":
+        # split the fused W_pack into q/k/v thirds; the default llama path
+        # below then permutes q/k (reference BaichuanModel.modify_tensors)
+        sd = dict(sd)
+        for i in range(cfg.n_layers):
+            key = f"model.layers.{i}.self_attn.W_pack.weight"
+            if key in sd:
+                wp = sd.pop(key)
+                d = cfg.n_embd
+                sd[f"model.layers.{i}.self_attn.q_proj.weight"] = wp[:d]
+                sd[f"model.layers.{i}.self_attn.k_proj.weight"] = wp[d:2 * d]
+                sd[f"model.layers.{i}.self_attn.v_proj.weight"] = wp[2 * d:]
+    if arch == "internlm2":
+        # internlm2 stores qkv GROUPED by kv head: [G, q_per_kv+2, Dh, D]
+        # (reference InternLM2Model.modify_tensors) — split and rename to the
+        # llama layout; the default path permutes q/k
+        renames = {
+            "model.tok_embeddings.weight": "model.embed_tokens.weight",
+            "model.norm.weight": "model.norm.weight",
+            "output.weight": "lm_head.weight",
+        }
+        out_sd = {}
+        h, h_kv, dh, d = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_embd
+        qpk = h // h_kv
+        for name, t in sd.items():
+            if name in renames:
+                out_sd[renames[name]] = t
+                continue
+            if ".attention.wqkv.weight" in name:
+                i = name.split(".")[2]
+                qkv = t.reshape(h_kv, qpk + 2, dh, d)
+                pre = f"model.layers.{i}.self_attn"
+                out_sd[f"{pre}.q_proj.weight"] = qkv[:, :qpk].reshape(-1, d)
+                out_sd[f"{pre}.k_proj.weight"] = qkv[:, -2].reshape(-1, d)
+                out_sd[f"{pre}.v_proj.weight"] = qkv[:, -1].reshape(-1, d)
+                continue
+            name = (
+                name.replace(".attention_norm.", ".input_layernorm.")
+                .replace(".attention.wo.", ".self_attn.o_proj.")
+                .replace(".ffn_norm.", ".post_attention_layernorm.")
+                .replace(".feed_forward.w1.", ".mlp.gate_proj.")
+                .replace(".feed_forward.w3.", ".mlp.up_proj.")
+                .replace(".feed_forward.w2.", ".mlp.down_proj.")
+            )
+            out_sd[name] = t
+        sd = out_sd
+
     # only adjacent-pair-rope archs get LlamaModel.permute'd q/k rows in GGUF
     # (reference convert_hf_to_gguf.py:1596); NEOX-rope archs (qwen*, gemma*,
     # phi3, olmo2) keep the HF half-split layout
