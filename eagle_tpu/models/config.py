@@ -202,7 +202,9 @@ class ModelConfig:
                 else "gelu" if arch.startswith("gemma") or arch in GELU_ARCHS
                 else "silu"
             ),
-            moe_softmax_all=(arch in ("qwen2moe", "qwen3moe", "deepseek2", "olmoe")),
+            moe_softmax_all=(
+                arch in ("qwen2moe", "qwen3moe", "deepseek", "deepseek2", "olmoe")
+            ),
             norm_type="layer" if ln_arch else "rms",
             parallel_blocks=(
                 arch in PARALLEL_BLOCK_ARCHS

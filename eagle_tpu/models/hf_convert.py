@@ -864,10 +864,12 @@ def convert_hf_to_gguf(
     if cfg.n_expert:
         w.add(Keys.LLM.EXPERT_COUNT.format(arch=arch), cfg.n_expert)
         w.add(Keys.LLM.EXPERT_USED_COUNT.format(arch=arch), cfg.n_expert_used)
-    if cfg.kv_lora_rank:  # deepseek2 MLA + MoE hparams (llama-arch.cpp keys)
+    if cfg.kv_lora_rank:  # deepseek2 MLA hparams (llama-arch.cpp keys)
         w.add(f"{arch}.attention.kv_lora_rank", cfg.kv_lora_rank)
         if cfg.q_lora_rank:
             w.add(f"{arch}.attention.q_lora_rank", cfg.q_lora_rank)
+    if cfg.kv_lora_rank or cfg.n_dense_layers or cfg.n_shared_experts:
+        # deepseek v1/v2 MoE structure keys (build_deepseek/_deepseek2)
         w.add(f"{arch}.leading_dense_block_count", cfg.n_dense_layers)
         w.add(f"{arch}.expert_shared_count", cfg.n_shared_experts)
         w.add(f"{arch}.expert_feed_forward_length", cfg.n_ff_exp)
@@ -1086,6 +1088,74 @@ def convert_hf_to_gguf(
                 dput(f"blk.{i}.ffn_down.weight", f"{pre}.mlp.down_proj.weight")
         w.write()
         return
+    if arch == "deepseek":
+        # deepseek v1 (build_deepseek): llama attention (permuted q/k) +
+        # leading dense layers, then MoE with shared experts. HF naming is
+        # deepseek2's minus the MLA tensors.
+        q_perm1 = permute_rows(cfg.n_q_dim, cfg.n_heads)
+        k_perm1 = permute_rows(cfg.n_kv_dim, cfg.n_kv_heads)
+
+        def dsput(gguf_name, hf_name, perm=None, qt=True):
+            if hf_name not in sd:
+                return
+            t = sd[hf_name]
+            if perm is not None:
+                t = t[perm]
+            if t.ndim == 2 and qt:
+                w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
+            else:
+                w.add_tensor(gguf_name, t.astype(np.float32))
+
+        dsput("token_embd.weight", "model.embed_tokens.weight")
+        dsput("output_norm.weight", "model.norm.weight", qt=False)
+        dsput("output.weight", "lm_head.weight")
+        for i in range(cfg.n_layers):
+            pre = f"model.layers.{i}"
+            dsput(f"blk.{i}.attn_norm.weight", f"{pre}.input_layernorm.weight", qt=False)
+            dsput(f"blk.{i}.ffn_norm.weight",
+                  f"{pre}.post_attention_layernorm.weight", qt=False)
+            dsput(f"blk.{i}.attn_q.weight", f"{pre}.self_attn.q_proj.weight", q_perm1)
+            dsput(f"blk.{i}.attn_k.weight", f"{pre}.self_attn.k_proj.weight", k_perm1)
+            dsput(f"blk.{i}.attn_v.weight", f"{pre}.self_attn.v_proj.weight")
+            dsput(f"blk.{i}.attn_output.weight", f"{pre}.self_attn.o_proj.weight")
+            if f"{pre}.mlp.gate.weight" in sd:  # MoE layer
+                w.add_tensor(f"blk.{i}.ffn_gate_inp.weight", sd[f"{pre}.mlp.gate.weight"])
+                for gguf_name, hf_w in (("ffn_gate_exps", "gate_proj"),
+                                        ("ffn_down_exps", "down_proj"),
+                                        ("ffn_up_exps", "up_proj")):
+                    stacked = np.stack([
+                        sd[f"{pre}.mlp.experts.{e}.{hf_w}.weight"]
+                        for e in range(cfg.n_expert)
+                    ])
+                    w.add_tensor(f"blk.{i}.{gguf_name}.weight", stacked)
+                for gguf_name, hf_name in (("ffn_gate_shexp", "gate_proj"),
+                                           ("ffn_up_shexp", "up_proj"),
+                                           ("ffn_down_shexp", "down_proj")):
+                    dsput(f"blk.{i}.{gguf_name}.weight",
+                          f"{pre}.mlp.shared_experts.{hf_name}.weight")
+            else:  # leading dense layer
+                dsput(f"blk.{i}.ffn_gate.weight", f"{pre}.mlp.gate_proj.weight")
+                dsput(f"blk.{i}.ffn_up.weight", f"{pre}.mlp.up_proj.weight")
+                dsput(f"blk.{i}.ffn_down.weight", f"{pre}.mlp.down_proj.weight")
+        w.write()
+        return
+
+    if arch == "arctic":
+        # arctic: the DENSE FFN comes from residual_mlp (+ its own
+        # residual_layernorm); post_attention_layernorm is the MoE branch's
+        # norm (ffn_norm_exps) — reference arch_block_mappings_cfg
+        sd = dict(sd)
+        for i in range(cfg.n_layers):
+            p = f"model.layers.{i}"
+            for old, new in (
+                (f"{p}.post_attention_layernorm.weight", f"{p}.__norm_exps.weight"),
+                (f"{p}.residual_layernorm.weight", f"{p}.post_attention_layernorm.weight"),
+                (f"{p}.residual_mlp.w1.weight", f"{p}.mlp.gate_proj.weight"),
+                (f"{p}.residual_mlp.w3.weight", f"{p}.mlp.up_proj.weight"),
+                (f"{p}.residual_mlp.w2.weight", f"{p}.mlp.down_proj.weight"),
+            ):
+                if old in sd:
+                    sd[new] = sd.pop(old)
     if arch == "baichuan":
         # split the fused W_pack into q/k/v thirds; the default llama path
         # below then permutes q/k (reference BaichuanModel.modify_tensors)
@@ -1193,6 +1263,7 @@ def convert_hf_to_gguf(
         # so never permuted
         put(f"blk.{i}.attn_q_norm.weight", f"{lp}.{i}.self_attn.q_norm.weight")
         put(f"blk.{i}.attn_k_norm.weight", f"{lp}.{i}.self_attn.k_norm.weight")
+        put(f"blk.{i}.ffn_norm_exps.weight", f"{lp}.{i}.__norm_exps.weight")  # arctic
         if is_olmo2:
             put(f"blk.{i}.attn_post_norm.weight",
                 f"{lp}.{i}.post_attention_layernorm.weight")

@@ -145,7 +145,9 @@ def _block_norm(cfg: ModelConfig, layers, key: str, x: jax.Array, li) -> jax.Arr
 def _ffn(cfg: ModelConfig, layers, li, ffn_in, act, backend, compute_dtype):
     """FFN variants: MoE router, fused/split gated (silu/gelu), or the no-gate
     MLP with biases (gpt2/phi2/starcoder2 c_fc/c_proj — build_gpt2)."""
-    if "ffn_gate_inp" in layers:
+    if "ffn_gate_inp" in layers and "ffn_norm_exps" not in layers:
+        # arctic carries BOTH a dense FFN and a residual MoE; its MoE is
+        # dispatched explicitly in _layer_step, so the dense path runs here
         return _moe_ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
     if "w_gate_up" in layers:
         gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
@@ -199,6 +201,7 @@ def _layer_step(
     b, t, _ = x.shape
     h, h_kv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     cli = li if cache_li is None else cache_li
+    x_in = x  # layer input (arctic's residual-MoE branch reads it)
 
     attn_in = (
         _block_norm(cfg, layers, "attn_norm", x, li)
@@ -438,6 +441,12 @@ def _layer_step(
             if cfg.resid_scale != 1.0:
                 ffn_out = ffn_out * cfg.resid_scale
             x = x + ffn_out
+            if "ffn_norm_exps" in layers:
+                # arctic (build_arctic): a residual MoE branch in PARALLEL
+                # with the dense FFN — its input is the LAYER INPUT normed
+                # with ffn_norm_exps, added after the dense residual
+                moe_in = rms_norm(x_in, layers["ffn_norm_exps"][li], cfg.rms_eps)
+                x = x + _moe_ffn(cfg, layers, li, moe_in, act, backend, compute_dtype)
     if "cvec" in layers:  # control vector (llama_adapter_cvec.apply_to, src/llama-adapter.cpp)
         x = x + layers["cvec"][li].astype(x.dtype)
     return x, k_cache, v_cache, k_scale, v_scale

@@ -205,6 +205,67 @@ def load_deepseek2_params(
     return _device_put_tree(params, put), cfg, reader.metadata
 
 
+def load_deepseek1_params(
+    reader: GGUFReader,
+    cfg: ModelConfig,
+    device_put: Callable | None = None,
+    fuse: bool = True,
+) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
+    """deepseek v1 (build_deepseek): llama attention (permuted NORM-rope
+    rows) + leading dense layers, then MoE layers with shared experts.
+    Mirrors load_deepseek2_params' structural-group split."""
+    q_perm = unpermute_rows(cfg.n_q_dim, cfg.n_heads, cfg.rope_dim)
+    k_perm = unpermute_rows(cfg.n_kv_dim, cfg.n_kv_heads, cfg.rope_dim)
+
+    attn_map = {
+        "attn_norm": "attn_norm.weight",
+        "wq": "attn_q.weight",
+        "wk": "attn_k.weight",
+        "wv": "attn_v.weight",
+        "wo": "attn_output.weight",
+        "ffn_norm": "ffn_norm.weight",
+    }
+    dense_map = {**attn_map, "w_gate": "ffn_gate.weight",
+                 "w_up": "ffn_up.weight", "w_down": "ffn_down.weight"}
+
+    def load_group(idx: list[int], key_map) -> dict[str, Any]:
+        group: dict[str, list] = {k: [] for k in key_map}
+        for i in idx:
+            for ours, suffix in key_map.items():
+                perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
+                group[ours].append(
+                    _load_tensor(reader, f"blk.{i}.{suffix}", row_perm=perm, layout="kn")
+                )
+            for ours, name in (
+                ("ffn_gate_inp", f"blk.{i}.ffn_gate_inp.weight"),
+                ("w_gate_exps", f"blk.{i}.ffn_gate_exps.weight"),
+                ("w_up_exps", f"blk.{i}.ffn_up_exps.weight"),
+                ("w_down_exps", f"blk.{i}.ffn_down_exps.weight"),
+                ("w_gate_shexp", f"blk.{i}.ffn_gate_shexp.weight"),
+                ("w_up_shexp", f"blk.{i}.ffn_up_shexp.weight"),
+                ("w_down_shexp", f"blk.{i}.ffn_down_shexp.weight"),
+            ):
+                if name in reader.tensors:
+                    group.setdefault(ours, []).append(reader.tensor_f32(name))
+        stacked = {k: _stack(v) for k, v in group.items()}
+        return fuse_layer_weights(stacked) if fuse else stacked
+
+    nd = cfg.n_dense_layers
+    params: dict[str, Any] = {
+        "tok_embd": _load_tensor(reader, "token_embd.weight"),
+        "layers": load_group(list(range(nd, cfg.n_layers)), dict(attn_map)),
+        "output_norm": _load_tensor(reader, "output_norm.weight"),
+    }
+    if nd:
+        params["layers_dense"] = load_group(list(range(nd)), dense_map)
+    if "output.weight" in reader.tensors:
+        params["output"] = _load_tensor(reader, "output.weight", layout="kn")
+    else:
+        params["output"] = params["tok_embd"]
+    put = device_put if device_put is not None else jnp.asarray
+    return _device_put_tree(params, put), cfg, reader.metadata
+
+
 def load_mamba_params(
     reader: GGUFReader,
     cfg: ModelConfig,
@@ -326,6 +387,11 @@ def load_llama_params(
         nq, nkv = cfg.n_q_dim, cfg.n_kv_dim
         qkv_perm = np.concatenate([q_perm, nq + k_perm, nq + nkv + np.arange(nkv)])
 
+    if cfg.arch == "deepseek" and cfg.n_dense_layers:
+        # deepseek v1: llama attention but deepseek2-style leading-dense /
+        # MoE structural groups (build_deepseek, n_layer_dense_lead)
+        return load_deepseek1_params(reader, cfg, device_put, fuse)
+
     is_moe = "blk.0.ffn_gate_inp.weight" in reader.tensors
     # optional per-arch tensors (gemma2 sandwich norms; q/k norms; MoE router
     # + experts; qwen2moe shared expert)
@@ -348,10 +414,14 @@ def load_llama_params(
         for k in ("wq", "wk", "wv"):
             key_map.pop(k)
         key_map["wqkv"] = "attn_qkv.weight"
-    if is_moe:
+    if is_moe and cfg.arch != "arctic":
+        # arctic keeps its DENSE residual_mlp alongside the experts
+        # (build_arctic) — everyone else replaces the dense FFN with them
         for k in ("w_gate", "w_up", "w_down"):
             key_map.pop(k)
+    if is_moe:
         optional.update(
+            ffn_norm_exps="ffn_norm_exps.weight",  # arctic residual-MoE norm
             ffn_gate_inp="ffn_gate_inp.weight",
             w_gate_exps="ffn_gate_exps.weight",
             w_up_exps="ffn_up_exps.weight",
