@@ -112,6 +112,9 @@ class ModelConfig:
     # though no norm tensors exist (build_olmo passes NULL, NULL to
     # llm_build_norm)
     nonparam_norms: bool = False
+    # chameleon: swin-style norms — attn_norm/ffn_norm apply to the block
+    # OUTPUTS instead of inputs (build_chameleon's hparams.swin_norm)
+    swin_norm: bool = False
 
     @property
     def v_dim(self) -> int:
@@ -185,16 +188,22 @@ class ModelConfig:
             final_softcap=float(md.get(f"{arch}.final_logit_softcapping", 0.0) or 0.0),
             post_norms=is_gemma2,
             embd_scale=(
-                float(md.get(f"{arch}.embedding_scale", 0.0) or 0.0)  # minicpm/granite
-                or (float(n_embd) ** 0.5 if arch.startswith("gemma") else 1.0)
+                float(md.get(f"{arch}.embedding_scale", 0.0) or 0.0)  # minicpm/granite/jais
+                or (
+                    float(n_embd) ** 0.5 if arch.startswith("gemma")
+                    else 12.0 if arch == "minicpm3"  # hardcoded (build_minicpm3)
+                    else 1.0
+                )
             ),
             attn_scale=(
                 # granite/granitemoe store the multiplier directly
-                # (LLM_KV_ATTENTION_SCALE); gemma2 stores query_pre_attn_scalar
+                # (LLM_KV_ATTENTION_SCALE); gemma2 stores query_pre_attn_scalar;
+                # jais hardcodes 1/d_head (muP — build_jais kq_scale)
                 float(md[f"{arch}.attention.scale"])
                 if f"{arch}.attention.scale" in md
                 else float(md[f"{arch}.attention.query_pre_attn_scalar"]) ** -0.5
                 if f"{arch}.attention.query_pre_attn_scalar" in md
+                else 1.0 / head_dim if arch == "jais"
                 else None
             ),
             act=(
@@ -210,7 +219,12 @@ class ModelConfig:
                 arch in PARALLEL_BLOCK_ARCHS
                 or bool(md.get(f"{arch}.use_parallel_residual", False))
             ),
-            logit_scale=float(md.get(f"{arch}.logit_scale", 1.0) or 1.0),
+            logit_scale=float(
+                md.get(f"{arch}.logit_scale", 0.0)
+                # build_minicpm3 scales the lm-head input by 256/n_embd
+                or (256.0 / n_embd if arch == "minicpm3" else 1.0)
+            ),
+            swin_norm=bool(md.get(f"{arch}.swin_norm", False)),
             has_pos_embd=(arch in POS_EMBD_ARCHS),
             use_alibi=(
                 arch in ALIBI_ARCHS or (arch == "baichuan" and n_layers == 40)
@@ -220,7 +234,11 @@ class ModelConfig:
             ssm_d_state=int(md.get(Keys.SSM.STATE_SIZE.format(arch=arch), 0) or 0),
             ssm_dt_rank=int(md.get(Keys.SSM.TIME_STEP_RANK.format(arch=arch), 0) or 0),
             ssm_dt_b_c_rms=bool(md.get(Keys.SSM.DT_B_C_RMS.format(arch=arch), False)),
-            resid_scale=float(md.get(f"{arch}.residual_scale", 1.0) or 1.0),
+            resid_scale=float(
+                md.get(f"{arch}.residual_scale", 0.0)
+                # build_minicpm3 hardcodes scale_depth/sqrt(n_layer)
+                or (1.4 / n_layers ** 0.5 if arch == "minicpm3" else 1.0)
+            ),
             kv_lora_rank=int(md.get(f"{arch}.attention.kv_lora_rank", 0) or 0),
             q_lora_rank=int(md.get(f"{arch}.attention.q_lora_rank", 0) or 0),
             v_head_dim=int(md.get(Keys.Attention.VALUE_LENGTH.format(arch=arch), 0) or 0),
@@ -244,7 +262,8 @@ PERMUTED_ROPE_ARCHS = frozenset(
      # loader applies equals the same inverse permutation. chatglm's partial
      # rotary permutes only the first rope_dim dims per head (loader handles).
      "olmo", "minicpm", "xverse", "baichuan", "orion", "internlm2", "plamo",
-     "cohere2", "chatglm", "arctic", "deepseek", "granitemoe", "chameleon"}
+     "cohere2", "chatglm", "arctic", "deepseek", "deepseek2", "granitemoe",
+     "chameleon"}
 )
 
 #: archs on the mean-subtracted LayerNorm path (LLM_NORM in llm_build_norm)

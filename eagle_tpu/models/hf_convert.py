@@ -222,6 +222,30 @@ GENERIC_HF_MAPS: dict[str, dict[str, Any]] = {
             ("ffn_down.weight", "mlp.down_proj.weight"),
         ],
     },
+    "jais": {  # JAISLMHeadModel (build_jais: gpt2-style LN + fused c_attn,
+        # ALiBi, muP scales, SILU-gated c_fc2/c_fc FFN WITH biases)
+        "prefix": "transformer.h",
+        "embed": "transformer.wte.weight",
+        "final_norm": "transformer.ln_f.weight",
+        "final_norm_b": "transformer.ln_f.bias",
+        "lm_head": "lm_head.weight",
+        "layer": [
+            ("attn_norm.weight", "ln_1.weight"),
+            ("attn_norm.bias", "ln_1.bias"),
+            ("attn_qkv.weight", "attn.c_attn.weight", "conv1d"),
+            ("attn_qkv.bias", "attn.c_attn.bias"),
+            ("attn_output.weight", "attn.c_proj.weight", "conv1d"),
+            ("attn_output.bias", "attn.c_proj.bias"),
+            ("ffn_norm.weight", "ln_2.weight"),
+            ("ffn_norm.bias", "ln_2.bias"),
+            ("ffn_gate.weight", "mlp.c_fc2.weight", "conv1d"),
+            ("ffn_gate.bias", "mlp.c_fc2.bias"),
+            ("ffn_up.weight", "mlp.c_fc.weight", "conv1d"),
+            ("ffn_up.bias", "mlp.c_fc.bias"),
+            ("ffn_down.weight", "mlp.c_proj.weight", "conv1d"),
+            ("ffn_down.bias", "mlp.c_proj.bias"),
+        ],
+    },
     "starcoder2": {  # Starcoder2ForCausalLM (LayerNorm+biases, no-gate gelu)
         "prefix": "model.layers",
         "embed": "model.embed_tokens.weight",
@@ -1156,6 +1180,26 @@ def convert_hf_to_gguf(
             ):
                 if old in sd:
                     sd[new] = sd.pop(old)
+    if arch == "chameleon":
+        # chameleon q/k norms: HF ChameleonLayerNorm holds [H, Dh] params;
+        # the GGUF layout takes head 0, re-orders its entries into the
+        # rope-permuted (pair-interleaved) row order, and repeats per head
+        # (reference ChameleonModel._reverse_hf_permute)
+        sd = dict(sd)
+        if cfg.swin_norm:
+            w.add(f"{arch}.swin_norm", True)
+
+        def _cham_norm(t, n_heads):
+            v = t[0] if t.ndim == 2 else t
+            dh = v.shape[-1]
+            v = v.reshape(2, dh // 2).T.reshape(-1)
+            return np.tile(v, n_heads)
+
+        for key in list(sd):
+            if key.endswith(("q_norm.weight", "q_norm.bias")):
+                sd[key] = _cham_norm(sd[key], cfg.n_heads)
+            elif key.endswith(("k_norm.weight", "k_norm.bias")):
+                sd[key] = _cham_norm(sd[key], cfg.n_kv_heads)
     if arch == "baichuan":
         # split the fused W_pack into q/k/v thirds; the default llama path
         # below then permutes q/k (reference BaichuanModel.modify_tensors)
@@ -1263,6 +1307,9 @@ def convert_hf_to_gguf(
         # so never permuted
         put(f"blk.{i}.attn_q_norm.weight", f"{lp}.{i}.self_attn.q_norm.weight")
         put(f"blk.{i}.attn_k_norm.weight", f"{lp}.{i}.self_attn.k_norm.weight")
+        # chameleon per-head LayerNorm biases
+        put(f"blk.{i}.attn_q_norm.bias", f"{lp}.{i}.self_attn.q_norm.bias")
+        put(f"blk.{i}.attn_k_norm.bias", f"{lp}.{i}.self_attn.k_norm.bias")
         put(f"blk.{i}.ffn_norm_exps.weight", f"{lp}.{i}.__norm_exps.weight")  # arctic
         if is_olmo2:
             put(f"blk.{i}.attn_post_norm.weight",

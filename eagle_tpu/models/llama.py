@@ -151,10 +151,15 @@ def _ffn(cfg: ModelConfig, layers, li, ffn_in, act, backend, compute_dtype):
         return _moe_ffn(cfg, layers, li, ffn_in, act, backend, compute_dtype)
     if "w_gate_up" in layers:
         gate_up = qmatmul_layer(ffn_in, layers["w_gate_up"], li, backend, compute_dtype)
+        if "b_gate_up" in layers:  # jais gated-FFN biases (build_jais)
+            gate_up = gate_up + layers["b_gate_up"][li].astype(gate_up.dtype)
         gate, up = jnp.split(gate_up, 2, axis=-1)
     elif "w_gate" in layers:
         gate = qmatmul_layer(ffn_in, layers["w_gate"], li, backend, compute_dtype)
         up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
+        if "b_gate" in layers:
+            gate = gate + layers["b_gate"][li].astype(gate.dtype)
+            up = up + layers["b_up"][li].astype(up.dtype)
     else:
         up = qmatmul_layer(ffn_in, layers["w_up"], li, backend, compute_dtype)
         if "b_up" in layers:
@@ -268,8 +273,9 @@ def _layer_step(
         c = jnp.asarray(cfg.clamp_kqv, q.dtype)
         q, k, v = jnp.clip(q, -c, c), jnp.clip(k, -c, c), jnp.clip(v, -c, c)
     if "wkv_a" not in layers:  # MLA already produced roped [B,T,H,*] q/k/v
-        if "attn_q_norm" in layers:
-            # olmo2: ONE rms norm across the flat projection (weight [H*Dh])
+        if "attn_q_norm" in layers and "attn_q_norm_b" not in layers:
+            # olmo2: ONE rms norm across the flat projection (weight [H*Dh]);
+            # chameleon's [H*Dh] weights carry biases and norm PER HEAD below
             qn, kn = layers["attn_q_norm"][li], layers["attn_k_norm"][li]
             if qn.shape[-1] == h * dh:
                 q = rms_norm(q, qn, cfg.rms_eps)
@@ -280,7 +286,16 @@ def _layer_step(
         if "attn_q_norm" in layers:
             # qwen3: per-head rms norm (weight [Dh]), applied before rope
             qn, kn = layers["attn_q_norm"][li], layers["attn_k_norm"][li]
-            if qn.shape[-1] == dh:
+            if "attn_q_norm_b" in layers:
+                # chameleon: per-head LayerNorm WITH bias on q/k (weights
+                # stored [H*Dh], identical per head — build_chameleon)
+                q = layer_norm(q, qn.reshape(h, dh),
+                               layers["attn_q_norm_b"][li].reshape(h, dh),
+                               cfg.rms_eps)
+                k = layer_norm(k, kn.reshape(h_kv, dh),
+                               layers["attn_k_norm_b"][li].reshape(h_kv, dh),
+                               cfg.rms_eps)
+            elif qn.shape[-1] == dh:
                 q = rms_norm(q, qn, cfg.rms_eps)
                 k = rms_norm(k, kn, cfg.rms_eps)
 

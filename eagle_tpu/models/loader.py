@@ -118,6 +118,12 @@ def fuse_layer_weights(stacked: dict[str, Any]) -> dict[str, Any]:
         out["wqkv"] = concat_qtensors([out.pop("wq"), out.pop("wk"), out.pop("wv")])
     if "w_gate" in out:  # MoE layers have expert tensors instead; no-gate
         out["w_gate_up"] = concat_qtensors([out.pop("w_gate"), out.pop("w_up")])
+        if "b_gate" in out:  # jais gated-FFN biases fuse along with them
+            import numpy as _np
+
+            out["b_gate_up"] = _np.concatenate(
+                [out.pop("b_gate"), out.pop("b_up")], axis=-1
+            )
     return out
 
 
@@ -144,8 +150,13 @@ def load_deepseek2_params(
     expert). Attention rope rows (q per-head tail, kv_a_mqa tail) un-permute
     from the NORM (pair-interleaved) layout like llama q/k rows."""
     nope = cfg.head_dim - cfg.rope_dim
-    q_perm = _mla_rope_perm(cfg.n_heads, cfg.head_dim, cfg.rope_dim, nope)
-    kv_a_perm = _mla_rope_perm(1, 0, cfg.rope_dim, cfg.kv_lora_rank)
+    from .config import PERMUTED_ROPE_ARCHS
+
+    if cfg.arch in PERMUTED_ROPE_ARCHS:  # deepseek2 (NORM rope)
+        q_perm = _mla_rope_perm(cfg.n_heads, cfg.head_dim, cfg.rope_dim, nope)
+        kv_a_perm = _mla_rope_perm(1, 0, cfg.rope_dim, cfg.kv_lora_rank)
+    else:  # minicpm3 (NEOX rope — rows already half-split)
+        q_perm = kv_a_perm = None
 
     attn_map = {
         "attn_norm": "attn_norm.weight",
@@ -160,7 +171,12 @@ def load_deepseek2_params(
         attn_map["wq"] = "attn_q.weight"
     dense_map = {**attn_map, "w_gate": "ffn_gate.weight", "w_up": "ffn_up.weight",
                  "w_down": "ffn_down.weight"}
-    moe_map = dict(attn_map)
+    # minicpm3 is dense-only MLA: every layer carries the plain gated FFN
+    nd0 = cfg.n_dense_layers
+    if f"blk.{nd0}.ffn_gate_exps.weight" not in reader.tensors:
+        moe_map = dict(dense_map)
+    else:
+        moe_map = dict(attn_map)
 
     def load_group(idx: list[int], key_map) -> dict[str, Any]:
         group: dict[str, list] = {k: [] for k in key_map}
@@ -400,6 +416,11 @@ def load_llama_params(
         "post_ffn_norm": "ffn_post_norm.weight",
         "attn_q_norm": "attn_q_norm.weight",
         "attn_k_norm": "attn_k_norm.weight",
+        # chameleon: per-head LayerNorm q/k norms carry biases
+        "attn_q_norm_b": "attn_q_norm.bias",
+        "attn_k_norm_b": "attn_k_norm.bias",
+        # jais: gated-FFN biases (gpt2-family archs use b_up/b_down only)
+        "b_gate": "ffn_gate.bias",
         # LayerNorm-family archs (gpt2/starcoder2/phi2/falcon): norm biases,
         # attention output bias, FFN biases (canonical names llama-arch.cpp)
         "attn_norm_b": "attn_norm.bias",
@@ -465,9 +486,11 @@ def load_llama_params(
                 # (olmo2: one weight across all heads) follows its
                 # projection's row order — permute along for permuted archs.
                 w = reader.tensor_f32(name)
-                if permuted and ours == "attn_q_norm" and w.size == cfg.n_q_dim:
+                if (permuted and ours in ("attn_q_norm", "attn_q_norm_b")
+                        and w.size == cfg.n_q_dim):
                     w = w[q_perm]
-                if permuted and ours == "attn_k_norm" and w.size == cfg.n_kv_dim:
+                if (permuted and ours in ("attn_k_norm", "attn_k_norm_b")
+                        and w.size == cfg.n_kv_dim):
                     w = w[k_perm]
                 layers.setdefault(ours, []).append(w)
 
@@ -492,6 +515,11 @@ def load_llama_params(
         layers["bqkv"] = [b for b in biases]
 
     stacked = {k: _stack(v) for k, v in layers.items()}
+    if cfg.swin_norm:
+        # chameleon swin mode: attn_norm/ffn_norm normalize the block OUTPUTS
+        # (build_chameleon) — same positions as olmo2's post-norms
+        stacked["post_attn_norm"] = stacked.pop("attn_norm")
+        stacked["post_ffn_norm"] = stacked.pop("ffn_norm")
     if fuse:
         stacked = fuse_layer_weights(stacked)
     params: dict[str, Any] = {

@@ -237,7 +237,8 @@ def _rope_torch(x, rd, base, interleaved):
 def _oracle_forward(
     W, tokens, *, n_heads, n_kv_heads, head_dim, norm="rms", eps=1e-5,
     rope_dim=0, rope_base=10000.0, interleaved=False, parallel=False,
-    alibi=False, act="silu", gated=True,
+    alibi=False, act="silu", gated=True, attn_scale=None, embd_scale=1.0,
+    logit_scale=1.0,
 ):
     """Literal per-layer torch forward implementing the reference block
     graphs (build_plamo/build_codeshell/build_refact/build_orion)."""
@@ -257,7 +258,7 @@ def _oracle_forward(
             out = out + b
         return out
 
-    x = W["emb"][tokens]
+    x = W["emb"][tokens] * embd_scale
     b, t = tokens.shape
     h, hk, dh = n_heads, n_kv_heads, head_dim
     mask = torch.tril(torch.ones(t, t, dtype=torch.bool))
@@ -280,7 +281,9 @@ def _oracle_forward(
         rep = h // hk
         k = k.repeat_interleave(rep, dim=2)
         v = v.repeat_interleave(rep, dim=2)
-        scores = torch.einsum("bthd,bshd->bhts", q, k) / math.sqrt(dh)
+        scores = torch.einsum("bthd,bshd->bhts", q, k) * (
+            attn_scale if attn_scale is not None else 1.0 / math.sqrt(dh)
+        )
         if alibi:
             # ggml/HF alibi: bias slope_h * key_position (row-constant shift
             # is softmax-invariant, matching our q_pos-relative form)
@@ -298,7 +301,14 @@ def _oracle_forward(
 
         def ffn(z):
             if gated:
-                return (actf(z @ L["wg"].T) * (z @ L["wu"].T)) @ L["wd"].T
+                g = z @ L["wg"].T
+                u = z @ L["wu"].T
+                if "bg" in L:
+                    g, u = g + L["bg"], u + L["bu"]
+                out = actf(g) * u @ L["wd"].T
+                if "bd" in L:
+                    out = out + L["bd"]
+                return out
             up = z @ L["wu"].T
             if "bu" in L:
                 up = up + L["bu"]
@@ -314,7 +324,7 @@ def _oracle_forward(
             h2 = nrm(x, L.get("fn"), L.get("fnb"))
             x = x + ffn(h2)
     x = nrm(x, W.get("on"), W.get("onb"))
-    return (x @ W["head"].T).numpy()
+    return (x @ W["head"].T * logit_scale).numpy()
 
 
 def _r(*shape):
