@@ -79,10 +79,16 @@ class ModelConfig:
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0
     ssm_dt_b_c_rms: bool = False  # falcon-mamba RMS on dt/B/C
+    # rwkv6: per-head linear-attention state width (LLM_KV_WKV_HEAD_SIZE);
+    # > 0 marks the rwkv recurrent family
+    wkv_head_size: int = 0
+    # rwkv6: halve activations every n layers (output weights pre-divided at
+    # conversion — LLM_KV_RESCALE_EVERY_N_LAYERS)
+    rescale_every: int = 0
 
     @property
     def is_recurrent(self) -> bool:
-        return self.ssm_d_inner > 0
+        return self.ssm_d_inner > 0 or self.wkv_head_size > 0
     # granite: residual_scale multiplies each block's output before the add
     resid_scale: float = 1.0
     # deepseek2 MLA (build_deepseek2, src/llama.cpp): low-rank kv compression.
@@ -234,6 +240,8 @@ class ModelConfig:
             ssm_d_state=int(md.get(Keys.SSM.STATE_SIZE.format(arch=arch), 0) or 0),
             ssm_dt_rank=int(md.get(Keys.SSM.TIME_STEP_RANK.format(arch=arch), 0) or 0),
             ssm_dt_b_c_rms=bool(md.get(Keys.SSM.DT_B_C_RMS.format(arch=arch), False)),
+            wkv_head_size=int(md.get(f"{arch}.wkv.head_size", 0) or 0),
+            rescale_every=int(md.get(f"{arch}.rescale_every_n_layers", 0) or 0),
             resid_scale=float(
                 md.get(f"{arch}.residual_scale", 0.0)
                 # build_minicpm3 hardcodes scale_depth/sqrt(n_layer)
@@ -270,7 +278,7 @@ PERMUTED_ROPE_ARCHS = frozenset(
 LAYERNORM_ARCHS = frozenset(
     {"gpt2", "starcoder2", "command-r", "phi2", "falcon", "gptneox",
      "stablelm", "starcoder", "bloom", "mpt", "gptj", "nemotron", "bert",
-     "olmo", "orion", "cohere2", "jais", "dbrx", "codeshell"}
+     "olmo", "orion", "cohere2", "jais", "dbrx", "codeshell", "rwkv6"}
 )
 
 #: parallel-residual archs: one shared input norm feeds BOTH attention and the

@@ -929,6 +929,75 @@ def convert_hf_to_gguf(
 
     sd = {k: _to_np(v) for k, v in state_dict.items()}
 
+    if cfg.wkv_head_size:  # rwkv6 (reference Rwkv6Model converter semantics)
+        w.add(f"{arch}.wkv.head_size", cfg.wkv_head_size)
+        if cfg.rescale_every:
+            w.add(f"{arch}.rescale_every_n_layers", cfg.rescale_every)
+
+        def rput(gguf_name, t, qt=True):
+            t = np.asarray(t)
+            if t.ndim == 2 and qt:
+                w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
+            else:
+                w.add_tensor(gguf_name, t.astype(np.float32))
+
+        rput("token_embd.weight", sd["rwkv.embeddings.weight"])
+        if "rwkv.blocks.0.pre_ln.weight" in sd:
+            rput("token_embd_norm.weight", sd["rwkv.blocks.0.pre_ln.weight"], qt=False)
+            rput("token_embd_norm.bias", sd["rwkv.blocks.0.pre_ln.bias"], qt=False)
+        rput("output_norm.weight", sd["rwkv.ln_out.weight"], qt=False)
+        rput("output_norm.bias", sd["rwkv.ln_out.bias"], qt=False)
+        rput("output.weight", sd["head.weight"])
+        for i in range(cfg.n_layers):
+            pre = f"rwkv.blocks.{i}"
+            blk = f"blk.{i}"
+            # the reference pre-divides rescaled layers' output weights
+            div = 2.0 ** (i // cfg.rescale_every) if cfg.rescale_every else 1.0
+            rput(f"{blk}.attn_norm.weight", sd[f"{pre}.ln1.weight"], qt=False)
+            rput(f"{blk}.attn_norm.bias", sd[f"{pre}.ln1.bias"], qt=False)
+            rput(f"{blk}.attn_norm_2.weight", sd[f"{pre}.ln2.weight"], qt=False)
+            rput(f"{blk}.attn_norm_2.bias", sd[f"{pre}.ln2.bias"], qt=False)
+            att = f"{pre}.attention"
+            rput(f"{blk}.time_mix_lerp_x.weight",
+                 np.asarray(sd[f"{att}.time_maa_x"]).reshape(-1), qt=False)
+            fused = np.stack([
+                np.asarray(sd[f"{att}.time_maa_{p}"]).reshape(-1)
+                for p in ("w", "k", "v", "r", "g")
+            ])
+            rput(f"{blk}.time_mix_lerp_fused.weight", fused, qt=False)
+            # time_maa_w1 [D, 5*ext] -> [5*ext, D]; w2 [5, ext, D] -> [5, D, ext]
+            rput(f"{blk}.time_mix_w1.weight",
+                 np.ascontiguousarray(np.asarray(sd[f"{att}.time_maa_w1"]).T))
+            rput(f"{blk}.time_mix_w2.weight",
+                 np.ascontiguousarray(np.asarray(sd[f"{att}.time_maa_w2"]).transpose(0, 2, 1)),
+                 qt=False)
+            rput(f"{blk}.time_mix_decay.weight",
+                 np.asarray(sd[f"{att}.time_decay"]).reshape(-1), qt=False)
+            rput(f"{blk}.time_mix_decay_w1.weight",
+                 np.ascontiguousarray(np.asarray(sd[f"{att}.time_decay_w1"]).T))
+            rput(f"{blk}.time_mix_decay_w2.weight",
+                 np.ascontiguousarray(np.asarray(sd[f"{att}.time_decay_w2"]).T))
+            rput(f"{blk}.time_mix_first.weight", sd[f"{att}.time_faaaa"], qt=False)
+            rput(f"{blk}.time_mix_key.weight", sd[f"{att}.key.weight"])
+            rput(f"{blk}.time_mix_value.weight", sd[f"{att}.value.weight"])
+            rput(f"{blk}.time_mix_receptance.weight", sd[f"{att}.receptance.weight"])
+            rput(f"{blk}.time_mix_gate.weight", sd[f"{att}.gate.weight"])
+            rput(f"{blk}.time_mix_ln.weight", sd[f"{att}.ln_x.weight"], qt=False)
+            rput(f"{blk}.time_mix_ln.bias", sd[f"{att}.ln_x.bias"], qt=False)
+            rput(f"{blk}.time_mix_output.weight",
+                 np.asarray(sd[f"{att}.output.weight"]) / div)
+            ffn = f"{pre}.feed_forward"
+            rput(f"{blk}.channel_mix_lerp_k.weight",
+                 np.asarray(sd[f"{ffn}.time_maa_k"]).reshape(-1), qt=False)
+            rput(f"{blk}.channel_mix_lerp_r.weight",
+                 np.asarray(sd[f"{ffn}.time_maa_r"]).reshape(-1), qt=False)
+            rput(f"{blk}.channel_mix_key.weight", sd[f"{ffn}.key.weight"])
+            rput(f"{blk}.channel_mix_receptance.weight", sd[f"{ffn}.receptance.weight"])
+            rput(f"{blk}.channel_mix_value.weight",
+                 np.asarray(sd[f"{ffn}.value.weight"]) / div)
+        w.write()
+        return
+
     if cfg.is_recurrent:  # mamba (reference MambaModel converter semantics)
         w.add(Keys.SSM.CONV_KERNEL.format(arch=arch), cfg.ssm_d_conv)
         w.add(Keys.SSM.INNER_SIZE.format(arch=arch), cfg.ssm_d_inner)

@@ -282,6 +282,112 @@ def load_deepseek1_params(
     return _device_put_tree(params, put), cfg, reader.metadata
 
 
+def load_rwkv6_params(
+    reader: GGUFReader,
+    cfg: ModelConfig,
+    device_put: Callable | None = None,
+) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
+    """RWKV6 / rwkv6qwen2 (LLM_ARCH_RWKV6 tensor table, llama-arch.cpp:1161).
+    Large projections stay quantized (QTensor, kn layout); the tiny lora /
+    lerp / decay tensors load dense f32 in their written [out, in] shapes."""
+    L = cfg.n_layers
+    d = cfg.n_embd
+
+    big = {  # 2-D projections consumed via qmatmul_layer
+        "tm_k": "time_mix_key.weight",
+        "tm_v": "time_mix_value.weight",
+        "tm_r": "time_mix_receptance.weight",
+        "tm_g": "time_mix_gate.weight",
+        "tm_out": "time_mix_output.weight",
+    }
+    if f"blk.0.channel_mix_key.weight" in reader.tensors:
+        big.update(cm_k="channel_mix_key.weight", cm_v="channel_mix_value.weight",
+                   cm_r="channel_mix_receptance.weight")
+    else:  # rwkv6qwen2: qwen2 gated FFN instead of channel mix
+        big.update(w_gate="ffn_gate.weight", w_up="ffn_up.weight",
+                   w_down="ffn_down.weight")
+
+    small = {  # dense tensors, shapes normalized below
+        "attn_norm": "attn_norm.weight",
+        "tm_lerp_x": "time_mix_lerp_x.weight",
+        "tm_w1": "time_mix_w1.weight",
+        "tm_w2": "time_mix_w2.weight",
+        "tm_decay_w0": "time_mix_decay.weight",
+        "tm_decay_w1": "time_mix_decay_w1.weight",
+        "tm_decay_w2": "time_mix_decay_w2.weight",
+    }
+    optional_small = {
+        "attn_norm_b": "attn_norm.bias",
+        "ffn_norm": "attn_norm_2.weight" if cfg.arch == "rwkv6" else "ffn_norm.weight",
+        "ffn_norm_b": "attn_norm_2.bias",
+        "tm_first": "time_mix_first.weight",
+        "tm_ln": "time_mix_ln.weight",
+        "tm_ln_b": "time_mix_ln.bias",
+        "cm_lerp_k": "channel_mix_lerp_k.weight",
+        "cm_lerp_r": "channel_mix_lerp_r.weight",
+        "tm_r_b": "time_mix_receptance.bias",
+        "tm_k_b": "time_mix_key.bias",
+        "tm_v_b": "time_mix_value.bias",
+    }
+
+    layers: dict[str, list] = {}
+    for i in range(L):
+        for ours, suffix in big.items():
+            layers.setdefault(ours, []).append(
+                _load_tensor(reader, f"blk.{i}.{suffix}", layout="kn")
+            )
+        for ours, suffix in small.items():
+            layers.setdefault(ours, []).append(reader.tensor_f32(f"blk.{i}.{suffix}"))
+        for ours, suffix in optional_small.items():
+            name = f"blk.{i}.{suffix}"
+            if name in reader.tensors:
+                layers.setdefault(ours, []).append(reader.tensor_f32(name))
+        # the reference converter fuses the five lerp vectors; accept both
+        if f"blk.{i}.time_mix_lerp_fused.weight" in reader.tensors:
+            fused = reader.tensor_f32(f"blk.{i}.time_mix_lerp_fused.weight")
+        else:
+            fused = np.stack([
+                reader.tensor_f32(f"blk.{i}.time_mix_lerp_{p}.weight").reshape(-1)
+                for p in ("w", "k", "v", "r", "g")
+            ])
+        layers.setdefault("tm_lerp_fused", []).append(fused.reshape(5, d))
+
+    ext = layers["tm_w1"][0].size // (5 * d)
+    ext2 = layers["tm_decay_w1"][0].size // d
+    for i in range(L):
+        layers["tm_lerp_x"][i] = layers["tm_lerp_x"][i].reshape(d)
+        layers["tm_w1"][i] = layers["tm_w1"][i].reshape(5 * ext, d)
+        layers["tm_w2"][i] = layers["tm_w2"][i].reshape(5, d, ext)
+        layers["tm_decay_w0"][i] = layers["tm_decay_w0"][i].reshape(d)
+        layers["tm_decay_w1"][i] = layers["tm_decay_w1"][i].reshape(ext2, d)
+        layers["tm_decay_w2"][i] = layers["tm_decay_w2"][i].reshape(d, ext2)
+        if "tm_first" in layers:
+            layers["tm_first"][i] = layers["tm_first"][i].reshape(
+                d // cfg.wkv_head_size, cfg.wkv_head_size
+            )
+        for key in ("cm_lerp_k", "cm_lerp_r"):
+            if key in layers:
+                layers[key][i] = layers[key][i].reshape(d)
+
+    params: dict[str, Any] = {
+        "tok_embd": _load_tensor(reader, "token_embd.weight"),
+        "layers": {k: _stack(v) for k, v in layers.items()},
+    }
+    if "token_embd_norm.weight" in reader.tensors:
+        params["tok_norm"] = reader.tensor_f32("token_embd_norm.weight")
+        if "token_embd_norm.bias" in reader.tensors:
+            params["tok_norm_b"] = reader.tensor_f32("token_embd_norm.bias")
+    params["output_norm"] = reader.tensor_f32("output_norm.weight")
+    if "output_norm.bias" in reader.tensors:
+        params["output_norm_b"] = reader.tensor_f32("output_norm.bias")
+    if "output.weight" in reader.tensors:
+        params["output"] = _load_tensor(reader, "output.weight", layout="kn")
+    else:
+        params["output"] = params["tok_embd"]
+    put = device_put if device_put is not None else jnp.asarray
+    return _device_put_tree(params, put), cfg, reader.metadata
+
+
 def load_mamba_params(
     reader: GGUFReader,
     cfg: ModelConfig,
@@ -384,6 +490,8 @@ def load_llama_params(
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
     if cfg.kv_lora_rank:
         return load_deepseek2_params(reader, cfg, device_put, fuse)
+    if cfg.wkv_head_size:
+        return load_rwkv6_params(reader, cfg, device_put)
     if cfg.is_recurrent:
         return load_mamba_params(reader, cfg, device_put)
     if cfg.arch in ("bert", "nomic-bert"):

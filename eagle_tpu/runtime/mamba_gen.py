@@ -32,13 +32,19 @@ class MambaGenerator:
         backend: str | None = None,
         eos_id: int = 0,
     ):
-        assert cfg.is_recurrent, "MambaGenerator requires an SSM arch"
+        assert cfg.is_recurrent, "MambaGenerator requires a recurrent arch"
         self.params, self.cfg = params, cfg
+        if cfg.wkv_head_size:  # rwkv6 family shares the generator surface
+            from ..models.rwkv6 import Rwkv6State, rwkv6_forward
+
+            self._fwd, self._mk_state = rwkv6_forward, Rwkv6State.create
+        else:
+            self._fwd, self._mk_state = mamba_forward, MambaState.create
         self.batch, self.max_seq = batch, max_seq
         self.compute_dtype = compute_dtype
         self.backend = backend
         self.eos_id = eos_id
-        self.state = MambaState.create(cfg, batch)
+        self.state = self._mk_state(cfg, batch)
         self._prefill_c = jax.jit(self._prefill, static_argnames=("t",))
         self._decode_c = jax.jit(
             self._decode, static_argnames=("n_steps", "scfg"),
@@ -52,7 +58,7 @@ class MambaGenerator:
         # prompt is therefore bucketed with LEFT truncation of pad influence:
         # we mask padded embeddings to zero contributions by re-running state
         # only up to n_valid via a scan mask.
-        out = mamba_forward(
+        out = self._fwd(
             params, self.cfg, tokens, state, backend=self.backend,
             compute_dtype=self.compute_dtype,
         )
@@ -62,7 +68,7 @@ class MambaGenerator:
     def _decode(self, params, state, tok, key, scfg: SamplerConfig, n_steps: int):
         def step(carry, _):
             st, tk, ky = carry
-            out = mamba_forward(
+            out = self._fwd(
                 params, self.cfg, tk[:, None], st, backend=self.backend,
                 compute_dtype=self.compute_dtype,
             )
@@ -91,7 +97,7 @@ class MambaGenerator:
         # tokens with validity via n_valid (state runs over the full bucket —
         # pad tokens are id 0; to keep the state exact the prompt is chunked
         # at its true length instead)
-        self.state = MambaState.create(self.cfg, self.batch)
+        self.state = self._mk_state(self.cfg, self.batch)
         # run the prompt in exact-length chunks of bucketed sizes to bound
         # the number of compiled programs while never padding the recurrence
         consumed = 0
