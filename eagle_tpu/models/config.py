@@ -85,6 +85,10 @@ class ModelConfig:
     # rwkv6: halve activations every n layers (output weights pre-divided at
     # conversion — LLM_KV_RESCALE_EVERY_N_LAYERS)
     rescale_every: int = 0
+    # t5: relative-position bucket count (LLM_KV_ATTENTION_RELATIVE_BUCKETS)
+    # and the decoder bootstrap token (LLM_KV_DECODER_START_TOKEN_ID)
+    rel_buckets: int = 0
+    decoder_start_id: int = 0
 
     @property
     def is_recurrent(self) -> bool:
@@ -241,6 +245,10 @@ class ModelConfig:
             ssm_dt_rank=int(md.get(Keys.SSM.TIME_STEP_RANK.format(arch=arch), 0) or 0),
             ssm_dt_b_c_rms=bool(md.get(Keys.SSM.DT_B_C_RMS.format(arch=arch), False)),
             wkv_head_size=int(md.get(f"{arch}.wkv.head_size", 0) or 0),
+            rel_buckets=int(
+                md.get(f"{arch}.attention.relative_buckets_count", 0) or 0
+            ),
+            decoder_start_id=int(md.get(f"{arch}.decoder_start_token_id", 0) or 0),
             rescale_every=int(md.get(f"{arch}.rescale_every_n_layers", 0) or 0),
             resid_scale=float(
                 md.get(f"{arch}.residual_scale", 0.0)

@@ -929,6 +929,64 @@ def convert_hf_to_gguf(
 
     sd = {k: _to_np(v) for k, v in state_dict.items()}
 
+    if arch in ("t5", "t5encoder"):
+        # T5Model / T5EncoderModel converters: enc./dec. prefixed stacks,
+        # rel-bias table from block 0 (llama-arch.cpp LLM_ARCH_T5 names)
+        w.add(f"{arch}.attention.relative_buckets_count", cfg.rel_buckets or 32)
+        if cfg.decoder_start_id:
+            w.add(f"{arch}.decoder_start_token_id", cfg.decoder_start_id)
+
+        def tput(gguf_name, hf_name, qt=True):
+            if hf_name not in sd:
+                return
+            t = sd[hf_name]
+            if t.ndim == 2 and qt:
+                w.add_tensor(gguf_name, t, _default_qtype_for(gguf_name, t, qtype))
+            else:
+                w.add_tensor(gguf_name, t.astype(np.float32))
+
+        tput("token_embd.weight", "shared.weight")
+        if "lm_head.weight" in sd and not np.array_equal(
+            sd["lm_head.weight"], sd["shared.weight"]
+        ):  # tied checkpoints materialize lm_head == shared; keep it tied so
+            # the d^-0.5 tied-head scaling applies at inference
+            tput("output.weight", "lm_head.weight")
+
+        def put_stack(hf_side: str, gg: str, cross: bool):
+            tput(f"{gg}.output_norm.weight", f"{hf_side}.final_layer_norm.weight",
+                 qt=False)
+            tput(f"{gg}.blk.0.attn_rel_b.weight",
+                 f"{hf_side}.block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+                 qt=False)
+            ffn_layer = 2 if cross else 1
+            for i in range(cfg.n_layers):
+                pre = f"{hf_side}.block.{i}"
+                blk = f"{gg}.blk.{i}"
+                tput(f"{blk}.attn_norm.weight", f"{pre}.layer.0.layer_norm.weight",
+                     qt=False)
+                for nm in "qkvo":
+                    tput(f"{blk}.attn_{nm}.weight",
+                         f"{pre}.layer.0.SelfAttention.{nm}.weight")
+                if cross:
+                    tput(f"{blk}.cross_attn_norm.weight",
+                         f"{pre}.layer.1.layer_norm.weight", qt=False)
+                    for nm in "qkvo":
+                        tput(f"{blk}.cross_attn_{nm}.weight",
+                             f"{pre}.layer.1.EncDecAttention.{nm}.weight")
+                fl = f"{pre}.layer.{ffn_layer}"
+                tput(f"{blk}.ffn_norm.weight", f"{fl}.layer_norm.weight", qt=False)
+                tput(f"{blk}.ffn_up.weight", f"{fl}.DenseReluDense.wi.weight")
+                tput(f"{blk}.ffn_gate.weight", f"{fl}.DenseReluDense.wi_0.weight")
+                if f"{fl}.DenseReluDense.wi_1.weight" in sd:  # gated (flan)
+                    tput(f"{blk}.ffn_up.weight", f"{fl}.DenseReluDense.wi_1.weight")
+                tput(f"{blk}.ffn_down.weight", f"{fl}.DenseReluDense.wo.weight")
+
+        put_stack("encoder", "enc", cross=False)
+        if arch == "t5":
+            put_stack("decoder", "dec", cross=True)
+        w.write()
+        return
+
     if cfg.wkv_head_size:  # rwkv6 (reference Rwkv6Model converter semantics)
         w.add(f"{arch}.wkv.head_size", cfg.wkv_head_size)
         if cfg.rescale_every:

@@ -282,6 +282,63 @@ def load_deepseek1_params(
     return _device_put_tree(params, put), cfg, reader.metadata
 
 
+def load_t5_params(
+    reader: GGUFReader,
+    cfg: ModelConfig,
+    device_put: Callable | None = None,
+) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
+    """t5 / t5encoder (LLM_ARCH_T5 tensor table, llama-arch.cpp:1056):
+    enc.blk.* / dec.blk.* stacks, shared rel-bias table from block 0, tied
+    head unless output.weight exists."""
+
+    def load_stack(prefix: str, cross: bool) -> dict[str, Any]:
+        key_map = {
+            "attn_norm": "attn_norm.weight",
+            "wq": "attn_q.weight", "wk": "attn_k.weight",
+            "wv": "attn_v.weight", "wo": "attn_o.weight",
+            "ffn_norm": "ffn_norm.weight",
+            "w_up": "ffn_up.weight", "w_down": "ffn_down.weight",
+        }
+        if f"{prefix}.blk.0.ffn_gate.weight" in reader.tensors:
+            key_map["w_gate"] = "ffn_gate.weight"  # flan-t5 gated-gelu
+        if cross:
+            key_map.update(
+                cross_norm="cross_attn_norm.weight",
+                cross_q="cross_attn_q.weight", cross_k="cross_attn_k.weight",
+                cross_v="cross_attn_v.weight", cross_o="cross_attn_o.weight",
+            )
+        layers: dict[str, list] = {k: [] for k in key_map}
+        for i in range(cfg.n_layers):
+            for ours, suffix in key_map.items():
+                layers[ours].append(
+                    _load_tensor(reader, f"{prefix}.blk.{i}.{suffix}", layout="kn")
+                )
+        return {
+            "layers": {k: _stack(v) for k, v in layers.items()},
+            "rel_b": reader.tensor_f32(f"{prefix}.blk.0.attn_rel_b.weight"),
+            "output_norm": reader.tensor_f32(f"{prefix}.output_norm.weight"),
+        }
+
+    params: dict[str, Any] = {
+        "tok_embd": _load_tensor(reader, "token_embd.weight"),
+        "enc": load_stack("enc", cross=False),
+    }
+    if cfg.arch == "t5":
+        params["dec"] = load_stack("dec", cross=True)
+    if "output.weight" in reader.tensors:
+        params["output"] = _load_tensor(reader, "output.weight", layout="kn")
+        params["tied_head"] = False
+    else:
+        params["output"] = params["tok_embd"]
+        params["tied_head"] = True
+    put = device_put if device_put is not None else jnp.asarray
+    out = _device_put_tree(
+        {k: v for k, v in params.items() if k != "tied_head"}, put
+    )
+    out["tied_head"] = params["tied_head"]
+    return out, cfg, reader.metadata
+
+
 def load_rwkv6_params(
     reader: GGUFReader,
     cfg: ModelConfig,
@@ -490,6 +547,8 @@ def load_llama_params(
     cfg = ModelConfig.from_gguf_metadata(reader.metadata)
     if cfg.kv_lora_rank:
         return load_deepseek2_params(reader, cfg, device_put, fuse)
+    if cfg.arch in ("t5", "t5encoder"):
+        return load_t5_params(reader, cfg, device_put)
     if cfg.wkv_head_size:
         return load_rwkv6_params(reader, cfg, device_put)
     if cfg.is_recurrent:
