@@ -89,6 +89,9 @@ class ModelConfig:
     # and the decoder bootstrap token (LLM_KV_DECODER_START_TOKEN_ID)
     rel_buckets: int = 0
     decoder_start_id: int = 0
+    # qwen2vl: m-rope frequency sections (t/h/w[,extra] —
+    # LLM_KV_ROPE_DIMENSION_SECTIONS); empty = standard rope
+    mrope_sections: tuple = ()
 
     @property
     def is_recurrent(self) -> bool:
@@ -249,6 +252,9 @@ class ModelConfig:
                 md.get(f"{arch}.attention.relative_buckets_count", 0) or 0
             ),
             decoder_start_id=int(md.get(f"{arch}.decoder_start_token_id", 0) or 0),
+            mrope_sections=tuple(
+                int(v) for v in md.get(f"{arch}.rope.dimension_sections", ())
+            ),
             rescale_every=int(md.get(f"{arch}.rescale_every_n_layers", 0) or 0),
             resid_scale=float(
                 md.get(f"{arch}.residual_scale", 0.0)

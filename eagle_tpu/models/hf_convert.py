@@ -922,6 +922,8 @@ def convert_hf_to_gguf(
         w.add(f"{arch}.embedding_scale", cfg.embd_scale)
     if cfg.resid_scale != 1.0:  # minicpm scale_depth/sqrt(L), granite
         w.add(f"{arch}.residual_scale", cfg.resid_scale)
+    if cfg.mrope_sections:  # qwen2vl (Qwen2VLModel rope_scaling.mrope_section)
+        w.add(f"{arch}.rope.dimension_sections", list(cfg.mrope_sections))
     if metadata:
         for key, val in metadata.items():
             if key.startswith(("tokenizer.", "general.")) and key != "general.name":

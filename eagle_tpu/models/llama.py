@@ -196,6 +196,8 @@ def _layer_step(
     # structural groups — deepseek2's dense prefix)
     slots_contiguous: bool = False,  # STATIC: per-row slots are start+arange(T)
     alibi: jax.Array | None = None,  # [H] per-head ALiBi slopes (bloom/mpt)
+    mrope_pos: jax.Array | None = None,  # [3, B, T] qwen2vl t/h/w positions
+    mrope_sec=None,  # [D/2] static section ids (qwen2vl mrope)
 ):
     """One transformer layer. Weights stay layer-stacked; matmuls address the
     stack through `li` (scalar-prefetched on the pallas backend so no
@@ -299,7 +301,14 @@ def _layer_step(
                 q = rms_norm(q, qn, cfg.rms_eps)
                 k = rms_norm(k, kn, cfg.rms_eps)
 
-        if cfg.rope_dim >= dh:
+        if mrope_sec is not None:
+            # qwen2vl multimodal rope: per-section t/h/w positions
+            # (build_qwen2vl, GGML_ROPE_TYPE_MROPE)
+            from ..ops.rope import apply_mrope
+
+            q_r = apply_mrope(q, mrope_pos, inv_freq, mrope_sec)
+            k_r = apply_mrope(k, mrope_pos, inv_freq, mrope_sec)
+        elif cfg.rope_dim >= dh:
             q_r = apply_rope(q, positions, inv_freq)
             k_r = apply_rope(k, positions, inv_freq)
         elif cfg.rope_dim > 0:
@@ -482,6 +491,7 @@ def llama_forward(
     input_embeds: jax.Array | None = None,
     kv_limit: int | None = None,
     slots_contiguous: bool = False,
+    mrope_positions: jax.Array | None = None,  # [3, B, T] (qwen2vl)
 ) -> ForwardOutput:
     """Run the transformer.
 
@@ -516,6 +526,17 @@ def llama_forward(
         jnp.asarray(alibi_slopes(cfg.n_heads)) if cfg.use_alibi else None
     )
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    mrope_pos = mrope_sec = None
+    if cfg.mrope_sections:
+        from ..ops.rope import mrope_section_ids
+
+        mrope_sec = mrope_section_ids(cfg.mrope_sections, cfg.rope_dim // 2)
+        mrope_pos = (
+            mrope_positions if mrope_positions is not None
+            # text-only: every section carries the text position — mrope
+            # reduces to plain rope (HF get_rope_index for pure text)
+            else jnp.broadcast_to(positions[None], (3, *positions.shape))
+        )
     layers = params["layers"]
     if kv_limit is not None:
         kv_limit = min(kv_limit, mask.shape[-1])
@@ -550,6 +571,7 @@ def llama_forward(
                 x, _grp, wi, k_all, v_all, k_s, v_s, mask_swa=mask_swa,
                 kv_limit=kv_limit, cache_li=cli,
                 slots_contiguous=slots_contiguous, alibi=alibi,
+                mrope_pos=mrope_pos, mrope_sec=mrope_sec,
             )
             return (x, k_all, v_all, k_s, v_s), None
 
