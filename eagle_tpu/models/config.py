@@ -292,7 +292,8 @@ PERMUTED_ROPE_ARCHS = frozenset(
 LAYERNORM_ARCHS = frozenset(
     {"gpt2", "starcoder2", "command-r", "phi2", "falcon", "gptneox",
      "stablelm", "starcoder", "bloom", "mpt", "gptj", "nemotron", "bert",
-     "olmo", "orion", "cohere2", "jais", "dbrx", "codeshell", "rwkv6"}
+     "olmo", "orion", "cohere2", "jais", "dbrx", "codeshell", "rwkv6",
+     "nomic-bert", "jina-bert-v2"}
 )
 
 #: parallel-residual archs: one shared input norm feeds BOTH attention and the
@@ -312,12 +313,12 @@ POS_EMBD_ARCHS = frozenset({"gpt2", "starcoder"})
 
 #: ALiBi attention bias instead of rotary (build_bloom/build_mpt; slope
 #: formula ggml_rope's alibi path / hparams.f_max_alibi_bias)
-ALIBI_ARCHS = frozenset({"bloom", "mpt", "refact", "jais"})
+ALIBI_ARCHS = frozenset({"bloom", "mpt", "refact", "jais", "jina-bert-v2"})
 
 #: no-gate gelu-family FFN / gelu act archs (beyond the gemma family)
 GELU_ARCHS = frozenset(
     {"gpt2", "starcoder2", "phi2", "falcon", "gptneox", "starcoder",
-     "bloom", "mpt", "gptj", "codeshell"}
+     "bloom", "mpt", "gptj", "codeshell", "jina-bert-v2"}
 )
 
 #: archs whose norms are NON-PARAMETRIC: the norm applies with NULL

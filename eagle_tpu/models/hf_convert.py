@@ -453,6 +453,53 @@ GENERIC_HF_MAPS: dict[str, dict[str, Any]] = {
             ("layer_output_norm.bias", "output.LayerNorm.bias"),
         ],
     },
+    "nomic-bert": {  # NomicBertModel (bert block + NEOX rope, fused qkv
+        # without biases, silu-gated fc11/fc12 FFN — build_bert's nomic arm)
+        "prefix": "encoder.layers",
+        "embed": "embeddings.word_embeddings.weight",
+        "token_types": "embeddings.token_type_embeddings.weight",
+        "embed_norm": "emb_ln.weight",
+        "embed_norm_b": "emb_ln.bias",
+        "final_norm": "\0absent",
+        "layer": [
+            ("attn_qkv.weight", "attn.Wqkv.weight"),
+            ("attn_output.weight", "attn.out_proj.weight"),
+            ("attn_output_norm.weight", "norm1.weight"),
+            ("attn_output_norm.bias", "norm1.bias"),
+            ("ffn_up.weight", "mlp.fc11.weight"),
+            ("ffn_gate.weight", "mlp.fc12.weight"),
+            ("ffn_down.weight", "mlp.fc2.weight"),
+            ("layer_output_norm.weight", "norm2.weight"),
+            ("layer_output_norm.bias", "norm2.bias"),
+        ],
+    },
+    "jina-bert-v2": {  # JinaBertModel (bert block + ALiBi, gelu-gated
+        # gated_layers_w/v FFN with down bias — build_bert's jina arm)
+        "prefix": "encoder.layer",
+        "embed": "embeddings.word_embeddings.weight",
+        "token_types": "embeddings.token_type_embeddings.weight",
+        "embed_norm": "embeddings.LayerNorm.weight",
+        "embed_norm_b": "embeddings.LayerNorm.bias",
+        "final_norm": "\0absent",
+        "layer": [
+            ("attn_q.weight", "attention.self.query.weight"),
+            ("attn_q.bias", "attention.self.query.bias"),
+            ("attn_k.weight", "attention.self.key.weight"),
+            ("attn_k.bias", "attention.self.key.bias"),
+            ("attn_v.weight", "attention.self.value.weight"),
+            ("attn_v.bias", "attention.self.value.bias"),
+            ("attn_output.weight", "attention.output.dense.weight"),
+            ("attn_output.bias", "attention.output.dense.bias"),
+            ("attn_output_norm.weight", "attention.output.LayerNorm.weight"),
+            ("attn_output_norm.bias", "attention.output.LayerNorm.bias"),
+            ("ffn_gate.weight", "mlp.gated_layers_w.weight"),
+            ("ffn_up.weight", "mlp.gated_layers_v.weight"),
+            ("ffn_down.weight", "mlp.wo.weight"),
+            ("ffn_down.bias", "mlp.wo.bias"),
+            ("layer_output_norm.weight", "mlp.layernorm.weight"),
+            ("layer_output_norm.bias", "mlp.layernorm.bias"),
+        ],
+    },
     "mpt": {  # MptForCausalLM (ALiBi, fused q;k;v Wqkv, no biases)
         "prefix": "transformer.blocks",
         "embed": "transformer.wte.weight",

@@ -504,35 +504,48 @@ def load_bert_params(
     cfg: ModelConfig,
     device_put: Callable | None = None,
 ) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
-    """BERT encoder GGUF (LLM_ARCH_BERT table, llama-arch.cpp:397): token +
-    type + position embeddings with an embedding LayerNorm, post-norm blocks
-    (attn_output_norm / layer_output_norm), biases everywhere."""
+    """BERT-family encoder GGUF (LLM_ARCH_BERT/NOMIC_BERT/JINA_BERT_V2
+    tables): token (+type, +position for plain bert) embeddings with an
+    embedding LayerNorm, post-norm blocks (attn_output_norm /
+    layer_output_norm). Variants differ by tensor presence: nomic fuses qkv
+    without biases and gates the FFN; jina-v2 keeps split qkv+biases, gates
+    the FFN (down bias only), and relies on ALiBi."""
     names = {
         "wq": ("attn_q.weight", "kn"), "bq": ("attn_q.bias", None),
         "wk": ("attn_k.weight", "kn"), "bk": ("attn_k.bias", None),
         "wv": ("attn_v.weight", "kn"), "bv": ("attn_v.bias", None),
+        "wqkv": ("attn_qkv.weight", "kn"),  # nomic-bert fused, no bias
         "wo": ("attn_output.weight", "kn"), "bo": ("attn_output.bias", None),
         "attn_out_norm": ("attn_output_norm.weight", None),
         "attn_out_norm_b": ("attn_output_norm.bias", None),
+        "w_gate": ("ffn_gate.weight", "kn"),  # nomic(silu)/jina(gelu) gated
         "w_up": ("ffn_up.weight", "kn"), "b_up": ("ffn_up.bias", None),
         "w_down": ("ffn_down.weight", "kn"), "b_down": ("ffn_down.bias", None),
         "layer_out_norm": ("layer_output_norm.weight", None),
         "layer_out_norm_b": ("layer_output_norm.bias", None),
     }
-    layers: dict[str, list] = {k: [] for k in names}
+    layers: dict[str, list] = {}
     for i in range(cfg.n_layers):
         for ours, (suffix, layout) in names.items():
-            layers[ours].append(
-                _load_tensor(reader, f"blk.{i}.{suffix}", layout=layout or "nk")
-            )
+            name = f"blk.{i}.{suffix}"
+            if name in reader.tensors:
+                layers.setdefault(ours, []).append(
+                    _load_tensor(reader, name, layout=layout or "nk")
+                )
     params: dict[str, Any] = {
         "tok_embd": _load_tensor(reader, "token_embd.weight"),
-        "token_types": reader.tensor_f32("token_types.weight").reshape(-1, cfg.n_embd),
-        "pos_embd": reader.tensor_f32("position_embd.weight").reshape(-1, cfg.n_embd),
         "tok_embd_norm": reader.tensor_f32("token_embd_norm.weight"),
         "tok_embd_norm_b": reader.tensor_f32("token_embd_norm.bias"),
         "layers": layers,
     }
+    if "token_types.weight" in reader.tensors:
+        params["token_types"] = reader.tensor_f32("token_types.weight").reshape(
+            -1, cfg.n_embd
+        )
+    if "position_embd.weight" in reader.tensors:  # plain bert only
+        params["pos_embd"] = reader.tensor_f32("position_embd.weight").reshape(
+            -1, cfg.n_embd
+        )
     put = device_put if device_put is not None else jnp.asarray
     return _device_put_tree(params, put), cfg, reader.metadata
 
@@ -553,7 +566,7 @@ def load_llama_params(
         return load_rwkv6_params(reader, cfg, device_put)
     if cfg.is_recurrent:
         return load_mamba_params(reader, cfg, device_put)
-    if cfg.arch in ("bert", "nomic-bert"):
+    if cfg.arch in ("bert", "nomic-bert", "jina-bert-v2"):
         return load_bert_params(reader, cfg, device_put)
 
     from .config import PERMUTED_ROPE_ARCHS
