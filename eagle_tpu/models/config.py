@@ -197,7 +197,10 @@ class ModelConfig:
             nonparam_norms=(arch in NONPARAM_NORM_ARCHS),
             n_expert=int(md.get(Keys.LLM.EXPERT_COUNT.format(arch=arch), 0) or 0),
             n_expert_used=int(md.get(Keys.LLM.EXPERT_USED_COUNT.format(arch=arch), 0) or 0),
-            attn_softcap=float(md.get(f"{arch}.attn_logit_softcapping", 0.0) or 0.0),
+            attn_softcap=float(
+                md.get(f"{arch}.attn_logit_softcapping", 0.0)
+                or (30.0 if arch == "grok" else 0.0)  # build_grok's 30*tanh
+            ),
             final_softcap=float(md.get(f"{arch}.final_logit_softcapping", 0.0) or 0.0),
             post_norms=is_gemma2,
             embd_scale=(
@@ -205,6 +208,7 @@ class ModelConfig:
                 or (
                     float(n_embd) ** 0.5 if arch.startswith("gemma")
                     else 12.0 if arch == "minicpm3"  # hardcoded (build_minicpm3)
+                    else 78.38367176906169 if arch == "grok"  # build_grok
                     else 1.0
                 )
             ),
@@ -217,6 +221,8 @@ class ModelConfig:
                 else float(md[f"{arch}.attention.query_pre_attn_scalar"]) ** -0.5
                 if f"{arch}.attention.query_pre_attn_scalar" in md
                 else 1.0 / head_dim if arch == "jais"
+                # grok's attn_output_multiplyer feeding 30*tanh (build_grok)
+                else 0.08838834764831845 if arch == "grok"
                 else None
             ),
             act=(
@@ -235,7 +241,9 @@ class ModelConfig:
             logit_scale=float(
                 md.get(f"{arch}.logit_scale", 0.0)
                 # build_minicpm3 scales the lm-head input by 256/n_embd
-                or (256.0 / n_embd if arch == "minicpm3" else 1.0)
+                or (256.0 / n_embd if arch == "minicpm3"
+                    else 0.5773502691896257 if arch == "grok"  # build_grok
+                    else 1.0)
             ),
             swin_norm=bool(md.get(f"{arch}.swin_norm", False)),
             has_pos_embd=(arch in POS_EMBD_ARCHS),
@@ -318,7 +326,7 @@ ALIBI_ARCHS = frozenset({"bloom", "mpt", "refact", "jais", "jina-bert-v2"})
 #: no-gate gelu-family FFN / gelu act archs (beyond the gemma family)
 GELU_ARCHS = frozenset(
     {"gpt2", "starcoder2", "phi2", "falcon", "gptneox", "starcoder",
-     "bloom", "mpt", "gptj", "codeshell", "jina-bert-v2"}
+     "bloom", "mpt", "gptj", "codeshell", "jina-bert-v2", "grok"}
 )
 
 #: archs whose norms are NON-PARAMETRIC: the norm applies with NULL

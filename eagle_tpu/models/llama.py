@@ -168,7 +168,16 @@ def _ffn(cfg: ModelConfig, layers, li, ffn_in, act, backend, compute_dtype):
         if "b_down" in layers:
             out = out + layers["b_down"][li].astype(out.dtype)
         return out
-    out = qmatmul_layer(act(gate) * up, layers["w_down"], li, backend, compute_dtype)
+    if "w_gate_s" in layers:  # bitnet per-tensor ternary scales
+        gate = gate * layers["w_gate_s"][li]
+        up = up * layers["w_up_s"][li]
+    h = act(gate) * up
+    if "ffn_sub_norm" in layers:
+        # bitnet: RMS sub-norm on the gated product BEFORE the down proj
+        h = rms_norm(h, layers["ffn_sub_norm"][li], cfg.rms_eps)
+    out = qmatmul_layer(h, layers["w_down"], li, backend, compute_dtype)
+    if "w_down_s" in layers:  # bitnet
+        out = out * layers["w_down_s"][li]
     if "b_down" in layers:
         out = out + layers["b_down"][li].astype(out.dtype)
     return out
@@ -261,10 +270,18 @@ def _layer_step(
         if "bqkv" in layers:  # qwen2-style attention biases
             qkv = qkv + layers["bqkv"][li].astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
+        if "wq_s" in layers:  # bitnet per-tensor scales survive qkv fusion
+            q = q * layers["wq_s"][li]
+            k = k * layers["wk_s"][li]
+            v = v * layers["wv_s"][li]
     else:
         q = qmatmul_layer(attn_in, layers["wq"], li, backend, compute_dtype)
         k = qmatmul_layer(attn_in, layers["wk"], li, backend, compute_dtype)
         v = qmatmul_layer(attn_in, layers["wv"], li, backend, compute_dtype)
+        if "wq_s" in layers:  # bitnet per-tensor ternary scales (build_bitnet)
+            q = q * layers["wq_s"][li]
+            k = k * layers["wk_s"][li]
+            v = v * layers["wv_s"][li]
         if "bqkv" in layers:
             bq, bk, bv = jnp.split(layers["bqkv"][li], [h * dh, (h + h_kv) * dh])
             q = q + bq.astype(q.dtype)
@@ -397,6 +414,9 @@ def _layer_step(
                 alibi=alibi, q_pos=positions,
             )
     attn_flat = attn.reshape(b, t, -1)  # H * Dv (Dv != Dh for MLA)
+    if "attn_sub_norm" in layers:
+        # bitnet: RMS sub-norm on the attention output BEFORE wo
+        attn_flat = rms_norm(attn_flat, layers["attn_sub_norm"][li], cfg.rms_eps)
 
     from ..ops.pallas_ffn import ffn_block_pallas, supports_ffn_block
 
@@ -429,6 +449,8 @@ def _layer_step(
         x = out[:rows].reshape(b, t, d)
     else:
         attn_out = qmatmul_layer(attn_flat, layers["wo"], li, backend, compute_dtype)
+        if "wo_s" in layers:  # bitnet
+            attn_out = attn_out * layers["wo_s"][li]
         if "bo" in layers:  # attention output bias (gpt2/phi2/starcoder2)
             attn_out = attn_out + layers["bo"][li].astype(attn_out.dtype)
         if "post_attn_norm" in layers:  # gemma2 sandwich norm

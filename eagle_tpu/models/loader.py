@@ -601,6 +601,13 @@ def load_llama_params(
         "attn_k_norm_b": "attn_k_norm.bias",
         # jais: gated-FFN biases (gpt2-family archs use b_up/b_down only)
         "b_gate": "ffn_gate.bias",
+        # bitnet: ternary-weight per-tensor scales + pre-projection sub-norms
+        "attn_sub_norm": "attn_sub_norm.weight",
+        "ffn_sub_norm": "ffn_sub_norm.weight",
+        "wq_s": "attn_q.scale", "wk_s": "attn_k.scale", "wv_s": "attn_v.scale",
+        "wo_s": "attn_output.scale",
+        "w_gate_s": "ffn_gate.scale", "w_up_s": "ffn_up.scale",
+        "w_down_s": "ffn_down.scale",
         # LayerNorm-family archs (gpt2/starcoder2/phi2/falcon): norm biases,
         # attention output bias, FFN biases (canonical names llama-arch.cpp)
         "attn_norm_b": "attn_norm.bias",
@@ -643,6 +650,11 @@ def load_llama_params(
         # fused norm_attn_norm block — build_dbrx uses it as the MoE input
         # norm); route it into the runtime's ffn_norm slot
         optional["ffn_norm"] = "attn_output_norm.weight"
+    if cfg.arch == "grok":
+        # grok's post-attention / post-MoE norms live under the OUT_NORM
+        # names (build_grok) — same positions as gemma2's sandwich norms
+        optional["post_attn_norm"] = "attn_output_norm.weight"
+        optional["post_ffn_norm"] = "layer_output_norm.weight"
     if cfg.arch == "chatglm" and "w_gate" not in key_map:
         # chatglm stores [gate;up] fused in ffn_up (LLM_FFN_SWIGLU splits the
         # projection in half — build_chatglm); load it straight into the
