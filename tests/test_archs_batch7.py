@@ -209,3 +209,70 @@ def test_bitnet_parity(tmp_path, rng):
 
     np.testing.assert_allclose(run_fwd(params, cfg, tokens), ref,
                                atol=3e-3, rtol=1e-2)
+
+
+def test_phimoe_parity(tmp_path, rng):
+    """phimoe routes to build_phi3's MoE branch in the reference (mixtral
+    softmax-topk routing, RMS norms, NEOX rope; llama-arch.cpp:594 table —
+    note the fork models phimoe with RMS norms rather than HF's LayerNorm,
+    and this implementation matches the fork)."""
+    torch.manual_seed(103)
+    d, ffe, h, hk, dh, L, V, E, K = 32, 24, 4, 2, 8, 2, 128, 4, 2
+    path = tmp_path / "phimoe.gguf"
+    w = GGUFWriter(path)
+    _hdr(w, "phimoe", d=d, L=L, h=h, hk=hk, dh=dh, ff=ffe, V=V,
+         extra=[("phimoe.expert_count", E), ("phimoe.expert_used_count", K)])
+    sd = {}
+
+    def put(name, t):
+        sd[name] = t
+        w.add_tensor(name, t.numpy().astype(np.float32))
+
+    put("token_embd.weight", _r(V, d))
+    put("output_norm.weight", 1 + 0.1 * torch.randn(d))
+    put("output.weight", _r(V, d))
+    for i in range(L):
+        b = f"blk.{i}"
+        put(f"{b}.attn_norm.weight", 1 + 0.1 * torch.randn(d))
+        put(f"{b}.attn_q.weight", _r(h * dh, d))
+        put(f"{b}.attn_k.weight", _r(hk * dh, d))
+        put(f"{b}.attn_v.weight", _r(hk * dh, d))
+        put(f"{b}.attn_output.weight", _r(d, h * dh))
+        put(f"{b}.ffn_norm.weight", 1 + 0.1 * torch.randn(d))
+        put(f"{b}.ffn_gate_inp.weight", _r(E, d))
+        put(f"{b}.ffn_gate_exps.weight", _r(E, ffe, d))
+        put(f"{b}.ffn_up_exps.weight", _r(E, ffe, d))
+        put(f"{b}.ffn_down_exps.weight", _r(E, d, ffe))
+    w.write()
+
+    params, cfg, _ = load_llama_params(path)
+    assert not cfg.moe_softmax_all  # mixtral-style routing
+
+    tokens = rng.integers(0, V, size=(1, 9)).astype(np.int32)
+    with torch.no_grad():
+        tk = torch.tensor(tokens, dtype=torch.long)
+        x = sd["token_embd.weight"][tk]
+        for i in range(L):
+            b = f"blk.{i}"
+            hN = _rms_t(x, sd[f"{b}.attn_norm.weight"])
+            at = _attn_neox(hN, sd[f"{b}.attn_q.weight"], sd[f"{b}.attn_k.weight"],
+                            sd[f"{b}.attn_v.weight"], h, hk, dh,
+                            scale=1 / math.sqrt(dh))
+            x = x + at @ sd[f"{b}.attn_output.weight"].T
+            hN = _rms_t(x, sd[f"{b}.ffn_norm.weight"])
+            logits = hN @ sd[f"{b}.ffn_gate_inp.weight"].T
+            top = logits.topk(K, dim=-1).values[..., -1:]
+            pz = torch.where(logits >= top, logits,
+                             torch.full((), float("-inf"))).softmax(-1)
+            moe = torch.zeros_like(x)
+            for e in range(E):
+                moe = moe + pz[..., e:e + 1] * _gated(
+                    hN, sd[f"{b}.ffn_gate_exps.weight"][e],
+                    sd[f"{b}.ffn_up_exps.weight"][e],
+                    sd[f"{b}.ffn_down_exps.weight"][e])
+            x = x + moe
+        x = _rms_t(x, sd["output_norm.weight"])
+        ref = (x @ sd["output.weight"].T).numpy()
+
+    np.testing.assert_allclose(run_fwd(params, cfg, tokens), ref,
+                               atol=3e-3, rtol=1e-2)
