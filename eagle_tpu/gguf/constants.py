@@ -51,6 +51,8 @@ class GGMLType(enum.IntEnum):
     F64 = 28
     IQ1_M = 29
     BF16 = 30
+    TQ1_0 = 34  # ternary 1.6875 bpw (bitnet b1.58 — ggml.h:386)
+    TQ2_0 = 35  # ternary 2.0625 bpw
 
 
 @dataclass(frozen=True)
@@ -91,6 +93,9 @@ GGML_TYPE_TRAITS: dict[GGMLType, TypeTraits] = {
     GGMLType.IQ3_S: TypeTraits(QK_K, 2 + 13 * QK_K // 32 + QK_K // 64),
     GGMLType.IQ1_S: TypeTraits(QK_K, 2 + QK_K // 8 + QK_K // 16),
     GGMLType.IQ1_M: TypeTraits(QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32),
+    # ternary formats (ggml-common.h:225-240: qs[+qh] then trailing f16 d)
+    GGMLType.TQ1_0: TypeTraits(QK_K, (QK_K - 4 * QK_K // 64) // 5 + QK_K // 64 + 2),
+    GGMLType.TQ2_0: TypeTraits(QK_K, QK_K // 4 + 2),
 }
 
 

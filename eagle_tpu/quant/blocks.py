@@ -717,6 +717,98 @@ def _dequantize_bf16(data: np.ndarray, n: int) -> np.ndarray:
     return u.view("<f4").astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# TQ1_0 / TQ2_0 — ternary (bitnet b1.58) 256-value blocks, trailing f16 absmax
+# scale; values in {-1, 0, 1}. TQ1_0 packs 5 values/byte base-3 with the
+# fixed-point "q*3>>8" digit extraction trick, TQ2_0 is plain 2-bit
+# (ggml-quants.c quantize_row_tq1_0_ref:*, dequantize_row_tq1_0:2137).
+# ---------------------------------------------------------------------------
+
+
+def _lround(x: np.ndarray) -> np.ndarray:
+    """C lroundf: round half AWAY from zero (np.rint is half-even)."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int32)
+
+
+def _quantize_tq2_0(x: np.ndarray) -> np.ndarray:
+    nb = x.size // QK_K
+    xb = x.reshape(nb, QK_K).astype(np.float32)
+    d = np.abs(xb).max(axis=1)
+    id_ = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = (_lround(xb * id_[:, None]) + 1).astype(np.uint8)  # 0,1,2
+    # element (c*128 + n*32 + m) -> bits 2n of byte c*32+m
+    q4 = q.reshape(nb, 2, 4, 32)
+    qs = np.zeros((nb, 2, 32), np.uint8)
+    for n in range(4):
+        qs |= (q4[:, :, n] << (2 * n)).astype(np.uint8)
+    out = np.empty((nb, 66), np.uint8)
+    out[:, :64] = qs.reshape(nb, 64)
+    out[:, 64:] = _f16(d).view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def _dequantize_tq2_0(data: np.ndarray, n: int) -> np.ndarray:
+    nb = n // QK_K
+    blocks = data[: nb * 66].reshape(nb, 66)
+    d = _f16_bytes_to_f32(blocks[:, 64:66])
+    qs = blocks[:, :64].reshape(nb, 2, 32)
+    vals = np.empty((nb, 2, 4, 32), np.int8)
+    for l in range(4):
+        vals[:, :, l] = ((qs >> (2 * l)) & 3).astype(np.int8) - 1
+    return (vals.reshape(nb, QK_K).astype(np.float32) * d[:, None]).reshape(-1)[:n]
+
+
+def _tq1_pack(q: np.ndarray, denom: int) -> np.ndarray:
+    """Pack base-3 digit groups [..., n_digits] MSB-first into bytes with the
+    ceiling-division fixed-point encoding (quantize_row_tq1_0_ref)."""
+    val = np.zeros(q.shape[:-1], np.uint16)
+    for i in range(q.shape[-1]):
+        val = val * 3 + q[..., i]
+    return ((val.astype(np.uint32) * 256 + (denom - 1)) // denom).astype(np.uint8)
+
+
+def _tq1_unpack(b: np.ndarray, count: int) -> np.ndarray:
+    """Extract `count` digits [..., count] from the fixed-point bytes
+    (dequantize_row_tq1_0: q = byte * 3^n (mod 256); digit = (q*3) >> 8)."""
+    out = np.empty(b.shape + (count,), np.int8)
+    for nd in range(count):
+        qn = (b.astype(np.uint32) * (3 ** nd)) & 0xFF
+        out[..., nd] = ((qn * 3) >> 8).astype(np.int8) - 1
+    return out
+
+
+def _quantize_tq1_0(x: np.ndarray) -> np.ndarray:
+    nb = x.size // QK_K
+    xb = x.reshape(nb, QK_K).astype(np.float32)
+    d = np.abs(xb).max(axis=1)
+    id_ = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 0.0)
+    q = (_lround(xb * id_[:, None]) + 1).astype(np.uint16)  # 0,1,2
+    # 160 elems -> 32 bytes (5/byte, digit n at element n*32+m)
+    qa = _tq1_pack(q[:, :160].reshape(nb, 5, 32).transpose(0, 2, 1), 243)
+    # 80 elems -> 16 bytes (digit n at element 160 + n*16 + m)
+    qb = _tq1_pack(q[:, 160:240].reshape(nb, 5, 16).transpose(0, 2, 1), 243)
+    # 16 elems -> qh 4 bytes (digit m at element 240 + j + m*4)
+    qh = _tq1_pack(q[:, 240:].reshape(nb, 4, 4).transpose(0, 2, 1), 81)
+    out = np.empty((nb, 54), np.uint8)
+    out[:, :32] = qa
+    out[:, 32:48] = qb
+    out[:, 48:52] = qh
+    out[:, 52:] = _f16(d).view(np.uint8).reshape(nb, 2)
+    return out.reshape(-1)
+
+
+def _dequantize_tq1_0(data: np.ndarray, n: int) -> np.ndarray:
+    nb = n // QK_K
+    blocks = data[: nb * 54].reshape(nb, 54)
+    d = _f16_bytes_to_f32(blocks[:, 52:54])
+    vals = np.empty((nb, QK_K), np.int8)
+    # [nb, 32, 5] -> element n*32+m
+    vals[:, :160] = _tq1_unpack(blocks[:, :32], 5).transpose(0, 2, 1).reshape(nb, 160)
+    vals[:, 160:240] = _tq1_unpack(blocks[:, 32:48], 5).transpose(0, 2, 1).reshape(nb, 80)
+    vals[:, 240:] = _tq1_unpack(blocks[:, 48:52], 4).transpose(0, 2, 1).reshape(nb, 16)
+    return (vals.astype(np.float32) * d[:, None]).reshape(-1)[:n]
+
+
 _QUANTIZERS = {
     GGMLType.F32: _quantize_f32,
     GGMLType.F16: _quantize_f16,
@@ -735,6 +827,8 @@ _QUANTIZERS = {
     GGMLType.Q8_K: _quantize_q8_k,
     GGMLType.IQ4_NL: _quantize_iq4_nl,
     GGMLType.IQ4_XS: _quantize_iq4_xs,
+    GGMLType.TQ1_0: _quantize_tq1_0,
+    GGMLType.TQ2_0: _quantize_tq2_0,
 }
 
 _DEQUANTIZERS = {
@@ -755,6 +849,8 @@ _DEQUANTIZERS = {
     GGMLType.Q8_K: _dequantize_q8_k,
     GGMLType.IQ4_NL: _dequantize_iq4_nl,
     GGMLType.IQ4_XS: _dequantize_iq4_xs,
+    GGMLType.TQ1_0: _dequantize_tq1_0,
+    GGMLType.TQ2_0: _dequantize_tq2_0,
 }
 
 # codebook formats (decode-only, like gguf-py — see quant/iq_blocks.py)

@@ -196,3 +196,45 @@ def test_iq_repack_affine_exact(rng, qtype):
         vals = vals + bias.repeat(g, axis=1)
     want = blocks.dequantize(data.reshape(-1), qtype, (n_rows, k))
     np.testing.assert_array_equal(vals, want, err_msg=qtype.name)
+
+
+TQ_TYPES = [GGMLType.TQ1_0, GGMLType.TQ2_0]
+
+
+@pytest.mark.parametrize("qtype", TQ_TYPES)
+def test_tq_bit_exact_vs_oracle(rng, qtype, reference_gguf_py):
+    """Ternary formats (bitnet b1.58): quantize AND dequantize bit-exact vs
+    gguf-py (quantize_row_tq1_0_ref / dequantize_row_tq1_0 semantics incl.
+    the base-3 fixed-point packing and uint8 overflow digit extraction)."""
+    from gguf.quants import dequantize as ref_dq
+    from gguf.quants import quantize as ref_q
+
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    x = (np.sign(x) * (np.abs(x) > 0.8)).astype(np.float32) * 0.05
+
+    ours_q = blocks.quantize(x, qtype)
+    ref_name = getattr(reference_gguf_py.GGMLQuantizationType, qtype.name)
+    ref_bytes = np.asarray(ref_q(x, ref_name)).reshape(-1).view(np.uint8)
+    assert np.array_equal(ours_q, ref_bytes)
+
+    ours_d = blocks.dequantize(ours_q, qtype, x.shape)
+    ref_d = np.asarray(ref_dq(ref_bytes.reshape(4, -1), ref_name), dtype=np.float32)
+    assert np.array_equal(ours_d, ref_d)
+    # pure ternary data round-trips up to the f16 storage of the block scale
+    np.testing.assert_allclose(ours_d, x, atol=0, rtol=1e-3)
+
+
+@pytest.mark.parametrize("qtype", TQ_TYPES)
+def test_tq_gguf_roundtrip(rng, qtype, tmp_path):
+    """TQ tensors ride the GGUF writer/reader and dense-dequant load path."""
+    from eagle_tpu.gguf.reader import GGUFReader
+    from eagle_tpu.gguf.writer import GGUFWriter
+
+    x = (rng.integers(-1, 2, size=(8, 256)).astype(np.float32)) * 0.125
+    w = GGUFWriter(tmp_path / "tq.gguf")
+    w.add("general.architecture", "llama")
+    w.add_tensor("t.weight", x, qtype)
+    w.write()
+    r = GGUFReader(tmp_path / "tq.gguf")
+    assert r.tensors["t.weight"].ggml_type == int(qtype)
+    np.testing.assert_array_equal(r.tensor_f32("t.weight"), x)
