@@ -92,6 +92,12 @@ class ModelConfig:
     # qwen2vl: m-rope frequency sections (t/h/w[,extra] —
     # LLM_KV_ROPE_DIMENSION_SECTIONS); empty = standard rope
     mrope_sections: tuple = ()
+    # heterogeneous per-layer head counts (openelm/deci store arrays under
+    # the head-count keys; n_heads/n_kv_heads then hold the MAXIMUM — the KV
+    # cache allocation size). deci: head 0 = attention-free layer, kv 0 with
+    # heads > 0 = the Nemotron-51B "linear attention" (build_deci)
+    head_counts: tuple = ()
+    kv_head_counts: tuple = ()
 
     @property
     def is_recurrent(self) -> bool:
@@ -153,8 +159,23 @@ class ModelConfig:
             return v
 
         n_embd = int(k(Keys.LLM.EMBEDDING_LENGTH))
-        n_heads = int(k(Keys.Attention.HEAD_COUNT))
-        n_kv_heads = int(k(Keys.Attention.HEAD_COUNT_KV, n_heads))
+        def _is_arr(v):
+            return hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+
+        hc_raw = k(Keys.Attention.HEAD_COUNT)
+        if _is_arr(hc_raw):  # openelm/deci per-layer arrays
+            head_counts = tuple(int(v) for v in hc_raw)
+            n_heads = max(head_counts)
+        else:
+            head_counts = ()
+            n_heads = int(hc_raw)
+        kvc_raw = k(Keys.Attention.HEAD_COUNT_KV, n_heads)
+        if _is_arr(kvc_raw):
+            kv_head_counts = tuple(int(v) for v in kvc_raw)
+            n_kv_heads = max(kv_head_counts)
+        else:
+            kv_head_counts = ()
+            n_kv_heads = int(kvc_raw)
         # recurrent archs (mamba) store head_count == 0 (MambaModel converter)
         head_dim = int(k(Keys.Attention.KEY_LENGTH, n_embd // max(n_heads, 1)))
         vocab_size = md.get(Keys.LLM.VOCAB_SIZE.format(arch=arch))
@@ -174,7 +195,14 @@ class ModelConfig:
             n_heads=n_heads,
             n_kv_heads=n_kv_heads,
             head_dim=head_dim,
-            n_ff=int(k(Keys.LLM.FEED_FORWARD_LENGTH)),
+            n_ff=(
+                # openelm stores a per-layer array; weights carry exact sizes
+                max(int(v) for v in k(Keys.LLM.FEED_FORWARD_LENGTH))
+                if _is_arr(k(Keys.LLM.FEED_FORWARD_LENGTH))
+                else int(k(Keys.LLM.FEED_FORWARD_LENGTH))
+            ),
+            head_counts=head_counts,
+            kv_head_counts=kv_head_counts,
             rms_eps=float(k(eps_key, 1e-5)),
             rope_base=float(md.get(Keys.Rope.FREQ_BASE.format(arch=arch), 10000.0)),
             rope_dim=(
@@ -293,7 +321,7 @@ PERMUTED_ROPE_ARCHS = frozenset(
      # rotary permutes only the first rope_dim dims per head (loader handles).
      "olmo", "minicpm", "xverse", "baichuan", "orion", "internlm2", "plamo",
      "cohere2", "chatglm", "arctic", "deepseek", "deepseek2", "granitemoe",
-     "chameleon"}
+     "chameleon", "deci"}
 )
 
 #: archs on the mean-subtracted LayerNorm path (LLM_NORM in llm_build_norm)

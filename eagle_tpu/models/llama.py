@@ -388,8 +388,10 @@ def _layer_step(
         v_scale = _write(v_scale, v_s)
         attn = gqa_attention(
             q,
-            dequantize_kv(k_cache[cli, :, :, :lim], k_scale[cli, :, :, :lim]),
-            dequantize_kv(v_cache[cli, :, :, :lim], v_scale[cli, :, :, :lim]),
+            # :h_kv slices heterogeneous-GQA caches (openelm/deci) allocated
+            # at the max kv-head count; a no-op for homogeneous models
+            dequantize_kv(k_cache[cli, :, :h_kv, :lim], k_scale[cli, :, :h_kv, :lim]),
+            dequantize_kv(v_cache[cli, :, :h_kv, :lim], v_scale[cli, :, :h_kv, :lim]),
             mask,
             scale=cfg.attn_scale,
             softcap=cfg.attn_softcap,
@@ -404,12 +406,13 @@ def _layer_step(
             and cfg.attn_softcap == 0.0
             and alibi is None
             and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: Dv != Dk
+            and k_cache.shape[2] == h_kv  # hetero GQA stays on the XLA path
             and supports_flash(t, h, h_kv, lim, dh)
         ):
             attn = flash_attention_cached(q, k_cache, v_cache, mask, cli, s_limit=lim)
         else:
             attn = gqa_attention(
-                q, k_cache[cli, :, :, :lim], v_cache[cli, :, :, :lim], mask,
+                q, k_cache[cli, :, :h_kv, :lim], v_cache[cli, :, :h_kv, :lim], mask,
                 scale=cfg.attn_scale, softcap=cfg.attn_softcap,
                 alibi=alibi, q_pos=positions,
             )
@@ -570,6 +573,58 @@ def llama_forward(
         # the engines' cache invariant, so the window test uses slot indices.
         s_idx = jnp.arange(mask.shape[-1], dtype=jnp.int32)[None, None, :]
         mask_swa = mask & (positions[:, :, None] - s_idx < cfg.swa_window)
+
+    if "hetero" in params:
+        # heterogeneous per-layer shapes (openelm's NAS head/ffn schedules,
+        # deci's attention-free / linear-attention layers): no scan — a
+        # python loop with per-layer configs; the KV cache is allocated at
+        # the MAX kv-head count and each layer touches its first h_kv rows
+        k_all, v_all, k_s, v_s = kv.k, kv.v, kv.k_scale, kv.v_scale
+        act = (
+            jax.nn.silu if cfg.act == "silu"
+            else _relu2 if cfg.act == "relu2"
+            else partial(jax.nn.gelu, approximate=True)
+        )
+        for i, lyr in enumerate(params["hetero"]):
+            hc = cfg.head_counts[i] if cfg.head_counts else cfg.n_heads
+            kvc = cfg.kv_head_counts[i] if cfg.kv_head_counts else cfg.n_kv_heads
+            zero = jnp.int32(0)
+            cli = jnp.int32(i)
+            if hc == 0:
+                # deci attention-free layer: the block is FFN-only and the
+                # FFN input is the raw stream (build_deci's n_head == 0 arm)
+                ffn_in = _block_norm(cfg, lyr, "ffn_norm", x, zero)
+                out = _ffn(cfg, lyr, zero, ffn_in, act, backend, compute_dtype)
+                x = x + out * cfg.resid_scale
+            elif kvc == 0:
+                # deci "linear attention": wo over the normed stream
+                attn_in = _block_norm(cfg, lyr, "attn_norm", x, zero)
+                lin = qmatmul_layer(attn_in, lyr["wo"], zero, backend, compute_dtype)
+                x = x + lin * cfg.resid_scale
+                ffn_in = _block_norm(cfg, lyr, "ffn_norm", x, zero)
+                out = _ffn(cfg, lyr, zero, ffn_in, act, backend, compute_dtype)
+                x = x + out * cfg.resid_scale
+            else:
+                cfg_i = dataclasses.replace(cfg, n_heads=hc, n_kv_heads=kvc)
+                x, k_all, v_all, k_s, v_s = _layer_step(
+                    cfg_i, inv_freq, positions, slots, mask, compute_dtype,
+                    backend, x, lyr, zero, k_all, v_all, k_s, v_s,
+                    kv_limit=kv_limit, cache_li=cli,
+                    slots_contiguous=slots_contiguous,
+                )
+        kv = dataclasses.replace(kv, k=k_all, v=v_all, k_scale=k_s, v_scale=v_s)
+        hidden = (
+            layer_norm(x, params.get("output_norm"), params.get("output_norm_b"),
+                       cfg.rms_eps)
+            if cfg.norm_type == "layer"
+            else rms_norm(x, params.get("output_norm"), cfg.rms_eps)
+        )
+        logits = None
+        if return_logits:
+            logits = qmatmul(hidden, params["output"], backend, compute_dtype)
+            if cfg.logit_scale != 1.0:
+                logits = logits * cfg.logit_scale
+        return ForwardOutput(logits=logits, hidden=hidden, hidden_pre=x, kv=kv)
 
     # deepseek2 puts dense FFN layers before the MoE layers — different weight
     # shapes can't share one stack, so each structural group gets its own scan

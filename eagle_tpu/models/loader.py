@@ -221,6 +221,71 @@ def load_deepseek2_params(
     return _device_put_tree(params, put), cfg, reader.metadata
 
 
+def load_hetero_params(
+    reader: GGUFReader,
+    cfg: ModelConfig,
+    device_put: Callable | None = None,
+) -> tuple[dict[str, Any], ModelConfig, dict[str, Any]]:
+    """openelm / deci: per-layer head counts and FFN widths (NAS schedules)
+    differ, so layers cannot share one stacked scan — each layer becomes its
+    own single-entry group under params["hetero"] (build_openelm reads
+    hparams.n_head(il); build_deci additionally has attention-free and
+    linear-attention layers where q/k/v tensors are absent)."""
+    from .config import PERMUTED_ROPE_ARCHS
+
+    permuted = cfg.arch in PERMUTED_ROPE_ARCHS
+    names = {
+        "attn_norm": ("attn_norm.weight", None),
+        "wqkv": ("attn_qkv.weight", "kn"),  # openelm fused
+        "wq": ("attn_q.weight", "kn"),
+        "wk": ("attn_k.weight", "kn"),
+        "wv": ("attn_v.weight", "kn"),
+        "wo": ("attn_output.weight", "kn"),
+        "attn_q_norm": ("attn_q_norm.weight", None),
+        "attn_k_norm": ("attn_k_norm.weight", None),
+        "ffn_norm": ("ffn_norm.weight", None),
+        "w_gate": ("ffn_gate.weight", "kn"),
+        "w_up": ("ffn_up.weight", "kn"),
+        "w_down": ("ffn_down.weight", "kn"),
+    }
+    hetero = []
+    for i in range(cfg.n_layers):
+        hc = cfg.head_counts[i] if cfg.head_counts else cfg.n_heads
+        kvc = cfg.kv_head_counts[i] if cfg.kv_head_counts else cfg.n_kv_heads
+        q_perm = (
+            unpermute_rows(hc * cfg.head_dim, hc, cfg.rope_dim)
+            if permuted and hc else None
+        )
+        k_perm = (
+            unpermute_rows(kvc * cfg.head_dim, kvc, cfg.rope_dim)
+            if permuted and kvc else None
+        )
+        lyr: dict[str, Any] = {}
+        for ours, (suffix, layout) in names.items():
+            name = f"blk.{i}.{suffix}"
+            if name not in reader.tensors:
+                continue
+            perm = q_perm if ours == "wq" else k_perm if ours == "wk" else None
+            lyr[ours] = _stack([
+                _load_tensor(reader, name, row_perm=perm, layout=layout or "nk")
+            ])
+        hetero.append(lyr)
+
+    params: dict[str, Any] = {
+        "tok_embd": _load_tensor(reader, "token_embd.weight"),
+        "hetero": hetero,
+        "layers": {},  # scan path unused; kept for API uniformity
+    }
+    if "output_norm.weight" in reader.tensors:
+        params["output_norm"] = _load_tensor(reader, "output_norm.weight")
+    if "output.weight" in reader.tensors:
+        params["output"] = _load_tensor(reader, "output.weight", layout="kn")
+    else:
+        params["output"] = params["tok_embd"]
+    put = device_put if device_put is not None else jnp.asarray
+    return _device_put_tree(params, put), cfg, reader.metadata
+
+
 def load_deepseek1_params(
     reader: GGUFReader,
     cfg: ModelConfig,
@@ -583,6 +648,8 @@ def load_llama_params(
         nq, nkv = cfg.n_q_dim, cfg.n_kv_dim
         qkv_perm = np.concatenate([q_perm, nq + k_perm, nq + nkv + np.arange(nkv)])
 
+    if cfg.arch in ("openelm", "deci"):
+        return load_hetero_params(reader, cfg, device_put)
     if cfg.arch == "deepseek" and cfg.n_dense_layers:
         # deepseek v1: llama attention but deepseek2-style leading-dense /
         # MoE structural groups (build_deepseek, n_layer_dense_lead)
