@@ -141,18 +141,28 @@ class Engine:
         if grammar or json_schema:
             from .runtime.grammar import Grammar
             from .runtime.json_schema import json_schema_to_gbnf
+            from .runtime.speculative import EagleChainEngine
 
             gbnf = grammar or json_schema_to_gbnf(json_schema)
             g = Grammar(gbnf)
-            gen = self._plain_generator()
-            out = gen.generate_constrained(
-                ids, g, self.tokenizer, max_new_tokens=max_new_tokens,
-                sampler=sampler or self.cfg.sampler, seed=seed,
-            )
+            if isinstance(self.engine, EagleChainEngine):
+                # grammar COMPOSED with speculation: draft freely, validate
+                # every emitted token through the automaton host-side
+                out, stats = self.engine.generate_constrained(
+                    ids, g, self.tokenizer, max_new_tokens=max_new_tokens,
+                    seed=seed,
+                )
+            else:
+                gen = self._plain_generator()
+                out = gen.generate_constrained(
+                    ids, g, self.tokenizer, max_new_tokens=max_new_tokens,
+                    sampler=sampler or self.cfg.sampler, seed=seed,
+                )
+                stats = {"constrained": True}
             text = self.tokenizer.decode(
                 [t for t in out if t != self.tokenizer.eos_id], skip_special=True
             )
-            return text, {"constrained": True}
+            return text, stats
         if isinstance(self.engine, Generator):
             out = self.engine.generate(
                 ids, max_new_tokens=max_new_tokens,

@@ -58,6 +58,20 @@ class CycleOutput(NamedTuple):
     n_accepted: jax.Array  # [B] accepted draft tokens this cycle
 
 
+class Proposal(NamedTuple):
+    """Uncommitted cycle result for host-mediated acceptance (grammar
+    composition): drafts + greedy targets + top-k candidates per verify
+    position, with the post-write KV buffers held for _cycle_commit."""
+
+    drafts: jax.Array  # [B, K]
+    t_true: jax.Array  # [B, K+1] greedy target tokens
+    cand_ids: jax.Array  # [B, K+1, C] top-C target candidates per position
+    feats: jax.Array  # [B, K+1, D] features for the next draft step
+    tgt_kv: Any
+    dft_kv: Any
+    m: jax.Array  # [B] n_past at propose time
+
+
 class EagleChainEngine:
     """Single-sequence (B=1-oriented, but batch-shaped) chain speculation."""
 
@@ -350,6 +364,197 @@ class EagleChainEngine:
         return CycleOutput(
             state=new_state, tokens=t_true, n_out=n_acc + 1, n_accepted=n_acc
         )
+
+    # ------------------------------------------------------------------
+    # grammar-constrained speculation: the cycle splits into PROPOSE (draft +
+    # verify, no state commit) and COMMIT (host-decided acceptance length +
+    # final token). The host walks the proposed tokens through the grammar
+    # automaton between the two — the same candidate-list masking the
+    # reference's sampler chain applies per accepted token
+    # (src/llama-grammar.cpp:1120), composed with speculation.
+
+    def _cycle_propose(self, tp, dp, state: SpecState, kv_limit=None,
+                       n_cand: int = 64) -> Proposal:
+        b, K = self.batch, self.K
+        m = state.n_past
+
+        def draft_step(carry, k):
+            tok, feat, dkv = carry
+            pos = (m - 1 + k)[:, None]
+            dkv = dkv.with_tags(pos, pos)
+            mask = causal_mask_from_tags(dkv.slot_pos, pos)
+            out = eagle_forward(
+                dp, tp, self.dcfg, tok[:, None], feat[:, None], pos,
+                dkv, pos, mask, backend=self.draft_backend,
+                compute_dtype=self.compute_dtype, kv_limit=kv_limit,
+            )
+            nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
+            feat_next = self._pick_feature(out.feature, out.feature_pre)[:, 0]
+            return (nxt, feat_next, out.kv), nxt
+
+        (_, _, dft_kv), drafts = jax.lax.scan(
+            draft_step, (state.last_token, state.feature, state.dft_kv), jnp.arange(K)
+        )
+        drafts = drafts.T
+
+        v_tokens = jnp.concatenate([state.last_token[:, None], drafts], axis=1)
+        v_pos = m[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        tgt_kv = state.tgt_kv.with_tags(v_pos, v_pos)
+        mask = causal_mask_from_tags(tgt_kv.slot_pos, v_pos)
+        tout = llama_forward(
+            tp, self.tcfg, v_tokens, v_pos, tgt_kv, v_pos, mask,
+            backend=self.backend, compute_dtype=self.compute_dtype,
+            kv_limit=kv_limit, slots_contiguous=True,
+        )
+        t_true = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)
+        _, cand_ids = jax.lax.top_k(tout.logits, n_cand)
+        feats = self._pick_feature(tout.hidden, tout.hidden_pre)
+        return Proposal(drafts=drafts, t_true=t_true,
+                        cand_ids=cand_ids.astype(jnp.int32), feats=feats,
+                        tgt_kv=tout.kv, dft_kv=dft_kv, m=m)
+
+    def _cycle_commit(self, state: SpecState, prop: Proposal,
+                      n_final: jax.Array, final_token: jax.Array) -> SpecState:
+        """Commit n_final output tokens; the LAST one is `final_token` (may
+        differ from t_true when the grammar vetoed it)."""
+        b_idx = jnp.arange(self.batch)
+        new_m = prop.m + n_final
+        key, _ = jax.random.split(state.key)
+        return SpecState(
+            tgt_kv=prop.tgt_kv.rollback(keep_below=new_m),
+            dft_kv=prop.dft_kv.rollback(keep_below=new_m - 1),
+            last_token=final_token,
+            feature=prop.feats[b_idx, n_final - 1],
+            n_past=new_m,
+            key=key,
+        )
+
+    def generate_constrained(
+        self,
+        prompt_tokens,
+        grammar,
+        tokenizer,
+        max_new_tokens: int = 128,
+        seed: int = 0,
+        stop_at_eos: bool = True,
+    ) -> tuple[list[int], dict]:
+        """Grammar-constrained speculative decoding: every emitted token is
+        validated against (and advances) the grammar automaton; a vetoed
+        position truncates the cycle's acceptance and is replaced by the
+        best grammar-legal candidate from the target's top-64."""
+        from .grammar import TokenTrie
+
+        assert self.batch == 1, "constrained generation is single-sequence"
+        if not hasattr(self, "_propose_c"):  # compiled once per engine
+            self._propose_c = jax.jit(
+                self._cycle_propose, static_argnames=("kv_limit", "n_cand")
+            )
+            self._commit_c = jax.jit(self._cycle_commit, donate_argnames=("state",))
+        propose, commit = self._propose_c, self._commit_c
+
+        pieces = [tokenizer.piece(i) for i in range(self.tcfg.vocab_size)]
+        trie = TokenTrie(pieces)
+        eos = tokenizer.eos_id
+
+        state = self.fresh_state()
+        state = dataclasses.replace(state, key=jax.random.PRNGKey(seed))
+        prompt = np.asarray(prompt_tokens, dtype=np.int32)
+        n = len(prompt)
+        t = pad_bucket(n)
+        padded = np.zeros((self.batch, t), np.int32)
+        padded[0, :n] = prompt
+        state = self._prefill_jit(state, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t)
+
+        # the FIRST output token must be the masked argmax of the prefill's
+        # final-position logits (like the plain constrained generator) — the
+        # prefill sampled unmasked, so recompute that one logits row (the KV
+        # row it rewrites carries identical values)
+        def _tail_logits(tp, st, tok, pos):
+            kv = st.tgt_kv.with_tags(pos, pos)
+            mask = causal_mask_from_tags(kv.slot_pos, pos)
+            o = llama_forward(
+                tp, self.tcfg, tok, pos, kv, pos, mask, backend=self.backend,
+                compute_dtype=self.compute_dtype,
+            )
+            return o.logits[:, 0]
+
+        if not hasattr(self, "_tail_logits_c"):
+            self._tail_logits_c = jax.jit(_tail_logits)
+        logits0 = np.asarray(self._tail_logits_c(
+            self.tp, state,
+            jnp.asarray([[int(prompt[-1])]], jnp.int32),
+            jnp.asarray([[n - 1]], jnp.int32),
+        ))[0]
+        gmask = grammar.token_mask(trie)
+        if eos >= 0:
+            gmask[eos] = bool(grammar.can_end)
+        masked = np.where(gmask, logits0, -np.inf)
+        first = int(np.argmax(masked)) if np.isfinite(masked).any() else eos
+        state = dataclasses.replace(state, last_token=jnp.asarray([first], jnp.int32))
+        out = [first]
+        if first != eos:
+            grammar.accept_token(first, pieces[first])
+
+        n_cycles = n_accepted = 0
+        while len(out) < max_new_tokens and not (stop_at_eos and out[-1] == eos):
+            n_past = int(np.asarray(state.n_past)[0])
+            if n_past + self.K + 2 >= self.max_seq:
+                break
+            prop = propose(self.tp, self.dp, state,
+                           kv_limit=self.kv_read_bucket(n_past + self.K + 2),
+                           n_cand=min(256, self.tcfg.vocab_size))
+            drafts = np.asarray(prop.drafts)[0]
+            t_true = np.asarray(prop.t_true)[0]
+            cands = np.asarray(prop.cand_ids)[0]
+            # device acceptance: longest exact-match prefix
+            n_dev = 1
+            for p in range(self.K):
+                if drafts[p] == t_true[p]:
+                    n_dev += 1
+                else:
+                    break
+            # grammar walk over the proposed output tokens
+            kept: list[int] = []
+            final_tok = None
+            for p in range(n_dev):
+                tok = int(t_true[p])
+                gmask = grammar.token_mask(trie)
+                if eos >= 0:
+                    gmask[eos] = bool(grammar.can_end)
+                if gmask[tok]:
+                    kept.append(tok)
+                    if tok != eos:
+                        grammar.accept_token(tok, pieces[tok])
+                    if tok == eos:
+                        break
+                    continue
+                # vetoed: replace with the best grammar-legal candidate
+                repl = next((int(c) for c in cands[p] if gmask[c]), None)
+                if repl is None:
+                    legal = np.nonzero(gmask)[0]
+                    repl = int(legal[0]) if len(legal) else eos
+                kept.append(repl)
+                if repl != eos:
+                    grammar.accept_token(repl, pieces[repl])
+                final_tok = repl
+                break
+            n_final = len(kept)
+            final_tok = kept[-1] if final_tok is None else final_tok
+            state = commit(
+                state, prop, jnp.asarray([n_final], jnp.int32),
+                jnp.asarray([final_tok], jnp.int32),
+            )
+            out.extend(kept)
+            n_cycles += 1
+            n_accepted += max(0, n_final - 1)
+
+        stats = {
+            "constrained": True,
+            "n_cycles": n_cycles,
+            "n_accepted": n_accepted,
+            "mean_accept_len": (n_accepted + n_cycles) / max(1, n_cycles),
+        }
+        return out[: max_new_tokens], stats
 
     # ------------------------------------------------------------------
 
