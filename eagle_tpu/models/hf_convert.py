@@ -897,6 +897,41 @@ def params_from_hf_qwen2moe(model) -> tuple[dict, ModelConfig]:
     return jax.tree_util.tree_map(jnp.asarray, params), cfg
 
 
+def llama3_rope_factors(hf_config) -> np.ndarray | None:
+    """Per-frequency rope divisors for llama-3.1's smooth interpolation
+    (reference LlamaModel.generate_extra_tensors -> rope_freqs.weight).
+    Returns None when the config carries no llama3 rope_scaling."""
+    import math
+
+    rs = getattr(hf_config, "rope_scaling", None)
+    if not rs or str(rs.get("rope_type", rs.get("type", ""))).lower() != "llama3":
+        return None
+    base = getattr(hf_config, "rope_theta", 10000.0)
+    dim = getattr(hf_config, "head_dim", None) or (
+        hf_config.hidden_size // hf_config.num_attention_heads
+    )
+    freqs = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    factor = rs.get("factor", 8.0)
+    low_f = rs.get("low_freq_factor", 1.0)
+    high_f = rs.get("high_freq_factor", 4.0)
+    old_ctx = getattr(hf_config, "original_max_position_embeddings", None) or rs.get(
+        "original_max_position_embeddings", 8192
+    )
+    low_wl = old_ctx / low_f
+    high_wl = old_ctx / high_f
+    out = []
+    for f in freqs:
+        wl = 2 * math.pi / f
+        if wl < high_wl:
+            out.append(1.0)
+        elif wl > low_wl:
+            out.append(factor)
+        else:
+            smooth = (old_ctx / wl - low_f) / (high_f - low_f)
+            out.append(1.0 / ((1 - smooth) / factor + smooth))
+    return np.asarray(out, np.float32)
+
+
 def _default_qtype_for(name: str, w: np.ndarray, qtype: GGMLType) -> GGMLType:
     # 1-D tensors and norms stay f32 (same policy as llama_model_quantize's
     # default rules, src/llama-quant.cpp)
@@ -914,6 +949,7 @@ def convert_hf_to_gguf(
     qtype: GGMLType = GGMLType.F16,
     metadata: dict[str, Any] | None = None,
     arch: str | None = None,
+    rope_factors: "np.ndarray | None" = None,  # llama3_rope_factors output
 ):
     """Write a llama/eagle-architecture GGUF from an HF-layout state_dict."""
     arch = arch or cfg.arch
@@ -977,6 +1013,9 @@ def convert_hf_to_gguf(
                 w.add(key, val)
 
     sd = {k: _to_np(v) for k, v in state_dict.items()}
+
+    if rope_factors is not None:  # llama-3.1 smooth-interpolation divisors
+        w.add_tensor("rope_freqs.weight", np.asarray(rope_factors, np.float32))
 
     if arch in ("t5", "t5encoder"):
         # T5Model / T5EncoderModel converters: enc./dec. prefixed stacks,

@@ -551,6 +551,11 @@ def llama_forward(
         jnp.asarray(alibi_slopes(cfg.n_heads)) if cfg.use_alibi else None
     )
     inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    if "rope_factors" in params:
+        # per-frequency divisors (llama-3.1 smooth interpolation / phi3
+        # longrope): ggml_rope_ext divides theta by freq_factors[i]
+        # (rope_freqs.weight, reference LlamaModel.generate_extra_tensors)
+        inv_freq = inv_freq / params["rope_factors"]
     mrope_pos = mrope_sec = None
     if cfg.mrope_sections:
         from ..ops.rope import mrope_section_ids

@@ -790,6 +790,9 @@ def load_llama_params(
     # else: non-parametric final norm (olmo) — llama_forward norms with None
     if "output_norm.bias" in reader.tensors:
         params["output_norm_b"] = reader.tensor_f32("output_norm.bias")
+    if "rope_freqs.weight" in reader.tensors:
+        # llama-3.1 / longrope per-frequency divisors (LLM_TENSOR_ROPE_FREQS)
+        params["rope_factors"] = reader.tensor_f32("rope_freqs.weight")
     if "token_embd_norm.weight" in reader.tensors:  # bloom embedding LayerNorm
         params["tok_embd_norm"] = reader.tensor_f32("token_embd_norm.weight")
         if "token_embd_norm.bias" in reader.tensors:
