@@ -19,7 +19,12 @@ import jax.numpy as jnp
 
 from ..ops.attention import gqa_attention
 from ..ops.matmul import qmatmul, qmatmul_layer
-from ..ops.pallas_attention import flash_attention_cached, supports_flash
+from ..ops.pallas_attention import (
+    flash_attention_cached,
+    flash_attention_prefill,
+    supports_flash,
+    supports_flash_prefill,
+)
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import apply_rope, rope_freqs
 from ..quant.qtensor import QTensor
@@ -200,6 +205,7 @@ def _layer_step(
     v_scale: jax.Array | None = None,
     mask_swa: jax.Array | None = None,  # per-layer-alternating SWA (gemma2)
     kv_limit: int | None = None,  # static bound on attention reads (see llama_forward)
+    slot_tags: jax.Array | None = None,  # [B, S<=lim] tags for flash prefill
     cache_li: jax.Array | None = None,  # ABSOLUTE layer id for cache addressing
     # (differs from the weight-stack index `li` when layers are scanned in
     # structural groups — deepseek2's dense prefix)
@@ -403,6 +409,19 @@ def _layer_step(
 
         if (
             backend == "pallas"
+            and slot_tags is not None  # caller vouches the mask is tag-causal
+            and cfg.attn_softcap == 0.0
+            and alibi is None
+            and k_cache.shape[-1] == v_cache.shape[-1]
+            and k_cache.shape[2] == h_kv
+            and supports_flash_prefill(t, h, h_kv, lim, dh)
+        ):
+            attn = flash_attention_prefill(
+                q, k_cache, v_cache, positions, slot_tags, cli, s_limit=lim,
+                scale=cfg.attn_scale,
+            )
+        elif (
+            backend == "pallas"
             and cfg.attn_softcap == 0.0
             and alibi is None
             and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: Dv != Dk
@@ -517,6 +536,8 @@ def llama_forward(
     kv_limit: int | None = None,
     slots_contiguous: bool = False,
     mrope_positions: jax.Array | None = None,  # [3, B, T] (qwen2vl)
+    causal_tags_prefill: bool = False,  # mask IS causal_mask_from_tags: lets
+    # the pallas prefill flash kernel rebuild it in VMEM from the tags
 ) -> ForwardOutput:
     """Run the transformer.
 
@@ -571,6 +592,12 @@ def llama_forward(
     if kv_limit is not None:
         kv_limit = min(kv_limit, mask.shape[-1])
         mask = mask[..., :kv_limit]
+    slot_tags = None
+    import os as _os
+
+    if (causal_tags_prefill and cfg.swa_window == 0
+            and _os.environ.get("EAGLE_TPU_FLASH_PREFILL", "1") != "0"):
+        slot_tags = kv.slot_pos[:, : kv_limit if kv_limit else kv.slot_pos.shape[1]]
     mask_swa = None
     if cfg.swa_window > 0 and (cfg.swa_every > 0 or cfg.swa_full_every > 0):
         # gemma2: alternating global/sliding layers need both masks (the
@@ -654,6 +681,7 @@ def llama_forward(
                 kv_limit=kv_limit, cache_li=cli,
                 slots_contiguous=slots_contiguous, alibi=alibi,
                 mrope_pos=mrope_pos, mrope_sec=mrope_sec,
+                slot_tags=slot_tags,
             )
             return (x, k_all, v_all, k_s, v_s), None
 

@@ -71,6 +71,7 @@ class Generator:
             params, self.cfg, tokens, positions, kv, positions, mask,
             backend=self.backend, compute_dtype=self.compute_dtype,
             kv_limit=min(self.max_seq, max(t, 128)),
+            causal_tags_prefill=True,  # enables the prefill flash kernel
         )
         last = n_valid - 1
         b_idx = jnp.arange(b)
