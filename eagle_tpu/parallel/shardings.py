@@ -66,13 +66,22 @@ _LAYER_KIND = {
 }
 
 
+#: MoE expert tensors [L, E, ...]: the EXPERT axis shards over "model" —
+#: each device computes its local experts in the all-expert einsum and the
+#: router-weighted combine contracts the sharded axis, so GSPMD inserts ONE
+#: psum per MoE layer (the expert-parallelism story, SURVEY §2.4)
+_EXPERT_SHARDED = {"w_gate_exps", "w_up_exps", "w_down_exps"}
+
+
 def llama_param_specs(params: dict[str, Any]) -> dict[str, Any]:
     """Build a params-shaped pytree of PartitionSpecs."""
     layer_specs = {}
     for name, t in params["layers"].items():
         if name in _LAYER_KIND:
             layer_specs[name] = _apply_qspec(t, _LAYER_KIND[name], stacked=True)
-        else:  # norms [L, D]
+        elif name in _EXPERT_SHARDED:  # [L, E, F, D] dense expert stacks
+            layer_specs[name] = P(None, MODEL_AXIS, None, None)
+        else:  # norms [L, D] / router [L, E, D] / shared experts: replicated
             layer_specs[name] = P(None, None)
     specs: dict[str, Any] = {
         "tok_embd": P(None, None)
