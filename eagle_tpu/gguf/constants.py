@@ -162,6 +162,7 @@ class Keys:
         SCALING_FACTOR = "{arch}.rope.scaling.factor"
         SCALING_ORIG_CTX = "{arch}.rope.scaling.original_context_length"
         SCALING_ATTN_FACTOR = "{arch}.rope.scaling.attn_factor"
+        SCALING_YARN_LOG_MUL = "{arch}.rope.scaling.yarn_log_multiplier"
 
     class Tokenizer:
         MODEL = "tokenizer.ggml.model"

@@ -58,9 +58,9 @@ def bert_forward(
 
         alibi = jnp.asarray(alibi_slopes(h))
     if use_rope:
-        from ..ops.rope import apply_rope, rope_freqs
+        from ..ops.rope import apply_rope, rope_freqs_cfg
 
-        inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+        inv_freq, _ = rope_freqs_cfg(cfg)
 
     for li in range(cfg.n_layers):
         if "wqkv" in layers:  # nomic-bert fused projection, no biases

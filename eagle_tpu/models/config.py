@@ -27,6 +27,19 @@ class ModelConfig:
     n_ctx_train: int = 2048
     rope_scaling: str | None = None
     rope_scale_factor: float = 1.0
+    # YaRN long-context rope scaling (rope.scaling.* GGUF keys; cparams
+    # defaults per llama.cpp:11273-11277 / :11562-11564):
+    # original (pre-finetune) context the correction range is computed for
+    rope_orig_ctx: int = 0
+    # cos/sin magnitude multiplier (rope.scaling.attn_factor; phi3 longrope)
+    rope_attn_factor: float = 1.0
+    # extrapolation mix: <0 = auto (1.0 when scaling type is yarn, else 0)
+    rope_ext_factor: float = -1.0
+    rope_beta_fast: float = 32.0
+    rope_beta_slow: float = 1.0
+    # deepseek2: 0.1*mscale_all_dim — rope-side mscale is cancelled and
+    # attn_scale carries mscale² instead (build_deepseek2, llama.cpp:6766)
+    rope_yarn_log_mul: float = 0.0
     # EAGLE draft head (LLM_ARCH_EAGLE, src/llama-arch.h:69): single decoder
     # layer fed by ReLU(FC([embed; hidden])), no attn_norm / output_norm weight,
     # lm_head borrowed from the target model.
@@ -215,6 +228,15 @@ class ModelConfig:
             n_ctx_train=int(k(Keys.LLM.CONTEXT_LENGTH, 2048)),
             rope_scaling=md.get(Keys.Rope.SCALING_TYPE.format(arch=arch)),
             rope_scale_factor=float(md.get(Keys.Rope.SCALING_FACTOR.format(arch=arch), 1.0)),
+            rope_orig_ctx=int(
+                md.get(Keys.Rope.SCALING_ORIG_CTX.format(arch=arch), 0) or 0
+            ),
+            rope_attn_factor=float(
+                md.get(Keys.Rope.SCALING_ATTN_FACTOR.format(arch=arch), 1.0) or 1.0
+            ),
+            rope_yarn_log_mul=float(
+                md.get(Keys.Rope.SCALING_YARN_LOG_MUL.format(arch=arch), 0.0) or 0.0
+            ),
             is_eagle=(arch == "eagle"),
             attn_bias=(arch in ("qwen2", "qwen2moe", "starcoder2")),
             swa_window=int(md.get(f"{arch}.attention.sliding_window", 0) or 0),
@@ -251,6 +273,11 @@ class ModelConfig:
                 else 1.0 / head_dim if arch == "jais"
                 # grok's attn_output_multiplyer feeding 30*tanh (build_grok)
                 else 0.08838834764831845 if arch == "grok"
+                # deepseek2 YaRN: kq_scale = mscale²/sqrt(d) with mscale =
+                # attn_factor*(1 + yarn_log_mul*ln(factor)); the rope-side
+                # mscale is cancelled (build_deepseek2, llama.cpp:6764-6768)
+                else _ds2_yarn_kq_scale(md, arch, head_dim)
+                if md.get(Keys.Rope.SCALING_YARN_LOG_MUL.format(arch=arch))
                 else None
             ),
             act=(
@@ -341,6 +368,22 @@ PARALLEL_BLOCK_ARCHS = frozenset({"command-r", "phi2", "falcon", "gptj",
                                   "cohere2", "plamo"})
 
 #: archs with no rotary embedding at all (learned/ALiBi positions instead)
+def _ds2_yarn_kq_scale(md: dict, arch: str, head_dim: int) -> float:
+    """deepseek2/minicpm-family YaRN attention scale: the reference folds the
+    YaRN magnitude correction into kq_scale = mscale²/sqrt(n_embd_head_k) with
+    mscale = attn_factor*(1 + rope_yarn_log_mul*ln(1/freq_scale)) and cancels
+    the rope-side mscale (build_deepseek2, src/llama.cpp:6764-6768)."""
+    import math
+
+    factor = float(md.get(Keys.Rope.SCALING_FACTOR.format(arch=arch), 1.0) or 1.0)
+    attn_factor = float(
+        md.get(Keys.Rope.SCALING_ATTN_FACTOR.format(arch=arch), 1.0) or 1.0
+    )
+    log_mul = float(md.get(Keys.Rope.SCALING_YARN_LOG_MUL.format(arch=arch), 0.0))
+    mscale = attn_factor * (1.0 + log_mul * math.log(factor))
+    return mscale * mscale / math.sqrt(float(head_dim))
+
+
 NO_ROPE_ARCHS = frozenset({"gpt2", "starcoder", "bloom", "mpt", "refact",
                            "jais"})
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.matmul import qmatmul
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rope, rope_freqs
+from ..ops.rope import apply_rope, rope_freqs_cfg
 from ..runtime.kvcache import KVCache
 from .config import ModelConfig
 from .llama import _layer_step, embed_lookup
@@ -61,7 +61,7 @@ def eagle_forward(
         x = x + draft_params["fc_b"].astype(x.dtype)
     x = jax.nn.relu(x)
 
-    inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    inv_freq, _ = rope_freqs_cfg(cfg)  # mscale re-derived inside _layer_step
     if kv_limit is not None:
         kv_limit = min(kv_limit, mask.shape[-1])
         mask = mask[..., :kv_limit]

@@ -533,8 +533,47 @@ def fallback_qtype(qtype: GGMLType, row_len: int) -> GGMLType:
     return GGMLType.F16
 
 
+def _rope_scaling_from_hf(hf_config) -> dict:
+    """ModelConfig rope-scaling fields from an HF rope_scaling dict.
+
+    Mirrors the reference converter's yarn branch (convert_hf_to_gguf.py
+    set_gguf_parameters: add_rope_scaling_type YARN/LINEAR + factor +
+    orig_ctx_len); llama3 is handled separately via rope_freqs.weight
+    divisors (llama3_rope_factors)."""
+    rs = getattr(hf_config, "rope_scaling", None) or {}
+    rtype = str(rs.get("rope_type", rs.get("type", ""))).lower()
+    if rtype == "linear":
+        return {"rope_scaling": "linear",
+                "rope_scale_factor": float(rs.get("factor", 1.0))}
+    if rtype == "yarn":
+        out = {
+            "rope_scaling": "yarn",
+            "rope_scale_factor": float(rs.get("factor", 1.0)),
+            "rope_orig_ctx": int(
+                rs.get("original_max_position_embeddings", 0) or 0
+            ),
+        }
+        # HF's attention_factor is the TOTAL cos/sin multiplier; ggml's
+        # attn_factor is multiplied by (1 + 0.1*ln(factor)) inside rope_yarn
+        # (ggml-cpu.c:9369) — divide it out so the end result matches
+        af = rs.get("attention_factor")
+        if af is not None:
+            import math
+
+            out["rope_attn_factor"] = float(af) / (
+                1.0 + 0.1 * math.log(out["rope_scale_factor"])
+            )
+        if rs.get("beta_fast"):
+            out["rope_beta_fast"] = float(rs["beta_fast"])
+        if rs.get("beta_slow"):
+            out["rope_beta_slow"] = float(rs["beta_slow"])
+        return out
+    return {}
+
+
 def config_from_hf(hf_config) -> ModelConfig:
     return ModelConfig(
+        **_rope_scaling_from_hf(hf_config),
         arch="llama",
         vocab_size=hf_config.vocab_size,
         n_embd=hf_config.hidden_size,
@@ -968,6 +1007,15 @@ def convert_hf_to_gguf(
     w.add(Keys.Attention.LAYERNORM_RMS_EPS.format(arch=arch), cfg.rms_eps)
     w.add(Keys.Rope.DIMENSION_COUNT.format(arch=arch), cfg.rope_dim)
     w.add(Keys.Rope.FREQ_BASE.format(arch=arch), cfg.rope_base)
+    if cfg.rope_scaling:  # linear/yarn (reference add_rope_scaling_type)
+        w.add(Keys.Rope.SCALING_TYPE.format(arch=arch), cfg.rope_scaling)
+        w.add(Keys.Rope.SCALING_FACTOR.format(arch=arch), cfg.rope_scale_factor)
+        if cfg.rope_orig_ctx:
+            w.add(Keys.Rope.SCALING_ORIG_CTX.format(arch=arch), cfg.rope_orig_ctx)
+        if cfg.rope_attn_factor != 1.0:
+            w.add(Keys.Rope.SCALING_ATTN_FACTOR.format(arch=arch), cfg.rope_attn_factor)
+        if cfg.rope_yarn_log_mul:
+            w.add(Keys.Rope.SCALING_YARN_LOG_MUL.format(arch=arch), cfg.rope_yarn_log_mul)
     if cfg.n_expert:
         w.add(Keys.LLM.EXPERT_COUNT.format(arch=arch), cfg.n_expert)
         w.add(Keys.LLM.EXPERT_USED_COUNT.format(arch=arch), cfg.n_expert_used)

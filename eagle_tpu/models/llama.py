@@ -26,7 +26,7 @@ from ..ops.pallas_attention import (
     supports_flash_prefill,
 )
 from ..ops.norms import layer_norm, rms_norm
-from ..ops.rope import apply_rope, rope_freqs
+from ..ops.rope import apply_rope, rope_freqs, rope_freqs_cfg, rope_mscale_cfg
 from ..quant.qtensor import QTensor
 from ..runtime.kvcache import KVCache
 from .config import ModelConfig
@@ -264,8 +264,9 @@ def _layer_step(
         kvb = kvb.reshape(b, t, h, nope + vd)
         k_nope, v = jnp.split(kvb, [nope], axis=-1)
         q_nope, q_pe = jnp.split(q, [nope], axis=-1)
-        q_pe = apply_rope(q_pe, positions, inv_freq)
-        k_pe = apply_rope(k_pe[:, :, None, :], positions, inv_freq)
+        ms = rope_mscale_cfg(cfg)
+        q_pe = apply_rope(q_pe, positions, inv_freq, ms)
+        k_pe = apply_rope(k_pe[:, :, None, :], positions, inv_freq, ms)
         q = jnp.concatenate([q_nope, q_pe], axis=-1)
         k = jnp.concatenate(
             [k_nope, jnp.broadcast_to(k_pe, (*k_nope.shape[:-1], cfg.rope_dim))],
@@ -329,17 +330,21 @@ def _layer_step(
             # (build_qwen2vl, GGML_ROPE_TYPE_MROPE)
             from ..ops.rope import apply_mrope
 
-            q_r = apply_mrope(q, mrope_pos, inv_freq, mrope_sec)
-            k_r = apply_mrope(k, mrope_pos, inv_freq, mrope_sec)
+            ms = rope_mscale_cfg(cfg)
+            q_r = apply_mrope(q, mrope_pos, inv_freq, mrope_sec, ms)
+            k_r = apply_mrope(k, mrope_pos, inv_freq, mrope_sec, ms)
         elif cfg.rope_dim >= dh:
-            q_r = apply_rope(q, positions, inv_freq)
-            k_r = apply_rope(k, positions, inv_freq)
+            ms = rope_mscale_cfg(cfg)
+            q_r = apply_rope(q, positions, inv_freq, ms)
+            k_r = apply_rope(k, positions, inv_freq, ms)
         elif cfg.rope_dim > 0:
             # partial rotary (phi2/stablelm/gpt-neox rot_pct): only the first
-            # rope_dim features rotate (build_phi2, src/llama.cpp)
+            # rope_dim features rotate (build_phi2, src/llama.cpp) — mscale
+            # touches only the rotated slice, matching ggml_rope_ext
             rd = cfg.rope_dim
-            q_r = jnp.concatenate([apply_rope(q[..., :rd], positions, inv_freq), q[..., rd:]], axis=-1)
-            k_r = jnp.concatenate([apply_rope(k[..., :rd], positions, inv_freq), k[..., rd:]], axis=-1)
+            ms = rope_mscale_cfg(cfg)
+            q_r = jnp.concatenate([apply_rope(q[..., :rd], positions, inv_freq, ms), q[..., rd:]], axis=-1)
+            k_r = jnp.concatenate([apply_rope(k[..., :rd], positions, inv_freq, ms), k[..., rd:]], axis=-1)
         else:
             # rope_dim == 0: no rotary at all (gpt2 — learned absolute pos)
             q_r, k_r = q, k
@@ -571,11 +576,14 @@ def llama_forward(
     alibi = (
         jnp.asarray(alibi_slopes(cfg.n_heads)) if cfg.use_alibi else None
     )
-    inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    # linear + YaRN scaling and the magnitude correction mscale
+    # (ggml_rope_ext semantics — ops/rope.py:rope_freqs_cfg)
+    inv_freq, rope_mscale = rope_freqs_cfg(cfg)
     if "rope_factors" in params:
         # per-frequency divisors (llama-3.1 smooth interpolation / phi3
         # longrope): ggml_rope_ext divides theta by freq_factors[i]
-        # (rope_freqs.weight, reference LlamaModel.generate_extra_tensors)
+        # (rope_freqs.weight, reference LlamaModel.generate_extra_tensors) —
+        # the division commutes with the YaRN blend (both elementwise)
         inv_freq = inv_freq / params["rope_factors"]
     mrope_pos = mrope_sec = None
     if cfg.mrope_sections:

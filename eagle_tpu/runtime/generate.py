@@ -241,11 +241,16 @@ class Generator:
         tok = first
         while len(out) < max_new_tokens:
             if grp_attn_n > 1:
-                from ..ops.rope import rope_freqs
+                from ..ops.rope import rope_freqs_cfg
                 from .kvcache import self_extend_shift
 
-                inv_freq = rope_freqs(self.cfg.rope_dim, self.cfg.rope_base,
-                                      self.cfg.rope_scale_factor)
+                # delta re-rotations use the YaRN-blended frequencies but NOT
+                # mscale: K already carries its mscale from the forward, and
+                # rotation by a position delta must keep magnitudes so that
+                # shift == recompute holds exactly (the reference re-applies
+                # mscale in build_k_shift — a magnitude drift per shift we
+                # deliberately avoid)
+                inv_freq, _ = rope_freqs_cfg(self.cfg)
                 while pos >= ga_i + grp_attn_w:
                     self.kv, pos, ga_i = self_extend_shift(
                         self.kv, inv_freq, pos, ga_i, grp_attn_n, grp_attn_w
@@ -273,12 +278,11 @@ class Generator:
                 tok = toks[:, -1]
                 continue
             if context_shift_keep is not None and pos + chunk + 1 >= self.max_seq:
-                from ..ops.rope import rope_freqs
+                from ..ops.rope import rope_freqs_cfg
                 from .kvcache import context_shift
 
                 n_discard = (self.max_seq - context_shift_keep) // 2
-                inv_freq = rope_freqs(self.cfg.rope_dim, self.cfg.rope_base,
-                                      self.cfg.rope_scale_factor)
+                inv_freq, _ = rope_freqs_cfg(self.cfg)  # no mscale (see above)
                 self.kv = context_shift(self.kv, inv_freq, context_shift_keep, n_discard)
                 pos -= n_discard
             elif pos + chunk + 1 >= self.max_seq:

@@ -33,7 +33,7 @@ def collect_layer_hiddens(params: dict[str, Any], cfg, tokens) -> list[np.ndarra
     import jax.numpy as jnp
 
     from ..models.llama import _layer_step, embed_lookup
-    from ..ops.rope import rope_freqs
+    from ..ops.rope import rope_freqs_cfg
     from ..runtime.kvcache import KVCache, causal_mask_from_tags
 
     tokens = jnp.asarray(tokens)
@@ -43,7 +43,7 @@ def collect_layer_hiddens(params: dict[str, Any], cfg, tokens) -> list[np.ndarra
     x = embed_lookup(params["tok_embd"], tokens)
     if cfg.embd_scale != 1.0:
         x = x * jnp.asarray(cfg.embd_scale, x.dtype)
-    inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    inv_freq, _ = rope_freqs_cfg(cfg)
     positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
     kv = KVCache.create(cfg.n_layers, b, t, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
     kv = kv.with_tags(positions, positions)

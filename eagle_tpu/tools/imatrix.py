@@ -21,7 +21,7 @@ from ..models.config import ModelConfig
 from ..models.llama import embed_lookup
 from ..ops.matmul import qmatmul
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rope, rope_freqs
+from ..ops.rope import apply_rope, rope_freqs_cfg
 from ..ops.attention import gqa_attention
 from ..runtime.kvcache import KVCache, causal_mask_from_tags
 
@@ -41,7 +41,7 @@ def collect_imatrix(
         sums[name] = sums.get(name, 0) + v
         counts[name] = counts.get(name, 0) + x.shape[0] * x.shape[1]
 
-    inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    inv_freq, _ = rope_freqs_cfg(cfg)
     h, h_kv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     for chunk in token_chunks:

@@ -49,7 +49,7 @@ def trace_forward(
 
     from ..models.llama import _layer_step, embed_lookup, rms_norm
     from ..ops.matmul import qmatmul
-    from ..ops.rope import rope_freqs
+    from ..ops.rope import rope_freqs_cfg
     from ..runtime.kvcache import KVCache, causal_mask_from_tags
 
     compute_dtype = compute_dtype or jnp.float32
@@ -70,7 +70,7 @@ def trace_forward(
         x = x * jnp.asarray(cfg.embd_scale, x.dtype)
     emit("token_embd", x)
 
-    inv_freq = rope_freqs(cfg.rope_dim, cfg.rope_base, cfg.rope_scale_factor)
+    inv_freq, _ = rope_freqs_cfg(cfg)
     positions = jnp.tile(jnp.arange(t, dtype=jnp.int32), (b, 1))
     kv = KVCache.create(cfg.n_layers, b, t, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
     kv = kv.with_tags(positions, positions)
