@@ -1,111 +1,341 @@
-"""Chat template family tests (ref: tests/test-chat-template.cpp)."""
+"""Chat-template parity — pins every vector from the reference's own
+tests/test-chat-template.cpp (same 6-message conversation, same
+add_generation_prompt=true, same expected strings), plus the
+common_chat_format_single assertions (:358-394).
 
-from eagle_tpu.server.chat_templates import apply_template, detect_template
+The template source strings below are wire-format DATA (the actual jinja
+sources the detector must classify); escaping follows the C++ literals
+(`\\n` in a template source is a literal backslash-n, exactly as stored in
+tokenizer_config.json for those models)."""
 
-MSGS = [
-    {"role": "system", "content": "be nice"},
-    {"role": "user", "content": "hi"},
-    {"role": "assistant", "content": "hello"},
-    {"role": "user", "content": "bye"},
+from eagle_tpu.server.chat_templates import (
+    TEMPLATES,
+    apply_template,
+    detect_template,
+    format_single,
+)
+
+CONV = [
+    {"role": "system", "content": "You are a helpful assistant"},
+    {"role": "user", "content": "Hello"},
+    {"role": "assistant", "content": "Hi there"},
+    {"role": "user", "content": "Who are you"},
+    {"role": "assistant", "content": "   I am an assistant   "},
+    {"role": "user", "content": "Another question"},
+]
+
+# (name, family, template source, expected output) — test-chat-template.cpp:47-273.
+# The mistral v1/v3/v3-tekken sources are the detection-relevant fragments of
+# the official (multi-KB) templates; all other sources are complete.
+CASES = [
+    (
+        "teknium/OpenHermes-2.5-Mistral-7B",
+        "chatml",
+        "{% for message in messages %}{{'<|im_start|>' + message['role'] + '\\n' + message['content'] + '<|im_end|>' + '\\n'}}{% endfor %}{% if add_generation_prompt %}{{ '<|im_start|>assistant\\n' }}{% endif %}",
+        "<|im_start|>system\nYou are a helpful assistant<|im_end|>\n<|im_start|>user\nHello<|im_end|>\n<|im_start|>assistant\nHi there<|im_end|>\n<|im_start|>user\nWho are you<|im_end|>\n<|im_start|>assistant\n   I am an assistant   <|im_end|>\n<|im_start|>user\nAnother question<|im_end|>\n<|im_start|>assistant\n",
+    ),
+    (
+        "mistralai/Mistral-7B-Instruct-v0.2 (old pre-v1, no system prompt)",
+        "llama2",
+        "{{ bos_token }}{% for message in messages %}{% if (message['role'] == 'user') != (loop.index0 % 2 == 0) %}{{ raise_exception('Conversation roles must alternate user/assistant/user/assistant/...') }}{% endif %}{% if message['role'] == 'user' %}{{ '[INST] ' + message['content'] + ' [/INST]' }}{% elif message['role'] == 'assistant' %}{{ message['content'] + eos_token}}{% else %}{{ raise_exception('Only user and assistant roles are supported!') }}{% endif %}{% endfor %}",
+        "[INST] You are a helpful assistant\nHello [/INST]Hi there</s>[INST] Who are you [/INST]   I am an assistant   </s>[INST] Another question [/INST]",
+    ),
+    (
+        "TheBloke/FusionNet_34Bx2_MoE-AWQ",
+        "llama2-sys-bos",
+        "{%- for idx in range(0, messages|length) -%}\n{%- if messages[idx]['role'] == 'user' -%}\n{%- if idx > 1 -%}\n{{- bos_token + '[INST] ' + messages[idx]['content'] + ' [/INST]' -}}\n{%- else -%}\n{{- messages[idx]['content'] + ' [/INST]' -}}\n{%- endif -%}\n{% elif messages[idx]['role'] == 'system' %}\n{{- '[INST] <<SYS>>\\n' + messages[idx]['content'] + '\\n<</SYS>>\\n\\n' -}}\n{%- elif messages[idx]['role'] == 'assistant' -%}\n{{- ' '  + messages[idx]['content'] + ' ' + eos_token -}}\n{% endif %}\n{% endfor %}",
+        "[INST] <<SYS>>\nYou are a helpful assistant\n<</SYS>>\n\nHello [/INST]Hi there</s><s>[INST] Who are you [/INST]   I am an assistant   </s><s>[INST] Another question [/INST]",
+    ),
+    (
+        "bofenghuang/vigogne-2-70b-chat",
+        "llama2-sys-strip",
+        "{{ bos_token }}{% if messages[0]['role'] == 'system' %}{% set loop_messages = messages[1:] %}{% set system_message = messages[0]['content'] %}{% endif %}{% for message in loop_messages %}{% if loop.index0 == 0 and system_message != false %}{% set content = '<<SYS>>\\n' + system_message + '\\n<</SYS>>\\n\\n' + message['content'] %}{% else %}{% set content = message['content'] %}{% endif %}{% if message['role'] == 'user' %}{{ '[INST] ' + content.strip() + ' [/INST]' }}{% elif message['role'] == 'assistant' %}{{ ' '  + content.strip() + ' ' + eos_token }}{% endif %}{% endfor %}",
+        "[INST] <<SYS>>\nYou are a helpful assistant\n<</SYS>>\n\nHello [/INST]Hi there</s>[INST] Who are you [/INST]I am an assistant</s>[INST] Another question [/INST]",
+    ),
+    (
+        "mlabonne/AlphaMonarch-7B",
+        "monarch",
+        "{% for message in messages %}{{bos_token + message['role'] + '\\n' + message['content'] + eos_token + '\\n'}}{% endfor %}{% if add_generation_prompt %}{{ bos_token + 'assistant\\n' }}{% endif %}",
+        "system\nYou are a helpful assistant</s>\n<s>user\nHello</s>\n<s>assistant\nHi there</s>\n<s>user\nWho are you</s>\n<s>assistant\n   I am an assistant   </s>\n<s>user\nAnother question</s>\n<s>assistant\n",
+    ),
+    (
+        "google/gemma-7b-it",
+        "gemma",
+        "{% if messages[0]['role'] == 'system' %}{{ raise_exception('System role not supported') }}{% endif %}{% for message in messages %}{% if (message['role'] == 'assistant') %}{% set role = 'model' %}{% else %}{% set role = message['role'] %}{% endif %}{{ '<start_of_turn>' + role + '\\n' + message['content'] | trim + '<end_of_turn>\\n' }}{% endfor %}{% if add_generation_prompt %}{{'<start_of_turn>model\\n'}}{% endif %}",
+        "<start_of_turn>user\nYou are a helpful assistant\n\nHello<end_of_turn>\n<start_of_turn>model\nHi there<end_of_turn>\n<start_of_turn>user\nWho are you<end_of_turn>\n<start_of_turn>model\nI am an assistant<end_of_turn>\n<start_of_turn>user\nAnother question<end_of_turn>\n<start_of_turn>model\n",
+    ),
+    (
+        "OrionStarAI/Orion-14B-Chat",
+        "orion",
+        "{% for message in messages %}{% if loop.first %}{{ bos_token }}{% endif %}{% if message['role'] == 'user' %}{{ 'Human: ' + message['content'] + '\\n\\nAssistant: ' + eos_token }}{% elif message['role'] == 'assistant' %}{{ message['content'] + eos_token }}{% endif %}{% endfor %}",
+        "Human: You are a helpful assistant\n\nHello\n\nAssistant: </s>Hi there</s>Human: Who are you\n\nAssistant: </s>   I am an assistant   </s>Human: Another question\n\nAssistant: </s>",
+    ),
+    (
+        "openchat/openchat-3.5-0106",
+        "openchat",
+        "{{ bos_token }}{% for message in messages %}{{ 'GPT4 Correct ' + message['role'].title() + ': ' + message['content'] + '<|end_of_turn|>'}}{% endfor %}{% if add_generation_prompt %}{{ 'GPT4 Correct Assistant:' }}{% endif %}",
+        "You are a helpful assistant<|end_of_turn|>GPT4 Correct User: Hello<|end_of_turn|>GPT4 Correct Assistant: Hi there<|end_of_turn|>GPT4 Correct User: Who are you<|end_of_turn|>GPT4 Correct Assistant:    I am an assistant   <|end_of_turn|>GPT4 Correct User: Another question<|end_of_turn|>GPT4 Correct Assistant:",
+    ),
+    (
+        "deepseek-ai/deepseek-coder-33b-instruct",
+        "deepseek",
+        "{{bos_token}}{%- for message in messages %}\n    {%- if message['role'] == 'system' %}\n{{ message['content'] }}\n    {%- else %}\n        {%- if message['role'] == 'user' %}\n{{'### Instruction:\\n' + message['content'] + '\\n'}}\n        {%- else %}\n{{'### Response:\\n' + message['content'] + '\\n<|EOT|>\\n'}}\n        {%- endif %}\n    {%- endif %}\n{%- endfor %}\n{% if add_generation_prompt %}\n{{'### Response:'}}\n{% endif %}",
+        "You are a helpful assistant### Instruction:\nHello\n### Response:\nHi there\n<|EOT|>\n### Instruction:\nWho are you\n### Response:\n   I am an assistant   \n<|EOT|>\n### Instruction:\nAnother question\n### Response:\n",
+    ),
+    (
+        "eachadea/vicuna-13b-1.1",
+        "vicuna",
+        "{%- for message in messages %}{%- if message['role'] == 'system' -%}{{- '' + message['content'] + '\n\n' -}}{%- else -%}{%- if message['role'] == 'user' -%}{{-'USER: ' + message['content'] + '\n'-}}{%- else -%}{{-'ASSISTANT: ' + message['content'] + '</s>\n' -}}{%- endif -%}{%- endif -%}{%- endfor -%}{%- if add_generation_prompt -%}{{-'ASSISTANT:'-}}{%- endif -%}",
+        "You are a helpful assistant\n\nUSER: Hello\nASSISTANT: Hi there</s>\nUSER: Who are you\nASSISTANT:    I am an assistant   </s>\nUSER: Another question\nASSISTANT:",
+    ),
+    (
+        "Orca-Vicuna",
+        "vicuna-orca",
+        "{%- for message in messages %}{%- if message['role'] == 'system' -%}{{-'SYSTEM: ' + message['content'] + '\n' -}}{%- else -%}{%- if message['role'] == 'user' -%}{{-'USER: ' + message['content'] + '\n'-}}{%- else -%}{{-'ASSISTANT: ' + message['content'] + '</s>\n' -}}{%- endif -%}{%- endif -%}{%- endfor -%}{%- if add_generation_prompt -%}{{-'ASSISTANT:'-}}{%- endif -%}",
+        "SYSTEM: You are a helpful assistant\nUSER: Hello\nASSISTANT: Hi there</s>\nUSER: Who are you\nASSISTANT:    I am an assistant   </s>\nUSER: Another question\nASSISTANT:",
+    ),
+    (
+        "CohereForAI/c4ai-command-r-plus",
+        "command-r",
+        "{{ bos_token }}{% if messages[0]['role'] == 'system' %}{% set system_message = messages[0]['content'] %}{% endif %}{{ '<|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>' + system_message + '<|END_OF_TURN_TOKEN|>' }}{% for message in loop_messages %}{% if message['role'] == 'user' %}{{ '<|START_OF_TURN_TOKEN|><|USER_TOKEN|>' + content.strip() + '<|END_OF_TURN_TOKEN|>' }}{% elif message['role'] == 'assistant' %}{{ '<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>'  + content.strip() + '<|END_OF_TURN_TOKEN|>' }}{% endif %}{% endfor %}{% if add_generation_prompt %}{{ '<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>' }}{% endif %}",
+        "<|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>You are a helpful assistant<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|><|USER_TOKEN|>Hello<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>Hi there<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|><|USER_TOKEN|>Who are you<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>I am an assistant<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|><|USER_TOKEN|>Another question<|END_OF_TURN_TOKEN|><|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>",
+    ),
+    (
+        "Llama-3",
+        "llama3",
+        "{% set loop_messages = messages %}{% for message in loop_messages %}{% set content = '<|start_header_id|>' + message['role'] + '<|end_header_id|>\n\n'+ message['content'] | trim + '<|eot_id|>' %}{% if loop.index0 == 0 %}{% set content = bos_token + content %}{% endif %}{{ content }}{% endfor %}{{ '<|start_header_id|>assistant<|end_header_id|>\n\n' }}",
+        "<|start_header_id|>system<|end_header_id|>\n\nYou are a helpful assistant<|eot_id|><|start_header_id|>user<|end_header_id|>\n\nHello<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\nHi there<|eot_id|><|start_header_id|>user<|end_header_id|>\n\nWho are you<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\nI am an assistant<|eot_id|><|start_header_id|>user<|end_header_id|>\n\nAnother question<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\n",
+    ),
+    (
+        "Phi-3-mini",
+        "phi3",
+        "{{ bos_token }}{% for message in messages %}{% if (message['role'] == 'user') %}{{'<|user|>' + '\n' + message['content'] + '<|end|>' + '\n' + '<|assistant|>' + '\n'}}{% elif (message['role'] == 'assistant') %}{{message['content'] + '<|end|>' + '\n'}}{% endif %}{% endfor %}",
+        "<|system|>\nYou are a helpful assistant<|end|>\n<|user|>\nHello<|end|>\n<|assistant|>\nHi there<|end|>\n<|user|>\nWho are you<|end|>\n<|assistant|>\n   I am an assistant   <|end|>\n<|user|>\nAnother question<|end|>\n<|assistant|>\n",
+    ),
+    (
+        "Phi-3-small",
+        "phi3",
+        "{{ bos_token }}{% for message in messages %}{{'<|' + message['role'] + '|>' + '\n' + message['content'] + '<|end|>\n' }}{% endfor %}{% if add_generation_prompt %}{{ '<|assistant|>\n' }}{% else %}{{ eos_token }}{% endif %}",
+        "<|system|>\nYou are a helpful assistant<|end|>\n<|user|>\nHello<|end|>\n<|assistant|>\nHi there<|end|>\n<|user|>\nWho are you<|end|>\n<|assistant|>\n   I am an assistant   <|end|>\n<|user|>\nAnother question<|end|>\n<|assistant|>\n",
+    ),
+    (
+        "Phi-3-vision",
+        "phi3",
+        "{% for message in messages %}{{'<|' + message['role'] + '|>' + '\n' + message['content'] + '<|end|>\n' }}{% endfor %}{% if add_generation_prompt and messages[-1]['role'] != 'assistant' %}{{- '<|assistant|>\n' -}}{% endif %}",
+        "<|system|>\nYou are a helpful assistant<|end|>\n<|user|>\nHello<|end|>\n<|assistant|>\nHi there<|end|>\n<|user|>\nWho are you<|end|>\n<|assistant|>\n   I am an assistant   <|end|>\n<|user|>\nAnother question<|end|>\n<|assistant|>\n",
+    ),
+    (
+        "ChatGLM3",
+        "chatglm3",
+        "{% for message in messages %}{% if loop.first %}[gMASK]sop<|{{ message['role'] }}|>\n {{ message['content'] }}{% else %}<|{{ message['role'] }}|>\n {{ message['content'] }}{% endif %}{% endfor %}{% if add_generation_prompt %}<|assistant|>{% endif %}",
+        "[gMASK]sop<|system|>\n You are a helpful assistant<|user|>\n Hello<|assistant|>\n Hi there<|user|>\n Who are you<|assistant|>\n    I am an assistant   <|user|>\n Another question<|assistant|>",
+    ),
+    (
+        "ChatGLM4",
+        "chatglm4",
+        "[gMASK]<sop>{% for item in messages %}{% if item['content'] %}<|{{ item['role'] }}|>{{ item['metadata'] }}\n{{ item['content'] }}{% endif %}{% endfor %}{% if add_generation_prompt %}<|assistant|>{% endif %}",
+        "[gMASK]<sop><|system|>\nYou are a helpful assistant<|user|>\nHello<|assistant|>\nHi there<|user|>\nWho are you<|assistant|>\n   I am an assistant   <|user|>\nAnother question<|assistant|>",
+    ),
+    (
+        "GLMEdge",
+        "glmedge",
+        "{% for item in messages %}{% if item['role'] == 'system' %}<|system|>\n{{ item['content'] }}{% elif item['role'] == 'user' %}<|user|>\n{{ item['content'] }}{% elif item['role'] == 'assistant' %}<|assistant|>\n{{ item['content'] }}{% endif %}{% endfor %}<|assistant|>",
+        "<|system|>\nYou are a helpful assistant<|user|>\nHello<|assistant|>\nHi there<|user|>\nWho are you<|assistant|>\n   I am an assistant   <|user|>\nAnother question<|assistant|>",
+    ),
+    (
+        "MiniCPM-3B-OpenHermes-2.5-v2-GGUF",
+        "minicpm",
+        "{% for message in messages %}{% if message['role'] == 'user' %}{{'<用户>' + message['content'].strip() + '<AI>'}}{% else %}{{message['content'].strip()}}{% endif %}{% endfor %}",
+        "You are a helpful assistant<用户>Hello<AI>Hi there<用户>Who are you<AI>I am an assistant<用户>Another question<AI>",
+    ),
+    (
+        "DeepSeek-V2",
+        "deepseek2",
+        "{% if not add_generation_prompt is defined %}{% set add_generation_prompt = false %}{% endif %}{{ bos_token }}{% for message in messages %}{% if message['role'] == 'user' %}{{ 'User: ' + message['content'] + '\n\n' }}{% elif message['role'] == 'assistant' %}{{ 'Assistant: ' + message['content'] + eos_token }}{% elif message['role'] == 'system' %}{{ message['content'] + '\n\n' }}{% endif %}{% endfor %}{% if add_generation_prompt %}{{ 'Assistant:' }}{% endif %}",
+        "You are a helpful assistant\n\nUser: Hello\n\nAssistant: Hi there<｜end▁of▁sentence｜>User: Who are you\n\nAssistant:    I am an assistant   <｜end▁of▁sentence｜>User: Another question\n\nAssistant:",
+    ),
+    (
+        "ibm-granite/granite-3.0-8b-instruct",
+        "granite",
+        "{%- for message in messages %}\n    {%- if message['role'] == 'system' %}\n    {{- '<|start_of_role|>system<|end_of_role|>' + message['content'] + '<|end_of_text|>\n' }}\n    {%- elif message['role'] == 'user' %}\n    {{- '<|start_of_role|>user<|end_of_role|>' + message['content'] + '<|end_of_text|>\n' }}\n    {%- elif message['role'] == 'assistant' %}\n    {{- '<|start_of_role|>assistant<|end_of_role|>'  + message['content'] + '<|end_of_text|>\n' }}\n    {%- endif %}\n    {%- if loop.last and add_generation_prompt %}\n    {{- '<|start_of_role|>assistant<|end_of_role|>' }}\n    {%- endif %}\n{%- endfor %}",
+        "<|start_of_role|>system<|end_of_role|>You are a helpful assistant<|end_of_text|>\n<|start_of_role|>user<|end_of_role|>Hello<|end_of_text|>\n<|start_of_role|>assistant<|end_of_role|>Hi there<|end_of_text|>\n<|start_of_role|>user<|end_of_role|>Who are you<|end_of_text|>\n<|start_of_role|>assistant<|end_of_role|>   I am an assistant   <|end_of_text|>\n<|start_of_role|>user<|end_of_role|>Another question<|end_of_text|>\n<|start_of_role|>assistant<|end_of_role|>\n",
+    ),
+    (
+        "mistralai 'v1' (with system prompt)",
+        "mistral-v1",
+        "{%- if message['role'] == 'user' %}\n        {%- if loop.first and system_message is defined %}\n            {{- ' [INST] ' + system_message + '\\n\\n' + message['content'] + ' [/INST]' }}\n        {%- else %}\n            {{- ' [INST] ' + message['content'] + ' [/INST]' }}\n        {%- endif %}\n{%- endif %}",
+        " [INST] You are a helpful assistant\n\nHello [/INST] Hi there</s> [INST] Who are you [/INST]    I am an assistant   </s> [INST] Another question [/INST]",
+    ),
+    (
+        "Mistral-Large-Instruct-2407 ('v3')",
+        "mistral-v3",
+        '{{- "[AVAILABLE_TOOLS] [" }}{%- if loop.last and system_message is defined %}{{- "[INST] " + system_message + "\\n\\n" + message["content"] + "[/INST]" }}{%- else %}{{- "[INST] " + message["content"] + "[/INST]" }}{%- endif %}',
+        "[INST] You are a helpful assistant\n\nHello[/INST] Hi there</s>[INST] Who are you[/INST] I am an assistant</s>[INST] Another question[/INST]",
+    ),
+    (
+        "Mistral-Nemo-Instruct-2407 ('v3-tekken')",
+        "mistral-v3-tekken",
+        '{{- "[AVAILABLE_TOOLS][" }}{%- if loop.last and system_message is defined %}{{- "[INST]" + system_message + "\\n\\n" + message["content"] + "[/INST]" }}{%- else %}{{- "[INST]" + message["content"] + "[/INST]" }}{%- endif %}',
+        "[INST]You are a helpful assistant\n\nHello[/INST]Hi there</s>[INST]Who are you[/INST]   I am an assistant   </s>[INST]Another question[/INST]",
+    ),
+    (
+        "mistralai/Mistral-Large-Instruct-2411 ('v7')",
+        "mistral-v7",
+        "{{ bos_token }}{% for message in messages %}{% if message['role'] == 'user' %}{{ '[INST] ' + message['content'] + '[/INST]' }}{% elif message['role'] == 'system' %}{{ '[SYSTEM_PROMPT] ' + message['content'] + '[/SYSTEM_PROMPT]' }}{% elif message['role'] == 'assistant' %}{{ ' ' + message['content'] + eos_token }}{% else %}{{ raise_exception('Only user, system and assistant roles are supported!') }}{% endif %}{% endfor %}",
+        "[SYSTEM_PROMPT] You are a helpful assistant[/SYSTEM_PROMPT][INST] Hello[/INST] Hi there</s>[INST] Who are you[/INST]    I am an assistant   </s>[INST] Another question[/INST]",
+    ),
+    (
+        "ai-sage/GigaChat-20B-A3B-instruct",
+        "gigachat",
+        "{%- if message['role'] == 'user' -%}\n        {{ message['role'] + additional_special_tokens[0] + message['content'] + additional_special_tokens[1] -}}\n        {{ 'available functions' + additional_special_tokens[0] + additional_special_tokens[2] + additional_special_tokens[3]  + additional_special_tokens[1] -}}\n    {%- endif -%}",
+        "<s>You are a helpful assistant<|message_sep|>user<|role_sep|>Hello<|message_sep|>available functions<|role_sep|>[]<|message_sep|>assistant<|role_sep|>Hi there<|message_sep|>user<|role_sep|>Who are you<|message_sep|>available functions<|role_sep|>[]<|message_sep|>assistant<|role_sep|>   I am an assistant   <|message_sep|>user<|role_sep|>Another question<|message_sep|>available functions<|role_sep|>[]<|message_sep|>assistant<|role_sep|>",
+    ),
+    (
+        "Infinigence/Megrez-3B-Instruct",
+        "megrez",
+        "{% for message in messages %}{{ '<|role_start|>' + message['role'] + '<|role_end|>' + message['content'] + '<|turn_end|>' }}{% endfor %}{% if add_generation_prompt %}{{ '<|role_start|>assistant<|role_end|>' }}{% endif %}",
+        "<|role_start|>system<|role_end|>You are a helpful assistant<|turn_end|><|role_start|>user<|role_end|>Hello<|turn_end|><|role_start|>assistant<|role_end|>Hi there<|turn_end|><|role_start|>user<|role_end|>Who are you<|turn_end|><|role_start|>assistant<|role_end|>   I am an assistant   <|turn_end|><|role_start|>user<|role_end|>Another question<|turn_end|><|role_start|>assistant<|role_end|>",
+    ),
+    (
+        "phi-4",
+        "phi4",
+        "{% for message in messages %}{% if (message['role'] == 'system') %}{{'<|im_start|>system<|im_sep|>' + message['content'] + '<|im_end|>'}}{% elif (message['role'] == 'user') %}{{'<|im_start|>user<|im_sep|>' + message['content'] + '<|im_end|><|im_start|>assistant<|im_sep|>'}}{% elif (message['role'] == 'assistant') %}{{message['content'] + '<|im_end|>'}}{% endif %}{% endfor %}",
+        "<|im_start|>system<|im_sep|>You are a helpful assistant<|im_end|><|im_start|>user<|im_sep|>Hello<|im_end|><|im_start|>assistant<|im_sep|>Hi there<|im_end|><|im_start|>user<|im_sep|>Who are you<|im_end|><|im_start|>assistant<|im_sep|>   I am an assistant   <|im_end|><|im_start|>user<|im_sep|>Another question<|im_end|><|im_start|>assistant<|im_sep|>",
+    ),
 ]
 
 
-def test_chatml():
-    s = apply_template(MSGS, "chatml")
-    assert s.count("<|im_start|>") == 5 and s.endswith("<|im_start|>assistant\n")
+def test_reference_vectors():
+    """Detection + rendering of every test-chat-template.cpp case."""
+    for name, family, template_src, expected in CASES:
+        detected = detect_template(template_src)
+        assert detected == family, f"{name}: detected {detected}, want {family}"
+        out = apply_template(CONV, template=family, add_assistant=True)
+        assert out == expected, f"{name}:\n{out!r}\n!=\n{expected!r}"
 
 
-def test_llama2():
-    s = apply_template(MSGS, "llama2")
-    assert "<<SYS>>\nbe nice\n<</SYS>>" in s
-    assert s.count("[INST]") == 2
+def test_exaone3_and_rwkv_and_falcon_zephyr():
+    """Families not exercised by the reference's vector table — pinned to
+    llm_chat_apply_template's source (llama-chat.cpp:494-520, 286-302)."""
+    out = apply_template(CONV, template="exaone3")
+    assert out == (
+        "[|system|]You are a helpful assistant[|endofturn|]\n[|user|]Hello\n"
+        "[|assistant|]Hi there[|endofturn|]\n[|user|]Who are you\n"
+        "[|assistant|]I am an assistant[|endofturn|]\n[|user|]Another question\n"
+        "[|assistant|]"
+    )
+    out = apply_template(CONV[:2], template="rwkv-world", add_assistant=False)
+    assert out == "You are a helpful assistant\n\nUser: Hello\n\nAssistant:"
+    out = apply_template(CONV[:3], template="falcon3")
+    assert out == (
+        "<|system|>\nYou are a helpful assistant\n<|user|>\nHello\n"
+        "<|assistant|>\nHi there\n<|assistant|>\n"
+    )
+    out = apply_template(CONV[:3], template="zephyr")
+    assert out == (
+        "<|system|>\nYou are a helpful assistant<|endoftext|>\n<|user|>\n"
+        "Hello<|endoftext|>\n<|assistant|>\nHi there<|endoftext|>\n<|assistant|>\n"
+    )
+    out = apply_template(CONV[:2], template="deepseek3")
+    assert out == "You are a helpful assistant\n\n<｜User｜>Hello<｜Assistant｜>"
 
 
-def test_llama3():
-    s = apply_template(MSGS, "llama3")
-    assert s.startswith("<|begin_of_text|>")
-    assert s.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+def test_builtin_name_passthrough():
+    """llm_chat_template_from_str: an exact built-in name is used directly."""
+    for name in TEMPLATES:
+        assert detect_template(name) == name
 
 
-def test_vicuna():
-    s = apply_template(MSGS, "vicuna")
-    assert s.startswith("be nice ")
-    assert s.endswith("ASSISTANT:")
+def test_all_reference_families_present():
+    """Every LLM_CHAT_TEMPLATES entry (llama-chat.cpp:27-62) exists."""
+    reference_names = [
+        "chatml", "llama2", "llama2-sys", "llama2-sys-bos", "llama2-sys-strip",
+        "mistral-v1", "mistral-v3", "mistral-v3-tekken", "mistral-v7",
+        "phi3", "phi4", "falcon3", "zephyr", "monarch", "gemma", "orion",
+        "openchat", "vicuna", "vicuna-orca", "deepseek", "deepseek2",
+        "deepseek3", "command-r", "llama3", "chatglm3", "chatglm4", "glmedge",
+        "minicpm", "exaone3", "rwkv-world", "granite", "gigachat", "megrez",
+    ]
+    assert len(reference_names) == 33
+    for name in reference_names:
+        assert name in TEMPLATES, name
 
 
-def test_gemma_role_mapping():
-    s = apply_template(MSGS[1:], "gemma")
-    assert "<start_of_turn>model\nhello<end_of_turn>" in s
+SYS = {"role": "system", "content": "You are a helpful assistant"}
 
 
-def test_detection_from_jinja():
-    assert detect_template("{{ '<|im_start|>' }}") == "chatml"
-    assert detect_template("blah <|start_header_id|> blah") == "llama3"
-    assert detect_template("x [INST] y") == "mistral"
+def test_format_single_system():
+    """common_chat_format_single system-message asserts
+    (test-chat-template.cpp:358-368)."""
+    fmt_sys = lambda t: format_single([], SYS, template=t, add_assistant=False)  # noqa: E731
+    assert fmt_sys("chatml") == "<|im_start|>system\nYou are a helpful assistant<|im_end|>\n"
+    assert fmt_sys("mistral-v1") == " [INST] You are a helpful assistant\n\n"
+    assert fmt_sys("mistral-v3") == "[INST] You are a helpful assistant\n\n"
+    assert fmt_sys("mistral-v3-tekken") == "[INST]You are a helpful assistant\n\n"
+    assert fmt_sys("mistral-v7") == "[SYSTEM_PROMPT] You are a helpful assistant[/SYSTEM_PROMPT]"
+    assert fmt_sys("llama2") == "[INST] You are a helpful assistant\n"
+    assert fmt_sys("llama2-sys") == "[INST] <<SYS>>\nYou are a helpful assistant\n<</SYS>>\n\n"
+    assert fmt_sys("mistral") == "[INST] You are a helpful assistant\n"  # old pre-v1
+    assert fmt_sys("gemma") == ""  # merged into the next user message
+    assert fmt_sys("llama3") == "<|start_header_id|>system<|end_header_id|>\n\nYou are a helpful assistant<|eot_id|>"
+    assert fmt_sys("gigachat") == "<s>You are a helpful assistant<|message_sep|>"
+
+
+def test_format_single_user():
+    """common_chat_format_single user-message asserts
+    (test-chat-template.cpp:385-394)."""
+    past = [
+        SYS,
+        {"role": "user", "content": "Hello"},
+        {"role": "assistant", "content": "I am assistant"},
+    ]
+    new = {"role": "user", "content": "How are you"}
+    fmt = lambda t: format_single(past, new, template=t, add_assistant=True)  # noqa: E731
+    assert fmt("chatml") == "\n<|im_start|>user\nHow are you<|im_end|>\n<|im_start|>assistant\n"
+    assert fmt("mistral-v1") == " [INST] How are you [/INST]"
+    assert fmt("mistral-v3") == "[INST] How are you[/INST]"
+    assert fmt("mistral-v3-tekken") == "[INST]How are you[/INST]"
+    assert fmt("mistral-v7") == "[INST] How are you[/INST]"
+    assert fmt("llama2") == "[INST] How are you [/INST]"
+    assert fmt("mistral") == "[INST] How are you [/INST]"
+    assert fmt("gemma") == "\n<start_of_turn>user\nHow are you<end_of_turn>\n<start_of_turn>model\n"
+    assert fmt("llama3") == "<|start_header_id|>user<|end_header_id|>\n\nHow are you<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\n"
+    assert fmt("gigachat") == "user<|role_sep|>How are you<|message_sep|>available functions<|role_sep|>[]<|message_sep|>assistant<|role_sep|>"
+
+
+def test_unknown_falls_back_to_chatml():
+    # the reference errors on unknown templates; we fall back to chatml so the
+    # server always produces a usable prompt
+    assert detect_template("{{ some novel template }}") == "chatml"
     assert detect_template(None) == "chatml"
 
 
-# ---------------------------------------------------------------------------
-# jinja template EXECUTION (--jinja: the reference's minja mode)
-# ---------------------------------------------------------------------------
-
-CHATML_JINJA = (
-    "{% for message in messages %}{{'<|im_start|>' + message['role'] + '\n'"
-    " + message['content'] + '<|im_end|>' + '\n'}}{% endfor %}"
-    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}"
-)
-
-ZEPHYR_JINJA = (
-    "{% for message in messages %}\n{% if message['role'] == 'user' %}\n"
-    "{{ '<|user|>\n' + message['content'] + eos_token }}\n"
-    "{% elif message['role'] == 'system' %}\n"
-    "{{ '<|system|>\n' + message['content'] + eos_token }}\n"
-    "{% elif message['role'] == 'assistant' %}\n"
-    "{{ '<|assistant|>\n'  + message['content'] + eos_token }}\n"
-    "{% endif %}\n{% if loop.last and add_generation_prompt %}\n"
-    "{{ '<|assistant|>' }}\n{% endif %}\n{% endfor %}"
-)
-
-JMSGS = [
-    {"role": "system", "content": "be brief"},
-    {"role": "user", "content": "hi"},
-    {"role": "assistant", "content": "hello"},
-    {"role": "user", "content": "bye?"},
-]
+def test_jinja_mode_matches_native_for_chatml():
+    src = (
+        "{% for message in messages %}{{'<|im_start|>' + message['role'] + '\n'"
+        " + message['content'] + '<|im_end|>' + '\n'}}{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}{% endif %}"
+    )
+    native = apply_template(CONV, jinja_src=src)
+    jinja = apply_template(CONV, jinja_src=src, use_jinja=True)
+    assert native == jinja
 
 
-def test_jinja_chatml_matches_native():
-    from eagle_tpu.server.chat_templates import apply_template, render_jinja
-
-    got = render_jinja(CHATML_JINJA, JMSGS, add_assistant=True)
-    want = apply_template(JMSGS, template="chatml", add_assistant=True)
-    assert got == want
-
-
-def test_jinja_executes_real_constructs():
-    """loop.last / elif / eos_token / whitespace control — the constructs real
-    HF templates rely on (zephyr's official template)."""
-    from eagle_tpu.server.chat_templates import render_jinja
-
-    got = render_jinja(ZEPHYR_JINJA, JMSGS, add_assistant=True, eos_token="</s>")
-    assert got.count("</s>") == 4
-    assert got.rstrip().endswith("<|assistant|>")
-    assert "<|system|>\nbe brief</s>" in got
-
-
-def test_jinja_raise_exception_falls_back():
-    from eagle_tpu.server.chat_templates import apply_template
-
-    bad = "{{ raise_exception('nope') }}"
-    # jinja failure falls back to the detected native family (chatml default)
-    out = apply_template(JMSGS, jinja_src=bad, use_jinja=True)
-    assert "<|im_start|>" in out
-
-
-def test_jinja_tools_and_json_filter():
-    from eagle_tpu.server.chat_templates import render_jinja
-
-    src = "{% for t in tools %}{{ t['function']['name'] }}:{{ t | tojson }};{% endfor %}"
-    tools = [{"function": {"name": "f1"}}, {"function": {"name": "f2"}}]
-    got = render_jinja(src, [], tools=tools)
-    assert got.startswith("f1:") and ";f2:" in got and '"name": "f2"' in got
+def test_jinja_zephyr_loop_semantics():
+    # exercises loop.last / elif / eos_token inside the sandboxed engine
+    src = (
+        "{% for message in messages %}{% if message['role'] == 'user' %}"
+        "{{ '<|user|>\n' + message['content'] + eos_token }}"
+        "{% elif message['role'] == 'assistant' %}"
+        "{{ '<|assistant|>\n' + message['content'] + eos_token }}"
+        "{% else %}{{ '<|system|>\n' + message['content'] + eos_token }}"
+        "{% endif %}{% if loop.last and add_generation_prompt %}"
+        "{{ '<|assistant|>\n' }}{% endif %}{% endfor %}"
+    )
+    out = apply_template(
+        CONV[:3], jinja_src=src, use_jinja=True, eos_token="</s>",
+    )
+    assert out == (
+        "<|system|>\nYou are a helpful assistant</s><|user|>\nHello</s>"
+        "<|assistant|>\nHi there</s><|assistant|>\n"
+    )
