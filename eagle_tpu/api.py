@@ -128,6 +128,22 @@ class Engine:
             )
         return self._plain
 
+    def chat_session(
+        self, system: str | None = None, template: str | None = None,
+        use_jinja: bool = False,
+    ):
+        """Multi-turn interactive chat with KV reuse across turns (llama-cli
+        conversation mode). Uses the GGUF's embedded chat template."""
+        from .runtime.chat import ChatSession
+
+        return ChatSession(
+            self._plain_generator() if not isinstance(self.engine, Generator)
+            else self.engine,
+            self.tokenizer, template=template,
+            jinja_src=self.metadata.get("tokenizer.chat_template"),
+            use_jinja=use_jinja, system=system,
+        )
+
     def generate_text(
         self,
         prompt: str,

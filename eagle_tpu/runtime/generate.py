@@ -46,6 +46,9 @@ class Generator:
             self.cfg.head_dim, dtype=self.kv_dtype, v_head_dim=self.cfg.v_dim,
         )
         self._prefill_jit = jax.jit(self._prefill, static_argnames=("t",), donate_argnames=("kv",))
+        self._extend_jit = jax.jit(
+            self._extend, static_argnames=("t", "kv_limit"), donate_argnames=("kv",)
+        )
         self._decode_jit = jax.jit(
             self._decode_chunk, static_argnames=("n_steps", "scfg", "kv_limit"),
             donate_argnames=("kv",),
@@ -76,6 +79,27 @@ class Generator:
         last = n_valid - 1
         b_idx = jnp.arange(b)
         return out.logits[b_idx, last], out.hidden[b_idx, last], out.kv
+
+    def _extend(self, params, kv: KVCache, tokens, start, n_valid, t: int,
+                kv_limit: int):
+        """Prefill-at-offset: feed `tokens` [B, t] (n_valid real) at positions
+        start..start+t-1 on top of a live cache — the incremental decode the
+        reference does when a chat turn appends to an existing context
+        (llama_decode with n_past > 0). Returns (last_logits [B, V], kv)."""
+        b = tokens.shape[0]
+        offs = jnp.arange(t, dtype=jnp.int32)[None, :]
+        positions = start[:, None] + offs
+        valid = offs < n_valid[:, None]
+        kv = kv.with_tags(positions, positions, valid=valid)
+        mask = causal_mask_from_tags(kv.slot_pos, positions)
+        out = llama_forward(
+            params, self.cfg, tokens, positions, kv, positions, mask,
+            backend=self.backend, compute_dtype=self.compute_dtype,
+            kv_limit=kv_limit, causal_tags_prefill=True,
+        )
+        last = n_valid - 1
+        b_idx = jnp.arange(b)
+        return out.logits[b_idx, last], out.kv
 
     def _decode_chunk(self, params, kv: KVCache, first_token, start_pos, key, scfg: SamplerConfig, n_steps: int, sampler_state: SamplerState | None = None, start_slot=None, kv_limit: int | None = None):
         """Greedy/sampled decode of n_steps tokens inside one scan; with a

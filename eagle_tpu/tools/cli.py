@@ -37,7 +37,48 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default=None, choices=[None, "xla", "pallas"])
     ap.add_argument("--feature-source", default="pre_norm", choices=["pre_norm", "post_norm"])
+    ap.add_argument("--chat", action="store_true",
+                    help="interactive conversation mode (main.cpp -cnv): chat-"
+                         "template formatting + KV reuse across turns")
+    ap.add_argument("--system", default=None, help="system prompt (chat mode)")
+    ap.add_argument("--chat-template", default=None,
+                    help="force a template family (default: detect from GGUF)")
+    ap.add_argument("--jinja", action="store_true",
+                    help="execute the GGUF's embedded jinja template")
     return ap
+
+
+def chat_loop(eng, args, sampler) -> int:
+    """The reference's interactive conversation loop (examples/main): each
+    line from stdin is one user turn; only the template diff is fed (the
+    cache keeps the shared history)."""
+    session = eng.chat_session(system=args.system, template=args.chat_template,
+                               use_jinja=args.jinja)
+    print("== chat mode (ctrl-d or /exit to quit) ==", file=sys.stderr)
+    while True:
+        try:
+            line = input("> ")
+        except EOFError:
+            break
+        if line.strip() in ("/exit", "/quit"):
+            break
+        if not line.strip():
+            continue
+        t0 = time.time()
+        n_tok = [0]
+
+        def stream(tok_id, _n=n_tok):
+            _n[0] += 1
+            piece = eng.tokenizer.decode([tok_id], skip_special=True)
+            print(piece, end="", flush=True)
+
+        session.ask(line, max_new_tokens=args.n_predict, sampler=sampler,
+                    seed=args.seed, on_token=stream)
+        dt = time.time() - t0
+        print(f"\n[perf] {n_tok[0]} tokens in {dt:.2f}s "
+              f"({n_tok[0]/max(dt,1e-9):.1f} t/s, ctx {session.pos})",
+              file=sys.stderr)
+    return 0
 
 
 def main(argv=None):
@@ -71,6 +112,9 @@ def main(argv=None):
     t0 = time.time()
     eng = Engine(cfg)
     print(f"[load] {time.time()-t0:.1f}s model={args.model}", file=sys.stderr)
+
+    if args.chat:
+        return chat_loop(eng, args, sampler)
 
     t0 = time.time()
     text, stats = eng.generate_text(
