@@ -189,34 +189,21 @@ def main(argv=None):
         if a.startswith("--arch="):
             arch = a.split("=", 1)[1]
 
-    from ..models.config import ModelConfig
-    from ..models.hf_convert import convert_hf_to_gguf
+    from types import SimpleNamespace
+
+    from ..models.hf_convert import convert_hf_to_gguf, llama3_rope_factors
+    from ..models.hf_registry import config_from_hf_dict, detect_arch
 
     hf_cfg = json.loads((model_dir / "config.json").read_text())
-    archs = hf_cfg.get("architectures", ["LlamaForCausalLM"])
-    detected = arch or {
-        "LlamaForCausalLM": "llama",
-        "MistralForCausalLM": "llama",
-        "Qwen2ForCausalLM": "qwen2",
-    }.get(archs[0], "llama")
+    detected = arch or detect_arch(hf_cfg)
+    cfg = config_from_hf_dict(hf_cfg, arch=detected)
+    # llama-3.1 "rope_type: llama3" ships as per-frequency divisors
+    rope_factors = llama3_rope_factors(SimpleNamespace(**hf_cfg))
 
-    cfg = ModelConfig(
-        arch=detected,
-        vocab_size=hf_cfg["vocab_size"],
-        n_embd=hf_cfg["hidden_size"],
-        n_layers=hf_cfg["num_hidden_layers"],
-        n_heads=hf_cfg["num_attention_heads"],
-        n_kv_heads=hf_cfg.get("num_key_value_heads", hf_cfg["num_attention_heads"]),
-        head_dim=hf_cfg.get("head_dim") or hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"],
-        n_ff=hf_cfg["intermediate_size"],
-        rms_eps=hf_cfg.get("rms_norm_eps", 1e-5),
-        rope_base=hf_cfg.get("rope_theta", 10000.0),
-        rope_dim=hf_cfg.get("head_dim") or hf_cfg["hidden_size"] // hf_cfg["num_attention_heads"],
-        n_ctx_train=hf_cfg.get("max_position_embeddings", 2048),
-    )
     md = extract_tokenizer_metadata(model_dir)
     sd = load_hf_state_dict(model_dir)
-    convert_hf_to_gguf(sd, cfg, out, qtype=qtype, metadata=md, arch=detected)
+    convert_hf_to_gguf(sd, cfg, out, qtype=qtype, metadata=md, arch=detected,
+                       rope_factors=rope_factors)
     print(f"wrote {out} ({detected}, {qtype.name}, vocab {cfg.vocab_size})")
     return 0
 
