@@ -40,6 +40,12 @@ class EngineConfig:
     kv_dtype: Any = jnp.bfloat16
     feature_source: str = "pre_norm"
     sampler: SamplerConfig = dataclasses.field(default_factory=lambda: SamplerConfig(greedy=True))
+    #: serving weight layout (quant/serving.py): nibble-pack 4-bit formats
+    #: (value-preserving, ~2x decode on weight-bound shapes) and the scale
+    #: stream — "f32" (ggml's exact products) or "bf16" (half the scale
+    #: bytes; see the scale-mode quality study in BENCHMARKS.md)
+    scale_mode: str = "f32"
+    pack_weights: bool = True
 
 
 class Engine:
@@ -53,6 +59,11 @@ class Engine:
             self.params = apply_lora_to_params(
                 self.params, self.model_cfg, cfg.lora_path, scale_override=cfg.lora_scale
             )
+        from .quant.serving import prepare_params_for_serving
+
+        self.params = prepare_params_for_serving(
+            self.params, scale_mode=cfg.scale_mode, pack=cfg.pack_weights
+        )
         from .tokenizer.bpe import tokenizer_from_gguf_metadata
 
         self.tokenizer = tokenizer_from_gguf_metadata(self.metadata)
@@ -60,6 +71,9 @@ class Engine:
         self.draft_params = None
         if cfg.draft_path:
             self.draft_params, self.draft_cfg, _ = load_eagle_params(cfg.draft_path)
+            self.draft_params = prepare_params_for_serving(
+                self.draft_params, scale_mode=cfg.scale_mode, pack=cfg.pack_weights
+            )
             if cfg.tree2:
                 from .runtime.tree2 import EagleTree2Engine
 

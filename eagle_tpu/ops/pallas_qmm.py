@@ -17,6 +17,7 @@ inner grid dimension)."""
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.qtensor import QTensor
+
+#: split-dot dequant for nibble-packed weights: instead of concatenating the
+#: lo/hi nibble planes along sublanes, scale each plane in place and contract
+#: each against the matching half of x in its own MXU dot. MEASURED DEAD END
+#: on v5e (2026-08-20, kernel_bench nosplit vs split at 4096x11008 b8):
+#: 548.6 vs 444.9 GB/s effective (coded: 488.3 vs 362.6) — the two scale
+#: broadcasts + double dot issue cost more than the concat relayout Mosaic
+#: was apparently already folding. Kept for the record; off by default.
+_SPLIT_DEFAULT = os.environ.get("EAGLE_TPU_QMM_SPLIT", "0") not in ("0", "false")
+
+
+def _split_x_halves(x: jax.Array, g: int) -> jax.Array:
+    """[B, K] -> [2B, K/2]: rows 0..B hold the lo-nibble positions of every
+    group (k % g < g/2), rows B..2B the hi positions — matching the packed
+    nibble layout (QTensor.pack_nibbles: packed row j of a group holds values
+    (j, j + g/2) in (lo, hi))."""
+    b, k = x.shape
+    half = g // 2
+    xg = x.reshape(b, k // g, g)
+    return jnp.concatenate(
+        [xg[:, :, :half].reshape(b, k // 2), xg[:, :, half:].reshape(b, k // 2)], axis=0
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -146,7 +169,7 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
 
 def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
                 packed: bool, xs_ref=None, sup_ref=None, supmin_ref=None,
-                xst_ref=None):
+                xst_ref=None, split: bool = False):
     """One (TILE_K, TILE_N) weight tile: dequant on VPU, matmul on MXU.
 
     x: [B, TILE_K]; q: [TILE_K, TILE_N] int8 (or [TILE_K/2, TILE_N] nibble-
@@ -167,6 +190,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
     full-K resident blocks sliced by the K grid step; the bias side-dot runs
     per step against xst_ref ([TILE_K/G, B] transposed group-sums, streamed
     per step — lane-dim rules forbid slicing the [B, K/G] layout)."""
+    lo = hi = None
     if packed:
         tkp, tn = q_ref.shape
         tk = 2 * tkp
@@ -175,7 +199,8 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
         p = q_ref[:].reshape(tk // group, half, tn).astype(jnp.int32)
         lo = p & 0xF  # 0..15
         hi = (p >> 4) & 0xF  # mask kills the sign-extension of the arith shift
-        w = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+        if not split:
+            w = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
     else:
         tk, tn = q_ref.shape
         w = q_ref[:].astype(jnp.float32).reshape(tk // group, group, tn)
@@ -191,14 +216,33 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
         scale = (sup[:, None, :] * codes).reshape(tk // group, tn)
     else:
         scale = s_ref[:].astype(jnp.float32)
-    w = w * scale[:, None, :]
-    w = w.reshape(tk, tn).astype(compute_dtype)
-    acc = jax.lax.dot_general(
-        x_ref[:].astype(compute_dtype),
-        w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if packed and split:
+        # split-dot path: x_ref is [2B, TK/2] (lo rows then hi rows, prepared
+        # by _split_x_halves); scale each nibble plane and contract without
+        # ever materializing the concatenated weight tile
+        sc = scale[:, None, :]
+        wlo = (lo.astype(jnp.float32) * sc).reshape(tkp, tn).astype(compute_dtype)
+        whi = (hi.astype(jnp.float32) * sc).reshape(tkp, tn).astype(compute_dtype)
+        nb = o_ref.shape[0]
+        xs2 = x_ref[:].astype(compute_dtype)
+        acc = jax.lax.dot_general(
+            xs2[:nb], wlo,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            xs2[nb:], whi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        w = w * scale[:, None, :]
+        w = w.reshape(tk, tn).astype(compute_dtype)
+        acc = jax.lax.dot_general(
+            x_ref[:].astype(compute_dtype),
+            w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if sup_ref is not None and b_ref is not None:
         # coded bias: reconstruct this tile's [TK/G, TN] bias and fold it via
         # a per-step side-dot (the full-K resident trick is pointless once the
@@ -251,7 +295,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k")
+    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k", "split")
 )
 def qmatmul_pallas_2d(
     x: jax.Array,  # [B, K]
@@ -260,6 +304,7 @@ def qmatmul_pallas_2d(
     interpret: bool = False,
     tile_n: int | None = None,
     tile_k: int | None = None,
+    split: bool | None = None,
 ) -> jax.Array:
     assert w.layout == "kn", "pallas qmatmul requires K-major layout"
     g = w.group
@@ -271,6 +316,7 @@ def qmatmul_pallas_2d(
     b = x.shape[0]
     coded = w.sup is not None
     has_bias = w.bias is not None
+    split = (_SPLIT_DEFAULT if split is None else split) and w.packed
 
     # Mosaic: block last dims must be multiples of (8-ish, 128) or span the
     # whole array; tile_k also must divide into whole quant groups.
@@ -286,12 +332,17 @@ def qmatmul_pallas_2d(
     grid = (n // tile_n, k // tile_k)
 
     q_block = (tile_k // 2, tile_n) if w.packed else (tile_k, tile_n)
+    x_block = (
+        pl.BlockSpec((2 * b, tile_k // 2), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        if split
+        else pl.BlockSpec((b, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    )
     in_specs = [
-        pl.BlockSpec((b, tile_k), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        x_block,
         pl.BlockSpec(q_block, lambda i, j: (j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM),
     ]
-    args = [x, w.q, w.scale]  # scale/bias stream at their stored dtype
+    args = [_split_x_halves(x, g) if split else x, w.q, w.scale]
     if coded:
         # resident full-K super-scales (tiny), per-step code blocks, per-step
         # TRANSPOSED group-sums for the bias side-dot (see _qmm_kernel)
@@ -339,7 +390,8 @@ def qmatmul_pallas_2d(
         (o_ref,) = rest
         _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, group=g,
                     compute_dtype=compute_dtype, packed=w.packed, xs_ref=xs_ref,
-                    sup_ref=sup_ref, supmin_ref=supmin_ref, xst_ref=xst_ref)
+                    sup_ref=sup_ref, supmin_ref=supmin_ref, xst_ref=xst_ref,
+                    split=split)
 
     out = pl.pallas_call(
         kernel,
@@ -445,7 +497,7 @@ def qmatmul_pallas_2d_i4(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k")
+    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k", "split")
 )
 def qmatmul_pallas_stacked(
     x: jax.Array,  # [B, K]
@@ -455,6 +507,7 @@ def qmatmul_pallas_stacked(
     interpret: bool = False,
     tile_n: int | None = None,
     tile_k: int | None = None,
+    split: bool | None = None,
 ) -> jax.Array:
     """Layer-indexed matmul over layer-stacked weights.
 
@@ -475,6 +528,7 @@ def qmatmul_pallas_stacked(
     b = x.shape[0]
     coded = w.sup is not None
     has_bias = w.bias is not None
+    split = (_SPLIT_DEFAULT if split is None else split) and w.packed
 
     if tile_n is None and tile_k is None:
         tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed, b, coded, has_bias)
@@ -488,13 +542,18 @@ def qmatmul_pallas_stacked(
     grid = (n // tile_n, k // tile_k)
     q_block = (1, tile_k // 2, tile_n) if w.packed else (1, tile_k, tile_n)
 
+    x_block = (
+        pl.BlockSpec((2 * b, tile_k // 2), lambda i, j, l: (0, j), memory_space=pltpu.VMEM)
+        if split
+        else pl.BlockSpec((b, tile_k), lambda i, j, l: (0, j), memory_space=pltpu.VMEM)
+    )
     # index_map signature: (*grid_ids, *scalar_prefetch_refs)
     in_specs = [
-        pl.BlockSpec((b, tile_k), lambda i, j, l: (0, j), memory_space=pltpu.VMEM),
+        x_block,
         pl.BlockSpec(q_block, lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM),
     ]
-    args = [x, w.q, w.scale]
+    args = [_split_x_halves(x, g) if split else x, w.q, w.scale]
     if coded:
         in_specs.append(
             pl.BlockSpec((1, k // 256, tile_n), lambda i, j, l: (l[0], 0, i), memory_space=pltpu.VMEM)
@@ -550,13 +609,14 @@ def qmatmul_pallas_stacked(
             sup_ref=sup_ref,
             supmin_ref=supmin_ref,
             xst_ref=xst_ref,
+            split=split,
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, tile_n), lambda l, i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((b, tile_n), lambda i, j, l: (0, i), memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
@@ -569,7 +629,7 @@ def qmatmul_pallas_stacked(
             bytes_accessed=(k // (2 if w.packed else 1)) * n + (k // g) * n * 4 + b * k * 4,
             transcendentals=0,
         ),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), x, *args[1:])
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *args)
     return out
 
 
@@ -637,7 +697,7 @@ def qmatmul_pallas_stacked_i4(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((b, tile_n), lambda l, i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((b, tile_n), lambda i, j, l: (0, i), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         kernel,

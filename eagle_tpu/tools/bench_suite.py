@@ -84,10 +84,11 @@ def main(argv=None):
         run_pp(1)  # compile
         per = _time_slope(run_pp, 1, 4)
         rows.append({"test": f"pp{t}", "t/s": round(t / per, 1)})
+        del gen, run_pp  # free the KV buffer before the next config
 
     # -- decode throughput ---------------------------------------------------
     tg = int(args.tg.split(",")[0])
-    for b in (int(x) for x in args.batch.split(",")):
+    for b in (int(x) for x in args.batch.split(",")) if tg > 0 else ():
         gen = Generator(params, cfg, max_seq=args.max_seq, batch=b,
                         backend="pallas", eos_id=-1)
         scfg = SamplerConfig(greedy=True)
@@ -114,6 +115,7 @@ def main(argv=None):
         run_tg(8)
         per = _time_slope(run_tg, 8, tg)
         rows.append({"test": f"tg{tg} b{b}", "t/s": round(b / per, 1)})
+        del gen, run_tg  # free this batch size's dense KV before the next
 
     # -- speculative cycle ---------------------------------------------------
     if args.spec:

@@ -121,6 +121,31 @@ def main(argv=None):
               (w_dense,), bytes_dense)
     if "packed" in variants:
         bench("q4-packed", lambda x, w: qmatmul_pallas_2d(x, w), (qt_packed,), bytes_q4)
+    if "nosplit" in variants:
+        # concat-based dequant (pre round-3 baseline) vs the split-dot default
+        bench("q4-nosplit", lambda x, w: qmatmul_pallas_2d(x, w, split=False),
+              (qt_packed,), bytes_q4)
+    if "split" in variants:
+        bench("q4-split", lambda x, w: qmatmul_pallas_2d(x, w, split=True),
+              (qt_packed,), bytes_q4)
+    if "coded" in variants or "codedsplit" in variants:
+        # coded-scales (bit-exact) mode: u8 codes + f32 super-scales; K must be
+        # a multiple of 256 (Q4_K super-blocks)
+        codes = rng.integers(1, 64, size=(K // G, N)).astype(np.int8)
+        mcodes = rng.integers(0, 64, size=(K // G, N)).astype(np.int8)
+        sup = (np.abs(rng.standard_normal((K // 256, N))) * 0.01 + 1e-3).astype(np.float32)
+        supm = (np.abs(rng.standard_normal((K // 256, N))) * 1e-3).astype(np.float32)
+        qt_coded = QTensor(q=jnp.asarray(packed_np.view(np.int8)),
+                           scale=jnp.asarray(codes), bias=jnp.asarray(mcodes),
+                           group=G, layout="kn", packed=True,
+                           sup=jnp.asarray(sup), sup_min=jnp.asarray(supm))
+        bytes_coded = K * N // 2 + (K // G) * N * 2 + (K // 256) * N * 8
+        if "coded" in variants:
+            bench("q4-coded", lambda x, w: qmatmul_pallas_2d(x, w, split=False),
+                  (qt_coded,), bytes_coded)
+        if "codedsplit" in variants:
+            bench("q4-codedsp", lambda x, w: qmatmul_pallas_2d(x, w, split=True),
+                  (qt_coded,), bytes_coded)
     if "int8" in variants:
         bench("q4-int8", lambda x, w: qmatmul_pallas_2d(x, w), (qt_int8,), bytes_q8)
     if "int4" in variants:

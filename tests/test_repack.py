@@ -127,7 +127,10 @@ def test_pallas_packed_matches_unpacked(rng, qtype):
     got = np.asarray(
         qmatmul_pallas(jnp.asarray(x), qt.pack_nibbles(), compute_dtype=jnp.float32, interpret=True)
     )
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # the packed kernel's split-dot path sums the lo/hi nibble planes in a
+    # different order than the unpacked single dot — identical dequant values,
+    # reordered f32 accumulation
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_xla_path_handles_packed(rng):
