@@ -213,6 +213,8 @@ def _layer_step(
     alibi: jax.Array | None = None,  # [H] per-head ALiBi slopes (bloom/mpt)
     mrope_pos: jax.Array | None = None,  # [3, B, T] qwen2vl t/h/w positions
     mrope_sec=None,  # [D/2] static section ids (qwen2vl mrope)
+    page_table: jax.Array | None = None,  # [B, MP] paged pool indirection
+    page_size: int = 0,  # STATIC page rows (paged caches only)
 ):
     """One transformer layer. Weights stay layer-stacked; matmuls address the
     stack through `li` (scalar-prefetched on the pallas backend so no
@@ -362,84 +364,148 @@ def _layer_step(
     k_hm = k.transpose(0, 2, 1, 3)  # [B, H_kv, T, D]
     v_hm = v.transpose(0, 2, 1, 3)
 
-    # T == 1 is trivially a contiguous run, EXCEPT that scatter DROPS
-    # out-of-bounds slots while dynamic_update_slice clamps them — so the
-    # auto-promotion stays off when a caller could pass slot -1 (callers that
-    # do — chunked prefill's shifted draft row — use scatter by not opting in)
-    slots_contiguous = slots_contiguous or t == 1
-    if slots_contiguous and b <= 16:
-        # per-row slots are a contiguous run (slots[b] = slots[b,0] + arange):
-        # write via dynamic_update_slice — the generic gather-indexed scatter
-        # measured 16.4 us per cache write on v5e (2 per layer ≈ 1 ms per
-        # 32-layer verify forward), the dus ~2 us. One dus per batch row (b is
-        # static and small on the decode path; rows update disjoint [b] lanes).
-        def _write(cache, upd):  # cache [L,B,H,S,...], upd [B,H,T,...]
-            upd = upd.astype(cache.dtype)
-            for bi in range(b):
-                idx = (cli, bi, 0, slots[bi, 0]) + (0,) * (upd.ndim - 3)
-                cache = jax.lax.dynamic_update_slice(
-                    cache, upd[bi][None, None], idx
+    if page_table is not None:
+        # paged pool (runtime/paged_kv.py): caches are [L, P, H, page, D]
+        # pools; logical slot s of row b lives at pool page
+        # page_table[b, s // page], row s % page. Writes scatter through the
+        # table (drop on unmapped); reads gather the mapped pages into a
+        # contiguous per-slot view and run the same attention. The serving
+        # invariant (PagedBatcher): every row's write window is mapped to a
+        # PRIVATE page — shared prefix pages are never written.
+        from ..runtime.paged_kv import gather_pages
+
+        ps = page_size
+        pg = jnp.where(slots >= 0, slots // ps, 0)
+        pg = jnp.minimum(pg, page_table.shape[1] - 1)
+        phys = jnp.where(slots >= 0, jnp.take_along_axis(page_table, pg, axis=1), -1)
+        rows_w = jnp.where(slots >= 0, slots % ps, 0)
+        if t == 1 and b <= 16:
+            # decode fast path: one dynamic_update_slice per row (the paged
+            # counterpart of the dense dus promotion below); callers keep
+            # every row's current page mapped, so clamping can't misfire
+            def _pwrite(cache, upd):  # upd [B, H, 1, ...]
+                upd = upd.astype(cache.dtype)
+                for bi in range(b):
+                    idx = (cli, phys[bi, 0], 0, rows_w[bi, 0]) + (0,) * (cache.ndim - 4)
+                    cache = jax.lax.dynamic_update_slice(cache, upd[bi][None, None], idx)
+                return cache
+        else:
+            def _pwrite(cache, upd):  # scatter: drops unmapped (-1) pages
+                return cache.at[cli, phys[:, None, :], h_idx, rows_w[:, None, :]].set(
+                    upd.astype(cache.dtype)
                 )
-            return cache
-    else:
-        def _write(cache, upd):  # scatter: arbitrary per-row slot vectors
-            return cache.at[cli, b_idx, h_idx, s_idx].set(upd.astype(cache.dtype))
 
-    # attention reads cover cache slots [0, lim) only — `mask` arrives already
-    # sliced to lim by llama_forward; writes above still address the full cache
-    lim = kv_limit if kv_limit is not None else k_cache.shape[3]
-    if k_scale is not None:  # int8 KV: per-vector absmax quantization on write
-        from ..runtime.kvcache import dequantize_kv, quantize_kv_vec
+        lim_p = kv_limit if kv_limit is not None else page_table.shape[1] * ps
+        np_lim = max(1, -(-lim_p // ps))
+        if k_scale is not None:
+            from ..runtime.kvcache import dequantize_kv, quantize_kv_vec
 
-        k_q, k_s = quantize_kv_vec(k_hm)
-        v_q, v_s = quantize_kv_vec(v_hm)
-        k_cache = _write(k_cache, k_q)
-        v_cache = _write(v_cache, v_q)
-        k_scale = _write(k_scale, k_s)
-        v_scale = _write(v_scale, v_s)
+            k_q, k_s = quantize_kv_vec(k_hm)
+            v_q, v_s = quantize_kv_vec(v_hm)
+            k_cache = _pwrite(k_cache, k_q)
+            v_cache = _pwrite(v_cache, v_q)
+            k_scale = _pwrite(k_scale, k_s)
+            v_scale = _pwrite(v_scale, v_s)
+            k_read = dequantize_kv(
+                gather_pages(k_cache, cli, page_table, np_lim),
+                gather_pages(k_scale, cli, page_table, np_lim), compute_dtype,
+            )
+            v_read = dequantize_kv(
+                gather_pages(v_cache, cli, page_table, np_lim),
+                gather_pages(v_scale, cli, page_table, np_lim), compute_dtype,
+            )
+        else:
+            k_cache = _pwrite(k_cache, k_hm)
+            v_cache = _pwrite(v_cache, v_hm)
+            k_read = gather_pages(k_cache, cli, page_table, np_lim)
+            v_read = gather_pages(v_cache, cli, page_table, np_lim)
         attn = gqa_attention(
-            q,
-            # :h_kv slices heterogeneous-GQA caches (openelm/deci) allocated
-            # at the max kv-head count; a no-op for homogeneous models
-            dequantize_kv(k_cache[cli, :, :h_kv, :lim], k_scale[cli, :, :h_kv, :lim]),
-            dequantize_kv(v_cache[cli, :, :h_kv, :lim], v_scale[cli, :, :h_kv, :lim]),
-            mask,
-            scale=cfg.attn_scale,
-            softcap=cfg.attn_softcap,
+            q, k_read[:, :h_kv], v_read[:, :h_kv],
+            mask[..., : np_lim * ps],
+            scale=cfg.attn_scale, softcap=cfg.attn_softcap,
             alibi=alibi, q_pos=positions,
         )
-    else:
-        k_cache = _write(k_cache, k_hm)
-        v_cache = _write(v_cache, v_hm)
+        # falls through to the shared wo/FFN tail below
 
-        if (
-            backend == "pallas"
-            and slot_tags is not None  # caller vouches the mask is tag-causal
-            and cfg.attn_softcap == 0.0
-            and alibi is None
-            and k_cache.shape[-1] == v_cache.shape[-1]
-            and k_cache.shape[2] == h_kv
-            and supports_flash_prefill(t, h, h_kv, lim, dh)
-        ):
-            attn = flash_attention_prefill(
-                q, k_cache, v_cache, positions, slot_tags, cli, s_limit=lim,
-                scale=cfg.attn_scale,
-            )
-        elif (
-            backend == "pallas"
-            and cfg.attn_softcap == 0.0
-            and alibi is None
-            and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: Dv != Dk
-            and k_cache.shape[2] == h_kv  # hetero GQA stays on the XLA path
-            and supports_flash(t, h, h_kv, lim, dh)
-        ):
-            attn = flash_attention_cached(q, k_cache, v_cache, mask, cli, s_limit=lim)
+    if page_table is None:
+        # T == 1 is trivially a contiguous run, EXCEPT that scatter DROPS
+        # out-of-bounds slots while dynamic_update_slice clamps them — so the
+        # auto-promotion stays off when a caller could pass slot -1 (callers that
+        # do — chunked prefill's shifted draft row — use scatter by not opting in)
+        slots_contiguous = slots_contiguous or t == 1
+        if slots_contiguous and b <= 16:
+            # per-row slots are a contiguous run (slots[b] = slots[b,0] + arange):
+            # write via dynamic_update_slice — the generic gather-indexed scatter
+            # measured 16.4 us per cache write on v5e (2 per layer ≈ 1 ms per
+            # 32-layer verify forward), the dus ~2 us. One dus per batch row (b is
+            # static and small on the decode path; rows update disjoint [b] lanes).
+            def _write(cache, upd):  # cache [L,B,H,S,...], upd [B,H,T,...]
+                upd = upd.astype(cache.dtype)
+                for bi in range(b):
+                    idx = (cli, bi, 0, slots[bi, 0]) + (0,) * (upd.ndim - 3)
+                    cache = jax.lax.dynamic_update_slice(
+                        cache, upd[bi][None, None], idx
+                    )
+                return cache
         else:
+            def _write(cache, upd):  # scatter: arbitrary per-row slot vectors
+                return cache.at[cli, b_idx, h_idx, s_idx].set(upd.astype(cache.dtype))
+
+        # attention reads cover cache slots [0, lim) only — `mask` arrives already
+        # sliced to lim by llama_forward; writes above still address the full cache
+        lim = kv_limit if kv_limit is not None else k_cache.shape[3]
+        if k_scale is not None:  # int8 KV: per-vector absmax quantization on write
+            from ..runtime.kvcache import dequantize_kv, quantize_kv_vec
+
+            k_q, k_s = quantize_kv_vec(k_hm)
+            v_q, v_s = quantize_kv_vec(v_hm)
+            k_cache = _write(k_cache, k_q)
+            v_cache = _write(v_cache, v_q)
+            k_scale = _write(k_scale, k_s)
+            v_scale = _write(v_scale, v_s)
             attn = gqa_attention(
-                q, k_cache[cli, :, :h_kv, :lim], v_cache[cli, :, :h_kv, :lim], mask,
-                scale=cfg.attn_scale, softcap=cfg.attn_softcap,
+                q,
+                # :h_kv slices heterogeneous-GQA caches (openelm/deci) allocated
+                # at the max kv-head count; a no-op for homogeneous models
+                dequantize_kv(k_cache[cli, :, :h_kv, :lim], k_scale[cli, :, :h_kv, :lim]),
+                dequantize_kv(v_cache[cli, :, :h_kv, :lim], v_scale[cli, :, :h_kv, :lim]),
+                mask,
+                scale=cfg.attn_scale,
+                softcap=cfg.attn_softcap,
                 alibi=alibi, q_pos=positions,
             )
+        else:
+            k_cache = _write(k_cache, k_hm)
+            v_cache = _write(v_cache, v_hm)
+
+            if (
+                backend == "pallas"
+                and slot_tags is not None  # caller vouches the mask is tag-causal
+                and cfg.attn_softcap == 0.0
+                and alibi is None
+                and k_cache.shape[-1] == v_cache.shape[-1]
+                and k_cache.shape[2] == h_kv
+                and supports_flash_prefill(t, h, h_kv, lim, dh)
+            ):
+                attn = flash_attention_prefill(
+                    q, k_cache, v_cache, positions, slot_tags, cli, s_limit=lim,
+                    scale=cfg.attn_scale,
+                )
+            elif (
+                backend == "pallas"
+                and cfg.attn_softcap == 0.0
+                and alibi is None
+                and k_cache.shape[-1] == v_cache.shape[-1]  # MLA: Dv != Dk
+                and k_cache.shape[2] == h_kv  # hetero GQA stays on the XLA path
+                and supports_flash(t, h, h_kv, lim, dh)
+            ):
+                attn = flash_attention_cached(q, k_cache, v_cache, mask, cli, s_limit=lim)
+            else:
+                attn = gqa_attention(
+                    q, k_cache[cli, :, :h_kv, :lim], v_cache[cli, :, :h_kv, :lim], mask,
+                    scale=cfg.attn_scale, softcap=cfg.attn_softcap,
+                    alibi=alibi, q_pos=positions,
+                )
     attn_flat = attn.reshape(b, t, -1)  # H * Dv (Dv != Dh for MLA)
     if "attn_sub_norm" in layers:
         # bitnet: RMS sub-norm on the attention output BEFORE wo
@@ -597,6 +663,11 @@ def llama_forward(
             else jnp.broadcast_to(positions[None], (3, *positions.shape))
         )
     layers = params["layers"]
+    page_table = getattr(kv, "page_table", None)
+    page_size = getattr(kv, "page_size", 0) or 0
+    if page_table is not None and kv_limit is not None:
+        # paged reads gather whole pages — round the read bound up to a page
+        kv_limit = min(-(-kv_limit // page_size) * page_size, kv.max_seq)
     if kv_limit is not None:
         kv_limit = min(kv_limit, mask.shape[-1])
         mask = mask[..., :kv_limit]
@@ -615,6 +686,7 @@ def llama_forward(
         mask_swa = mask & (positions[:, :, None] - s_idx < cfg.swa_window)
 
     if "hetero" in params:
+        assert page_table is None, "paged KV: homogeneous-layer archs only"
         # heterogeneous per-layer shapes (openelm's NAS head/ffn schedules,
         # deci's attention-free / linear-attention layers): no scan — a
         # python loop with per-layer configs; the KV cache is allocated at
@@ -690,6 +762,7 @@ def llama_forward(
                 slots_contiguous=slots_contiguous, alibi=alibi,
                 mrope_pos=mrope_pos, mrope_sec=mrope_sec,
                 slot_tags=slot_tags,
+                page_table=page_table, page_size=page_size,
             )
             return (x, k_all, v_all, k_s, v_s), None
 

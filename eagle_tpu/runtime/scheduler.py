@@ -50,8 +50,17 @@ class Slot:
         return len(self.generated) >= self.max_new
 
 
-def _take_row_kv(kv: KVCache, slot) -> KVCache:
-    """B=1 view of one cache row (fresh tags — the row is being rebuilt)."""
+def _take_row_kv(kv, slot):
+    """B=1 view of one cache row. Paged caches (runtime/paged_kv.py) slice
+    only the per-slot page-table/tag rows — the page POOL is shared, so it
+    flows through whole (writes go through the row's table)."""
+    if getattr(kv, "page_table", None) is not None:
+        return dataclasses.replace(
+            kv,
+            page_table=jax.lax.dynamic_slice_in_dim(kv.page_table, slot, 1, axis=0),
+            slot_pos=jax.lax.dynamic_slice_in_dim(kv.slot_pos, slot, 1, axis=0),
+        )
+
     def take(x):  # [L, B, ...] -> [L, 1, ...]
         return jax.lax.dynamic_slice_in_dim(x, slot, 1, axis=1)
 
@@ -64,7 +73,20 @@ def _take_row_kv(kv: KVCache, slot) -> KVCache:
     )
 
 
-def _put_row_kv(full: KVCache, row: KVCache, slot) -> KVCache:
+def _put_row_kv(full, row, slot):
+    if getattr(full, "page_table", None) is not None:
+        # pools come back updated from the forward; table/tags scatter back
+        return dataclasses.replace(
+            full,
+            k=row.k, v=row.v, k_scale=row.k_scale, v_scale=row.v_scale,
+            page_table=jax.lax.dynamic_update_slice_in_dim(
+                full.page_table, row.page_table, slot, axis=0
+            ),
+            slot_pos=jax.lax.dynamic_update_slice_in_dim(
+                full.slot_pos, row.slot_pos, slot, axis=0
+            ),
+        )
+
     def put(f, r):
         return jax.lax.dynamic_update_slice_in_dim(f, r, slot, axis=1)
 
@@ -83,12 +105,13 @@ class ContinuousBatcher:
     """Slot scheduler over a batched EagleChainEngine (speculative) — plain
     decoding falls out of n_draft=1 if no draft head is wanted."""
 
-    def __init__(self, engine: EagleChainEngine, prefill_chunk: int = 64):
+    def __init__(self, engine: EagleChainEngine, prefill_chunk: int = 64,
+                 state: SpecState | None = None):
         self.engine = engine
         self.batch = engine.batch
         self.prefill_chunk = prefill_chunk
         self.slots = [Slot(id=i, eos_id=engine.eos_id) for i in range(self.batch)]
-        self.state = engine.fresh_state()
+        self.state = state if state is not None else engine.fresh_state()
         # parked inactive slots sit at n_past=1 so draft positions stay >= 0
         self.state = dataclasses.replace(
             self.state, n_past=jnp.ones((self.batch,), jnp.int32)
@@ -192,8 +215,9 @@ class ContinuousBatcher:
                 if slot in self._prefill_queue:
                     self._prefill_queue.remove(slot)
                 slot.state = "free"
-                slot.prompt = None
                 self._active_mask[slot.id] = False
+                self._on_slot_freed(slot)
+                slot.prompt = None
                 return True
         return False
 
@@ -206,6 +230,14 @@ class ContinuousBatcher:
         if slot.state == "generating" and slot.done:
             slot.state = "free"
             self._active_mask[slot.id] = False
+            self._on_slot_freed(slot)
+
+    def slot_capacity(self, slot_id: int) -> int:
+        """Max cache positions this slot may occupy (paged batchers override)."""
+        return self.engine.max_seq
+
+    def _on_slot_freed(self, slot: Slot):
+        """Hook for resource reclamation (paged batchers release pages)."""
 
     @property
     def n_active(self) -> int:
@@ -270,10 +302,11 @@ class ContinuousBatcher:
             if (
                 slot.state == "generating"
                 and int(np.asarray(self.state.n_past)[slot.id]) + self.engine.K + 2
-                >= self.engine.max_seq
+                >= self.slot_capacity(slot.id)
             ):
                 slot.state = "free"
                 self._active_mask[slot.id] = False
+                self._on_slot_freed(slot)
 
     # -- per-slot state save/restore (server.cpp:3690,3760; the reference's
     # -- tests/unit/test_slot_save.py scenario) ---------------------------
