@@ -62,6 +62,11 @@ def eagle_forward(
     x = jax.nn.relu(x)
 
     inv_freq, _ = rope_freqs_cfg(cfg)  # mscale re-derived inside _layer_step
+    page_table = getattr(kv, "page_table", None)
+    page_size = getattr(kv, "page_size", 0) or 0
+    if page_table is not None and kv_limit is not None:
+        # paged reads gather whole pages — round the read bound up to a page
+        kv_limit = min(-(-kv_limit // page_size) * page_size, kv.max_seq)
     if kv_limit is not None:
         kv_limit = min(kv_limit, mask.shape[-1])
         mask = mask[..., :kv_limit]
@@ -69,6 +74,7 @@ def eagle_forward(
         cfg, inv_freq, positions, slots, mask, compute_dtype, backend,
         x, draft_params["layers"], jnp.int32(0), kv.k, kv.v, kv.k_scale, kv.v_scale,
         kv_limit=kv_limit, slots_contiguous=slots_contiguous,
+        page_table=page_table, page_size=page_size,
     )
     kv = dataclasses.replace(kv, k=k_c, v=v_c, k_scale=k_s, v_scale=v_s)
 

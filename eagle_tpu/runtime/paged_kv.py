@@ -112,6 +112,10 @@ class PagePool:
         # prefix cache: chain-hash -> page id, insertion-ordered for LRU
         self._cache: dict = {}
         self._cache_of_page: dict[int, object] = {}
+        # optional per-entry payload (the paged batcher stores the EAGLE
+        # boundary feature at each page's last token so a matched prefix can
+        # seed the draft head without re-running the target)
+        self._payload: dict = {}
 
     # -- raw page ops ------------------------------------------------------
 
@@ -141,6 +145,7 @@ class PagePool:
             if self.ref[page] == 1:  # held only by the cache
                 del self._cache[h]
                 del self._cache_of_page[page]
+                self._payload.pop(h, None)
                 self.release(page)
                 if self.free:
                     return
@@ -160,12 +165,14 @@ class PagePool:
             out.append(h)
         return out
 
-    def match_prefix(self, tokens) -> tuple[int, list[int]]:
+    def match_prefix(self, tokens, want_payloads: bool = False):
         """Longest cached full-page prefix of `tokens`: returns
-        (n_shared_tokens, page_ids) with every returned page retained for the
-        caller. The caller must keep n_shared < len(tokens) (the engine still
-        needs >= 1 token of real prefill for features/logits)."""
+        (n_shared_tokens, page_ids[, payloads]) with every returned page
+        retained for the caller. The caller must keep n_shared < len(tokens)
+        (the engine still needs >= 1 token of real prefill for
+        features/logits)."""
         pages: list[int] = []
+        payloads: list = []
         for h in self._chain_hashes(tokens):
             page = self._cache.get(h)
             if page is None:
@@ -174,17 +181,24 @@ class PagePool:
             self._cache[h] = page
             self.retain(page)
             pages.append(page)
+            payloads.append(self._payload.get(h))
+        if want_payloads:
+            return len(pages) * self.page_size, pages, payloads
         return len(pages) * self.page_size, pages
 
-    def register_prefix(self, tokens, page_ids: list[int]):
+    def register_prefix(self, tokens, page_ids: list[int], payloads=None):
         """Publish a prefilled prompt's full pages for reuse (pages gain one
-        cache reference each; already-cached chains are left alone)."""
+        cache reference each; already-cached chains are left alone).
+        `payloads` optionally attaches caller data (e.g. the EAGLE boundary
+        feature) to each page's cache entry, returned by match_prefix."""
         hashes = self._chain_hashes(tokens)
-        for h, page in zip(hashes, page_ids):
+        for i, (h, page) in enumerate(zip(hashes, page_ids)):
             if h in self._cache:
                 continue
             self._cache[h] = page
             self._cache_of_page[page] = h
+            if payloads is not None and payloads[i] is not None:
+                self._payload[h] = payloads[i]
             self.retain(page)
 
 

@@ -247,6 +247,19 @@ class ContinuousBatcher:
     def n_pending(self) -> int:
         return len(self._prefill_queue)
 
+    def _before_prefill_chunk(self, slot: Slot, n: int):
+        """Hook: about to prefill `n` prompt tokens at slot.consumed (paged
+        batchers map the chunk's write-window pages here)."""
+
+    def _after_prefill_chunk(self, slot: Slot, finished: bool):
+        """Hook: a chunk landed (paged batchers capture page-boundary features
+        here, and register the prompt's pages for prefix sharing when
+        `finished`)."""
+
+    def _before_cycle(self):
+        """Hook: about to run one speculative cycle over all generating slots
+        (paged batchers map each slot's decode window here)."""
+
     def _advance_prefill(self):
         """Process ONE chunk of the head-of-queue prompt."""
         slot = self._prefill_queue[0]
@@ -255,6 +268,7 @@ class ContinuousBatcher:
         chunk = np.zeros(ct, np.int32)
         n = min(ct, len(prompt) - slot.consumed)
         chunk[:n] = prompt[slot.consumed : slot.consumed + n]
+        self._before_prefill_chunk(slot, n)
         self.state = self._chunk_c(
             self.engine.tp, self.engine.dp, self.state,
             jnp.asarray(chunk),
@@ -264,7 +278,9 @@ class ContinuousBatcher:
             jnp.asarray(slot.id, np.int32), ct=ct,
         )
         slot.consumed += n
-        if slot.consumed >= len(prompt):
+        finished = slot.consumed >= len(prompt)
+        self._after_prefill_chunk(slot, finished)
+        if finished:
             self._prefill_queue.pop(0)
             slot.state = "generating"
             first = int(np.asarray(self.state.last_token)[slot.id])
@@ -279,6 +295,7 @@ class ContinuousBatcher:
             self._advance_prefill()
         if self.n_active == 0:
             return
+        self._before_cycle()
         # static attention-read bound: every slot's tags live below
         # max(n_past) + K + 2 after this cycle (n_past [B] is tiny — the sync
         # is subsumed by the res.tokens sync just below)
