@@ -368,10 +368,10 @@ def _layer_step(
         # paged pool (runtime/paged_kv.py): caches are [L, P, H, page, D]
         # pools; logical slot s of row b lives at pool page
         # page_table[b, s // page], row s % page. Writes scatter through the
-        # table (drop on unmapped); reads gather the mapped pages into a
-        # contiguous per-slot view and run the same attention. The serving
-        # invariant (PagedBatcher): every row's write window is mapped to a
-        # PRIVATE page — shared prefix pages are never written.
+        # table (unmapped -> scratch page, see below); reads gather the mapped
+        # pages into a contiguous per-slot view and run the same attention.
+        # The serving path (PagedBatcher) maps every active row's write window
+        # to a private page and copy-on-writes shared pages before reuse.
         from ..runtime.paged_kv import gather_pages
 
         ps = page_size
@@ -379,10 +379,17 @@ def _layer_step(
         pg = jnp.minimum(pg, page_table.shape[1] - 1)
         phys = jnp.where(slots >= 0, jnp.take_along_axis(page_table, pg, axis=1), -1)
         rows_w = jnp.where(slots >= 0, slots % ps, 0)
+        # unmapped writes (slot -1, or a -1 page-table entry of a parked/freed
+        # row) route to the pool's reserved SCRATCH page (paged_kv.create
+        # allocates it at physical index P-1; never read, never allocated) —
+        # scatter would WRAP -1 to the last pool page and dus would CLAMP to
+        # page 0, both of which are live pages possibly owned by another
+        # sequence (silent cross-request KV corruption)
+        scratch = k_cache.shape[1] - 1
+        phys = jnp.where(phys < 0, scratch, phys)
         if t == 1 and b <= 16:
             # decode fast path: one dynamic_update_slice per row (the paged
-            # counterpart of the dense dus promotion below); callers keep
-            # every row's current page mapped, so clamping can't misfire
+            # counterpart of the dense dus promotion below)
             def _pwrite(cache, upd):  # upd [B, H, 1, ...]
                 upd = upd.astype(cache.dtype)
                 for bi in range(b):
@@ -390,7 +397,7 @@ def _layer_step(
                     cache = jax.lax.dynamic_update_slice(cache, upd[bi][None, None], idx)
                 return cache
         else:
-            def _pwrite(cache, upd):  # scatter: drops unmapped (-1) pages
+            def _pwrite(cache, upd):  # scatter through the page table
                 return cache.at[cli, phys[:, None, :], h_idx, rows_w[:, None, :]].set(
                     upd.astype(cache.dtype)
                 )

@@ -732,7 +732,8 @@ def _squeeze_lead(ref):
 
 
 def qmatmul_pallas(
-    x: jax.Array, w: QTensor, compute_dtype=jnp.bfloat16, interpret: bool = False
+    x: jax.Array, w: QTensor, compute_dtype=jnp.bfloat16, interpret: bool = False,
+    split: bool | None = None,
 ) -> jax.Array:
     """x [..., K] @ dequant(w)[N, K]^T -> [..., N]; flattens leading dims."""
     lead = x.shape[:-1]
@@ -743,7 +744,8 @@ def qmatmul_pallas(
     bp = _round_up(max(b, 8), 8)
     if bp != b:
         xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
-    out = qmatmul_pallas_2d(xb, w, compute_dtype=compute_dtype, interpret=interpret)
+    out = qmatmul_pallas_2d(xb, w, compute_dtype=compute_dtype, interpret=interpret,
+                            split=split)
     if bp != b:
         out = out[:b]
     return out.reshape(*lead, -1)

@@ -51,7 +51,7 @@ def _pack_q(q, group: int):
     return jax.lax.bitcast_convert_type(p, jnp.int8)
 
 
-def prepare_qtensor(t: QTensor, scale_mode: str = "bf16", pack: bool = True) -> QTensor:
+def prepare_qtensor(t: QTensor, scale_mode: str = "f32", pack: bool = True) -> QTensor:
     if t.sup is not None:  # already coded — layout is final
         return t
     out = t
@@ -77,7 +77,9 @@ def prepare_qtensor(t: QTensor, scale_mode: str = "bf16", pack: bool = True) -> 
     return out
 
 
-def prepare_params_for_serving(params, scale_mode: str = "bf16", pack: bool = True):
+def prepare_params_for_serving(params, scale_mode: str = "f32", pack: bool = True):
+    # default matches EngineConfig.scale_mode ("f32", value-preserving):
+    # lossy bf16 scale rounding is always an explicit opt-in
     """Walk a params pytree and convert every eligible QTensor (see module
     docstring). Non-QTensor leaves pass through untouched."""
     return jax.tree_util.tree_map(

@@ -53,7 +53,13 @@ class PagedKVCache:
 
     @property
     def n_pages(self) -> int:
-        return self.k.shape[1]
+        """Allocatable pages — the pool's LAST physical page is a reserved
+        write-sink scratch page (never allocated, never read)."""
+        return self.k.shape[1] - 1
+
+    @property
+    def scratch_page(self) -> int:
+        return self.k.shape[1] - 1
 
     @property
     def quantized(self) -> bool:
@@ -63,7 +69,12 @@ class PagedKVCache:
     def create(n_layers, batch, n_pages, pages_per_slot, page_size,
                n_kv_heads, head_dim, dtype=jnp.bfloat16,
                v_head_dim: int | None = None) -> "PagedKVCache":
-        shape = (n_layers, n_pages, n_kv_heads, page_size, head_dim)
+        """Allocates `n_pages` usable pages PLUS one reserved scratch page at
+        physical index n_pages: writes whose slot or page-table entry is
+        unmapped (-1) are routed there by the model forward, so they can never
+        corrupt a live page regardless of caller invariants (dus clamps and
+        scatter wrap would otherwise both land in-bounds on a real page)."""
+        shape = (n_layers, n_pages + 1, n_kv_heads, page_size, head_dim)
         vshape = shape[:-1] + (v_head_dim or head_dim,)
         kw = {}
         if dtype == jnp.int8:
@@ -152,20 +163,31 @@ class PagePool:
         if not self.free:
             raise MemoryError("KV page pool exhausted")
 
+    def is_shared(self, page: int) -> bool:
+        """True when writing `page` could be observed by anyone but the single
+        caller holding it: another live reference, or the prefix cache (a
+        cached page must stay bitwise-stable for future matchers). The paged
+        batcher copy-on-writes before touching a shared page."""
+        return self.ref[page] > 1 or page in self._cache_of_page
+
     # -- prefix sharing ----------------------------------------------------
 
-    def _chain_hashes(self, tokens) -> list:
-        """Rolling hash per FULL page of the token prefix: hash i covers
-        tokens[: (i+1)*page]. Only full pages are shared (partial pages would
-        need copy-on-write)."""
-        out, h = [], 0
-        toks = [int(t) for t in tokens]
-        for i in range(len(toks) // self.page_size):
-            h = hash((h, tuple(toks[i * self.page_size : (i + 1) * self.page_size])))
-            out.append(h)
+    def _chain_keys(self, tokens, shift: int = 0) -> list:
+        """Exact cache key per FULL page of the token prefix: key i is the
+        token tuple tokens[: (i+1)*page + shift] itself — no hashing, so two
+        different prefixes can never collide (a collision would silently serve
+        another request's KV). `shift` extends each key by that many trailing
+        tokens: the EAGLE draft cache row at position p holds the pair
+        (x_{p+1}, f_p), so draft page i's content depends on one token MORE
+        than the target page's — its chains are keyed with shift=1. Only full
+        pages are shared (partial pages would need copy-on-write)."""
+        toks = tuple(int(t) for t in tokens)
+        out = []
+        for i in range((len(toks) - shift) // self.page_size):
+            out.append(toks[: (i + 1) * self.page_size + shift])
         return out
 
-    def match_prefix(self, tokens, want_payloads: bool = False):
+    def match_prefix(self, tokens, want_payloads: bool = False, shift: int = 0):
         """Longest cached full-page prefix of `tokens`: returns
         (n_shared_tokens, page_ids[, payloads]) with every returned page
         retained for the caller. The caller must keep n_shared < len(tokens)
@@ -173,33 +195,51 @@ class PagePool:
         features/logits)."""
         pages: list[int] = []
         payloads: list = []
-        for h in self._chain_hashes(tokens):
-            page = self._cache.get(h)
+        for key in self._chain_keys(tokens, shift):
+            page = self._cache.get(key)
             if page is None:
                 break
-            self._cache.pop(h)  # re-insert: LRU touch
-            self._cache[h] = page
+            self._cache.pop(key)  # re-insert: LRU touch
+            self._cache[key] = page
             self.retain(page)
             pages.append(page)
-            payloads.append(self._payload.get(h))
+            payloads.append(self._payload.get(key))
         if want_payloads:
             return len(pages) * self.page_size, pages, payloads
         return len(pages) * self.page_size, pages
 
-    def register_prefix(self, tokens, page_ids: list[int], payloads=None):
+    def register_prefix(self, tokens, page_ids: list[int], payloads=None,
+                        shift: int = 0):
         """Publish a prefilled prompt's full pages for reuse (pages gain one
         cache reference each; already-cached chains are left alone).
         `payloads` optionally attaches caller data (e.g. the EAGLE boundary
         feature) to each page's cache entry, returned by match_prefix."""
-        hashes = self._chain_hashes(tokens)
-        for i, (h, page) in enumerate(zip(hashes, page_ids)):
-            if h in self._cache:
+        keys = self._chain_keys(tokens, shift)
+        for i, (key, page) in enumerate(zip(keys, page_ids)):
+            if key in self._cache:
                 continue
-            self._cache[h] = page
-            self._cache_of_page[page] = h
-            if payloads is not None and payloads[i] is not None:
-                self._payload[h] = payloads[i]
+            self._cache[key] = page
+            self._cache_of_page[page] = key
+            if payloads is not None and i < len(payloads) and payloads[i] is not None:
+                self._payload[key] = payloads[i]
             self.retain(page)
+
+
+def copy_pool_page(kv: PagedKVCache, src, dst) -> PagedKVCache:
+    """Copy physical page `src` -> `dst` across every layer of the pool (the
+    copy-on-write primitive: the batcher duplicates a shared page before a
+    slot writes into it). src/dst are traced scalars — one compiled program
+    serves every copy."""
+
+    def cp(buf):
+        if buf is None:
+            return None
+        page = jax.lax.dynamic_slice_in_dim(buf, src, 1, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(buf, page, dst, axis=1)
+
+    return dataclasses.replace(
+        kv, k=cp(kv.k), v=cp(kv.v), k_scale=cp(kv.k_scale), v_scale=cp(kv.v_scale)
+    )
 
 
 def gather_pages(pool: jax.Array, li, page_table: jax.Array, n_pages: int) -> jax.Array:

@@ -122,7 +122,8 @@ def main(argv=None):
     if "packed" in variants:
         bench("q4-packed", lambda x, w: qmatmul_pallas_2d(x, w), (qt_packed,), bytes_q4)
     if "nosplit" in variants:
-        # concat-based dequant (pre round-3 baseline) vs the split-dot default
+        # concat-based dequant (the default; split-dot is an opt-in dead end
+        # — EAGLE_TPU_QMM_SPLIT=1, measured slower, see BENCHMARKS.md)
         bench("q4-nosplit", lambda x, w: qmatmul_pallas_2d(x, w, split=False),
               (qt_packed,), bytes_q4)
     if "split" in variants:

@@ -115,8 +115,9 @@ def test_nibble_pack_roundtrip(rng, qtype):
     )
 
 
+@pytest.mark.parametrize("split", [False, True])
 @pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q4_0])
-def test_pallas_packed_matches_unpacked(rng, qtype):
+def test_pallas_packed_matches_unpacked(rng, qtype, split):
     from eagle_tpu.ops.pallas_qmm import qmatmul_pallas
 
     n, k = 128, 512
@@ -125,12 +126,18 @@ def test_pallas_packed_matches_unpacked(rng, qtype):
     qt = quantize_array(w, qtype, layout="kn")
     want = np.asarray(qmatmul_pallas(jnp.asarray(x), qt, compute_dtype=jnp.float32, interpret=True))
     got = np.asarray(
-        qmatmul_pallas(jnp.asarray(x), qt.pack_nibbles(), compute_dtype=jnp.float32, interpret=True)
+        qmatmul_pallas(jnp.asarray(x), qt.pack_nibbles(), compute_dtype=jnp.float32,
+                       interpret=True, split=split)
     )
-    # the packed kernel's split-dot path sums the lo/hi nibble planes in a
-    # different order than the unpacked single dot — identical dequant values,
-    # reordered f32 accumulation
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    if split:
+        # the opt-in split-dot path (EAGLE_TPU_QMM_SPLIT=1, measured slower —
+        # kept for the record) sums the lo/hi nibble planes in a different
+        # order than the unpacked single dot — identical dequant values,
+        # reordered f32 accumulation
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    else:
+        # default concat path: identical accumulation order — exact
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
 def test_xla_path_handles_packed(rng):
