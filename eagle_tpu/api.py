@@ -46,6 +46,13 @@ class EngineConfig:
     #: bytes; see the scale-mode quality study in BENCHMARKS.md)
     scale_mode: str = "f32"
     pack_weights: bool = True
+    #: paged KV serving (runtime/paged_batcher.py — the reference's
+    #: find_slot/seq-id sharing, llama-kv-cache.cpp:120): slots draw cache
+    #: pages from a shared pool with prefix-cache reuse. `kv_pages` bounds the
+    #: pool (default = full batch*max_seq capacity; smaller oversubscribes)
+    paged: bool = False
+    kv_pages: int | None = None
+    page_size: int = 64
 
 
 class Engine:
@@ -102,9 +109,19 @@ class Engine:
                     sampler=cfg.sampler, eos_id=self.tokenizer.eos_id,
                 )
             if cfg.batch > 1 and not cfg.tree_branching and not cfg.tree2:
-                from .runtime.scheduler import ContinuousBatcher
+                if cfg.paged:
+                    from .runtime.paged_batcher import PagedBatcher
 
-                self.batcher = ContinuousBatcher(self.engine)
+                    mp = -(-cfg.max_seq // cfg.page_size)
+                    self.batcher = PagedBatcher(
+                        self.engine,
+                        n_pages=cfg.kv_pages or cfg.batch * mp,
+                        page_size=cfg.page_size,
+                    )
+                else:
+                    from .runtime.scheduler import ContinuousBatcher
+
+                    self.batcher = ContinuousBatcher(self.engine)
         elif cfg.lookahead:
             from .runtime.lookahead import LookaheadEngine
 

@@ -1,0 +1,266 @@
+"""PagedBatcher — continuous batching over a shared KV page pool.
+
+This is the serving-side capability the reference implements with find_slot +
+per-cell seq_id sharing (src/llama-kv-cache.cpp:120 find_slot,
+src/llama-kv-cache.h:10-78), exercised per ubatch by the server's
+update_slots (examples/server/server.cpp:2764): many slots draw cache memory
+from ONE shared buffer, so summed context can exceed what dense
+per-slot allocation would allow, and identical prompt prefixes are served
+from the same physical pages without re-prefill.
+
+TPU shape of the same idea (vLLM/ragged-paged-attention style, PAPERS.md):
+
+- device: `PagedKVCache` pools for target AND draft caches — static-shaped
+  [L, P, H, page, D] page pools with per-row page tables; the model forward
+  does the indirection (models/llama.py paged branch), so every engine
+  program (chunked prefill, the speculative cycle, rollback) is unchanged.
+- host (this module): `PagePool` allocators own the free lists, refcounts,
+  and the full-page prefix cache. The batcher maps each slot's write windows
+  just-in-time (the find_slot equivalent), registers finished prompts'
+  full pages for prefix reuse, matches new prompts against the cache to skip
+  shared-prefix prefill entirely, and copy-on-writes any shared page before
+  a slot writes into it.
+
+EAGLE specifics: the draft cache row at position p holds the pair
+(x_{p+1}, f_p), so draft pages are keyed with one extra token (shift=1) and
+the chunk-boundary feature f_{S-1} is attached to each target page as its
+cache payload — a matched prefix seeds the draft head without re-running the
+target over the shared region."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .paged_kv import PagePool, copy_pool_page
+from .scheduler import ContinuousBatcher, Slot
+from .speculative import EagleChainEngine
+
+
+class PagedBatcher(ContinuousBatcher):
+    """ContinuousBatcher whose KV memory is a shared page pool.
+
+    `n_pages` target pool pages (and `dft_n_pages` draft pages, default the
+    same count) are shared by all `engine.batch` slots: each slot may still
+    address up to engine.max_seq positions, but physical pages are allocated
+    only for regions actually written — B slots can be served from far fewer
+    than B * max_seq/page_size pages when sequences are short or share
+    prefixes. Raises MemoryError when the pool is truly exhausted (all pages
+    referenced by live slots)."""
+
+    def __init__(self, engine: EagleChainEngine, n_pages: int,
+                 page_size: int = 64, prefill_chunk: int | None = None,
+                 dft_n_pages: int | None = None, prefix_cache: bool = True):
+        # chunk == page keeps every chunk boundary on a page boundary, so
+        # every full prompt page gets its boundary-feature payload captured
+        prefill_chunk = page_size if prefill_chunk is None else prefill_chunk
+        assert prefill_chunk % page_size == 0, (prefill_chunk, page_size)
+        state = engine.fresh_paged_state(n_pages, page_size, dft_n_pages)
+        super().__init__(engine, prefill_chunk=prefill_chunk, state=state)
+        self.ps = page_size
+        self.prefix_cache = prefix_cache
+        self.pools = {
+            "tgt": PagePool(n_pages, page_size),
+            "dft": PagePool(dft_n_pages or n_pages, page_size),
+        }
+        mp = state.tgt_kv.page_table.shape[1]
+        #: host-authoritative page tables; device copies sync on change
+        self.tables = {
+            "tgt": np.full((self.batch, mp), -1, np.int32),
+            "dft": np.full((self.batch, mp), -1, np.int32),
+        }
+        self._dirty = {"tgt": False, "dft": False}
+        self._copy_c = jax.jit(copy_pool_page, donate_argnums=(0,))
+        #: per-slot page-boundary features captured during prefill
+        #: (slot id -> {prompt page index: [D] device array})
+        self._payloads: dict[int, dict] = {}
+        self.stats = {"prefill_tokens_skipped": 0, "pages_copied": 0,
+                      "prefix_hits": 0}
+
+    # -- pool plumbing -----------------------------------------------------
+
+    def _kv(self, kind):
+        return self.state.tgt_kv if kind == "tgt" else self.state.dft_kv
+
+    def _set_kv(self, kind, kv):
+        field = "tgt_kv" if kind == "tgt" else "dft_kv"
+        self.state = dataclasses.replace(self.state, **{field: kv})
+
+    def _sync_tables(self):
+        for kind in ("tgt", "dft"):
+            if self._dirty[kind]:
+                self._set_kv(kind, dataclasses.replace(
+                    self._kv(kind),
+                    page_table=jnp.asarray(self.tables[kind]),
+                ))
+                self._dirty[kind] = False
+
+    def _ensure_writable(self, kind: str, slot_id: int, lo: int, hi: int):
+        """find_slot, paged: map every page covering positions [lo, hi) to a
+        page this slot may write — allocate unmapped pages; copy-on-write
+        pages that are shared (other refs or the prefix cache)."""
+        if hi <= lo:
+            return
+        pool, table = self.pools[kind], self.tables[kind]
+        for pg in range(max(lo, 0) // self.ps, (hi - 1) // self.ps + 1):
+            cur = int(table[slot_id, pg])
+            if cur < 0:
+                table[slot_id, pg] = pool.alloc()
+                self._dirty[kind] = True
+            elif pool.is_shared(cur):
+                new = pool.alloc()
+                self._set_kv(kind, self._copy_c(self._kv(kind), cur, new))
+                table[slot_id, pg] = new
+                pool.release(cur)
+                self._dirty[kind] = True
+                self.stats["pages_copied"] += 1
+
+    def _quarantine(self, sid: int):
+        """Park row `sid`'s n_past at max_seq: the speculative cycle still
+        runs data writes for inactive rows (tags frozen), and a parked row
+        whose table already holds freshly-matched SHARED prefix pages must
+        not scribble into them. At max_seq, both the target window
+        [m, m+K+1) and the draft window [m-1, m+K) resolve to the table's
+        last entry, which a parked row never maps -> scratch page."""
+        self.state = dataclasses.replace(
+            self.state,
+            n_past=self.state.n_past.at[sid].set(self.engine.max_seq),
+        )
+
+    # -- admission: prefix matching ----------------------------------------
+
+    def submit(self, prompt_tokens, **kw) -> Slot | None:
+        slot = super().submit(prompt_tokens, **kw)
+        if slot is None:
+            return slot
+        self._quarantine(slot.id)
+        if not self.prefix_cache:
+            return slot
+        toks = [int(t) for t in slot.prompt]
+        n = len(toks)
+        _, pages_t, payloads = self.pools["tgt"].match_prefix(
+            toks, want_payloads=True)
+        _, pages_d = self.pools["dft"].match_prefix(toks, shift=1)
+        # shared length: both caches must cover it, >= 1 token of real prefill
+        # must remain (the engine needs the final logits/feature), and the
+        # boundary feature f_{S-1} must be available to seed the draft
+        m = min(len(pages_t), len(pages_d))
+        while m > 0 and (m * self.ps >= n or payloads[m - 1] is None):
+            m -= 1
+        for p in pages_t[m:]:
+            self.pools["tgt"].release(p)
+        for p in pages_d[m:]:
+            self.pools["dft"].release(p)
+        if m == 0:
+            return slot
+        s = m * self.ps
+        sid = slot.id
+        self.tables["tgt"][sid, :m] = pages_t[:m]
+        self.tables["dft"][sid, :m] = pages_d[:m]
+        self._dirty["tgt"] = self._dirty["dft"] = True
+        self._sync_tables()
+        # preset the row's device state as if positions [0, s) were prefilled:
+        # tags make the shared pages visible; the page payload is the chunk-
+        # boundary feature the resumed prefill expects in state.feature
+        mp_t = self.state.tgt_kv.slot_pos.shape[1]
+        row = np.full(mp_t, -1, np.int32)
+        row[:s] = np.arange(s, dtype=np.int32)
+        d_row = np.full(self.state.dft_kv.slot_pos.shape[1], -1, np.int32)
+        d_row[: s - 1] = np.arange(s - 1, dtype=np.int32)
+        self._set_kv("tgt", dataclasses.replace(
+            self.state.tgt_kv,
+            slot_pos=self.state.tgt_kv.slot_pos.at[sid].set(jnp.asarray(row)),
+        ))
+        self._set_kv("dft", dataclasses.replace(
+            self.state.dft_kv,
+            slot_pos=self.state.dft_kv.slot_pos.at[sid].set(jnp.asarray(d_row)),
+        ))
+        self.state = dataclasses.replace(
+            self.state,
+            feature=self.state.feature.at[sid].set(
+                payloads[m - 1].astype(self.state.feature.dtype)),
+        )
+        slot.consumed = s
+        self.stats["prefill_tokens_skipped"] += s
+        self.stats["prefix_hits"] += 1
+        return slot
+
+    # -- scheduler hooks ---------------------------------------------------
+
+    def _before_prefill_chunk(self, slot: Slot, n: int):
+        c = slot.consumed
+        self._ensure_writable("tgt", slot.id, c, c + n)
+        # draft pairs for tokens [c, c+n) sit at draft positions [c-1, c+n-1)
+        self._ensure_writable("dft", slot.id, max(c - 1, 0), c + n - 1)
+        self._sync_tables()
+
+    def _after_prefill_chunk(self, slot: Slot, finished: bool):
+        if not self.prefix_cache:
+            return
+        done = slot.consumed
+        if done > 0 and done % self.ps == 0:
+            # boundary feature f_{done-1}: payload of prompt page done/ps - 1
+            self._payloads.setdefault(slot.id, {})[done // self.ps - 1] = (
+                self.state.feature[slot.id]
+            )
+        if finished:
+            self._register_prompt(slot)
+
+    def _register_prompt(self, slot: Slot):
+        toks = [int(t) for t in slot.prompt]
+        n = len(toks)
+        full_t = n // self.ps
+        if full_t:
+            pages = [int(self.tables["tgt"][slot.id, i]) for i in range(full_t)]
+            pl = self._payloads.get(slot.id, {})
+            self.pools["tgt"].register_prefix(
+                toks, pages, payloads=[pl.get(i) for i in range(full_t)]
+            )
+        # draft page i is full iff rows [i*ps, (i+1)*ps) were all written —
+        # the last draft row of the prompt is position n-2
+        full_d = (n - 1) // self.ps
+        if full_d:
+            pages = [int(self.tables["dft"][slot.id, i]) for i in range(full_d)]
+            self.pools["dft"].register_prefix(toks, pages, shift=1)
+        self._payloads.pop(slot.id, None)
+
+    def _before_cycle(self):
+        k = self.engine.K
+        n_past = np.asarray(self.state.n_past)
+        for slot in self.slots:
+            if slot.state != "generating" or not self._active_mask[slot.id]:
+                continue
+            m = int(n_past[slot.id])
+            # verify writes [m, m+K+1); draft writes [m-1, m+K)
+            self._ensure_writable("tgt", slot.id, m, m + k + 1)
+            self._ensure_writable("dft", slot.id, max(m - 1, 0), m + k)
+        self._sync_tables()
+
+    def _on_slot_freed(self, slot: Slot):
+        sid = slot.id
+        for kind in ("tgt", "dft"):
+            table, pool = self.tables[kind], self.pools[kind]
+            for pg in np.nonzero(table[sid] >= 0)[0]:
+                pool.release(int(table[sid, pg]))
+            table[sid] = -1
+            self._dirty[kind] = True
+        self._sync_tables()
+        self._quarantine(sid)
+        self._payloads.pop(sid, None)
+
+    # slot save/restore snapshots dense KV rows; a paged row is a view into
+    # the shared pool — serialize via the dense extraction path instead
+    def save_slot(self, slot_id: int, path) -> dict:
+        raise NotImplementedError(
+            "per-slot state save/restore is served by the dense batcher; "
+            "paged rows alias shared pool pages"
+        )
+
+    def restore_slot(self, path, slot_id: int | None = None):
+        raise NotImplementedError(
+            "per-slot state save/restore is served by the dense batcher; "
+            "paged rows alias shared pool pages"
+        )

@@ -296,10 +296,14 @@ class ContinuousBatcher:
         if self.n_active == 0:
             return
         self._before_cycle()
-        # static attention-read bound: every slot's tags live below
-        # max(n_past) + K + 2 after this cycle (n_past [B] is tiny — the sync
-        # is subsumed by the res.tokens sync just below)
-        hint = int(np.asarray(self.state.n_past).max()) + self.engine.K + 2
+        # static attention-read bound: every GENERATING slot's tags live below
+        # max(n_past over active rows) + K + 2 after this cycle (n_past [B] is
+        # tiny — the sync is subsumed by the res.tokens sync just below).
+        # Parked rows are excluded: they may carry stale or quarantined
+        # n_past values (PagedBatcher parks rows at max_seq so their
+        # data-only cycle writes land on the scratch page)
+        n_past_h = np.asarray(self.state.n_past)
+        hint = int(n_past_h[self._active_mask].max()) + self.engine.K + 2
         res = self.engine._cycle_jit(
             self.state, active=jnp.asarray(self._active_mask),
             kv_limit=self.engine.kv_read_bucket(hint),

@@ -175,6 +175,32 @@ class EagleChainEngine:
             key=jax.random.PRNGKey(0),
         )
 
+    def fresh_paged_state(self, n_pages: int, page_size: int = 64,
+                          dft_n_pages: int | None = None) -> SpecState:
+        """Paged counterpart of fresh_state: target AND draft caches are page
+        pools shared across all batch rows (runtime/paged_kv.py). Every jitted
+        program (prefill chunks, the cycle, rollback) runs unchanged — the
+        page indirection lives inside llama_forward/eagle_forward. Use with
+        PagedBatcher, which owns the host-side allocators."""
+        from .paged_kv import PagedKVCache
+
+        b = self.batch
+        mp = -(-self.max_seq // page_size)
+        return SpecState(
+            tgt_kv=PagedKVCache.create(
+                self.tcfg.n_layers, b, n_pages, mp, page_size,
+                self.tcfg.n_kv_heads, self.tcfg.head_dim, self.kv_dtype,
+            ),
+            dft_kv=PagedKVCache.create(
+                1, b, dft_n_pages or n_pages, mp, page_size,
+                self.dcfg.n_kv_heads, self.dcfg.head_dim, self.kv_dtype,
+            ),
+            last_token=jnp.zeros((b,), jnp.int32),
+            feature=jnp.zeros((b, self.tcfg.n_embd), jnp.float32),
+            n_past=jnp.zeros((b,), jnp.int32),
+            key=jax.random.PRNGKey(0),
+        )
+
     def _prefill(self, tp, dp, state: SpecState, tokens, n_valid, t: int, bs=None):
         """Target prefill over the padded prompt + draft prefill over the
         shifted (token, feature) pairs. Samples the first output token."""

@@ -106,8 +106,13 @@ class BatcherWorker(threading.Thread):
                     if req.request_id is not None:
                         self.batcher.abort(req.request_id)
                     else:
-                        self.batcher.slots[sid].state = "free"
+                        slot = self.batcher.slots[sid]
+                        if slot in self.batcher._prefill_queue:
+                            self.batcher._prefill_queue.remove(slot)
+                        slot.state = "free"
                         self.batcher._active_mask[sid] = False
+                        # release pooled resources (paged batcher pages)
+                        self.batcher._on_slot_freed(slot)
                     live.pop(sid).on_done(self.batcher.slots[sid].generated)
 
             # serialized stateful ops (slot save/restore)

@@ -495,15 +495,22 @@ class InferenceServer:
                 s = b.slots[slot_id]
                 if s.request_id:
                     b.abort(s.request_id)
-                else:
+                elif s.state != "free":
+                    if s in b._prefill_queue:
+                        b._prefill_queue.remove(s)
                     s.state = "free"
                     b._active_mask[slot_id] = False
+                    b._on_slot_freed(s)  # release pooled pages (paged batcher)
                 return {"id": slot_id, "state": "free"}
 
             fut = self.batch_worker.call(erase)
         else:
             return web.json_response({"error": f"unknown action {action!r}"}, status=400)
-        res = await asyncio.get_event_loop().run_in_executor(None, fut.result)
+        try:
+            res = await asyncio.get_event_loop().run_in_executor(None, fut.result)
+        except NotImplementedError as e:
+            # paged batcher: per-slot save/restore is a dense-batcher feature
+            return web.json_response({"error": str(e)}, status=501)
         return web.json_response({"id": slot_id, "result": res})
 
     # -- app ---------------------------------------------------------------
@@ -529,7 +536,21 @@ class InferenceServer:
         async def on_startup(app):
             self._worker_task = asyncio.create_task(self._worker())
 
+        async def on_cleanup(app):
+            # cancel the worker before the loop closes — an orphaned task
+            # raises "Event loop is closed" from its next queue.get otherwise
+            if self._worker_task is not None:
+                self._worker_task.cancel()
+                try:
+                    await self._worker_task
+                except asyncio.CancelledError:
+                    pass
+                self._worker_task = None
+            if self.batch_worker is not None:
+                self.batch_worker.shutdown()
+
         app.on_startup.append(on_startup)
+        app.on_cleanup.append(on_cleanup)
         return app
 
     def run(self, host="0.0.0.0", port=8080):
@@ -547,6 +568,14 @@ def main(argv=None):
     ap.add_argument("--tree", default=None, help="tree branching, e.g. 4,2,2")
     ap.add_argument("--n-draft", type=int, default=5)
     ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--parallel", "-np", type=int, default=1,
+                    help="number of server slots (continuous batching)")
+    ap.add_argument("--paged", action="store_true",
+                    help="serve KV from a shared page pool with prefix-cache "
+                    "reuse (the reference's seq-id cell sharing)")
+    ap.add_argument("--kv-pages", type=int, default=None,
+                    help="page-pool size; < batch*ctx/page-size oversubscribes")
+    ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--jinja", action="store_true",
@@ -560,6 +589,10 @@ def main(argv=None):
         n_draft=args.n_draft,
         tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
         max_seq=args.ctx,
+        batch=args.parallel,
+        paged=args.paged,
+        kv_pages=args.kv_pages,
+        page_size=args.page_size,
     )
     InferenceServer(Engine(cfg), use_jinja=args.jinja).run(host=args.host, port=args.port)
 

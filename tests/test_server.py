@@ -152,9 +152,11 @@ def server(tiny_gguf_pair):
 
     loop = asyncio.new_event_loop()
 
+    holder = {}
+
     def run():
         asyncio.set_event_loop(loop)
-        runner = web.AppRunner(srv.build_app())
+        runner = holder["runner"] = web.AppRunner(srv.build_app())
         loop.run_until_complete(runner.setup())
         site = web.TCPSite(runner, "127.0.0.1", port)
         loop.run_until_complete(site.start())
@@ -170,6 +172,7 @@ def server(tiny_gguf_pair):
         except Exception:
             time.sleep(0.1)
     yield base
+    asyncio.run_coroutine_threadsafe(holder["runner"].cleanup(), loop).result(30)
     loop.call_soon_threadsafe(loop.stop)
 
 
@@ -234,9 +237,11 @@ def batched_server(tiny_gguf_pair):
     port = sock.getsockname()[1]; sock.close()
     loop = asyncio.new_event_loop()
 
+    holder = {}
+
     def run():
         asyncio.set_event_loop(loop)
-        runner = web.AppRunner(srv.build_app())
+        runner = holder["runner"] = web.AppRunner(srv.build_app())
         loop.run_until_complete(runner.setup())
         site = web.TCPSite(runner, "127.0.0.1", port)
         loop.run_until_complete(site.start())
@@ -252,6 +257,7 @@ def batched_server(tiny_gguf_pair):
         except Exception:
             time.sleep(0.1)
     yield base
+    asyncio.run_coroutine_threadsafe(holder["runner"].cleanup(), loop).result(30)
     loop.call_soon_threadsafe(loop.stop)
 
 
@@ -270,6 +276,91 @@ def test_batched_server_concurrent_requests(batched_server):
     a = go("hello")
     b = go("hello")
     assert a["content"] == b["content"]
+
+
+@pytest.fixture(scope="module")
+def paged_server(tiny_gguf_pair):
+    import asyncio
+    import jax.numpy as jnp
+    from aiohttp import web
+
+    from eagle_tpu.api import Engine, EngineConfig
+    from eagle_tpu.server.server import InferenceServer
+
+    tgt, egl = tiny_gguf_pair
+    # pool smaller than dense capacity (3 slots x 128/16 = 24 pages dense)
+    eng = Engine(EngineConfig(model_path=tgt, draft_path=egl, n_draft=2, batch=3,
+                              max_seq=128, compute_dtype=jnp.float32,
+                              kv_dtype=jnp.float32, paged=True, kv_pages=16,
+                              page_size=16))
+    from eagle_tpu.runtime.paged_batcher import PagedBatcher
+
+    assert isinstance(eng.batcher, PagedBatcher)
+    srv = InferenceServer(eng, model_name="tiny-paged")
+    sock = socket.socket(); sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]; sock.close()
+    loop = asyncio.new_event_loop()
+
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+        runner = holder["runner"] = web.AppRunner(srv.build_app())
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            urllib.request.urlopen(base + "/health", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield base, eng
+    asyncio.run_coroutine_threadsafe(holder["runner"].cleanup(), loop).result(30)
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_paged_server_concurrent_and_prefix_reuse(paged_server):
+    """The server serves slots from the shared page pool; identical prompts
+    hit the prefix cache; outputs stay deterministic under concurrency."""
+    import concurrent.futures
+
+    base, eng = paged_server
+    # long identical prefix so the prompt spans a full page (page_size=16)
+    prompt = "the quick brown fox jumps over the lazy dog again and again and again"
+
+    def go(p):
+        return _post(base + "/completion",
+                     {"prompt": p, "n_predict": 6, "temperature": 0})
+
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        results = list(ex.map(go, [prompt, prompt, "something else entirely"]))
+    for r in results:
+        assert r["tokens_predicted"] >= 1
+    assert results[0]["content"] == results[1]["content"]
+    # sequential identical request must reuse registered pages
+    a = go(prompt)
+    assert a["content"] == results[0]["content"]
+    assert eng.batcher.stats["prefix_hits"] >= 1
+
+
+def test_paged_server_slot_save_returns_501(paged_server):
+    base, _ = paged_server
+    req = urllib.request.Request(
+        base + "/slots/0?action=save", data=b"{}",
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raised = None
+    except urllib.error.HTTPError as e:
+        raised = e.code
+    assert raised == 501
 
 
 def test_server_grammar_constrained(server):
@@ -354,9 +445,11 @@ def tool_server(tiny_gguf_pair):
     sock.close()
     loop = asyncio.new_event_loop()
 
+    holder = {}
+
     def run():
         asyncio.set_event_loop(loop)
-        runner = web.AppRunner(srv.build_app())
+        runner = holder["runner"] = web.AppRunner(srv.build_app())
         loop.run_until_complete(runner.setup())
         site = web.TCPSite(runner, "127.0.0.1", port)
         loop.run_until_complete(site.start())
@@ -372,6 +465,7 @@ def tool_server(tiny_gguf_pair):
         except Exception:
             time.sleep(0.1)
     yield base
+    asyncio.run_coroutine_threadsafe(holder["runner"].cleanup(), loop).result(30)
     loop.call_soon_threadsafe(loop.stop)
 
 
