@@ -338,6 +338,77 @@ def sample_batched(
     return jnp.where(greedy, greedy_tok, samp_tok).astype(jnp.int32)
 
 
+def transformed_probs_batched(
+    logits: jax.Array,  # [B, V]
+    bp: BatchedSamplerParams,
+    counts: jax.Array | None = None,
+) -> jax.Array:
+    """Per-row transformed sampling distribution [B, V]: softmax of the
+    transformed logits for sampling rows; one-hot(argmax) for greedy rows —
+    the point mass the greedy draw "samples" from. This is the p (target) /
+    q (draft) of stochastic speculative acceptance; using the SAME transform
+    chain on both sides makes the accepted stream exactly distributed as
+    plain sampling under that chain."""
+    l = _batched_transform(logits, bp, counts)
+    p = jax.nn.softmax(l, axis=-1)
+    greedy = bp.greedy | (bp.temperature <= 0)
+    best = jnp.argmax(jnp.where(l > _NEG_INF / 2, l, _NEG_INF), axis=-1)
+    onehot = jax.nn.one_hot(best, l.shape[-1], dtype=p.dtype)
+    return jnp.where(greedy[:, None], onehot, p)
+
+
+def speculative_accept(
+    drafts: jax.Array,  # [B, K] draft tokens, sampled from q
+    q_probs: jax.Array,  # [B, K, V] draft distributions
+    p_probs: jax.Array,  # [B, K+1, V] target distributions (K = bonus pos)
+    spec_k: jax.Array,  # [B] per-row accepted-draft cap
+    greedy: jax.Array,  # [B] rows reduce to exact-match + argmax correction
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Stochastic speculative-sampling acceptance — the reference's
+    min(1, p/q) accept + residual-distribution resample
+    (examples/speculative/speculative-eagle.cpp:294-320) — batched over rows
+    and all K positions in one branch-free program.
+
+    Position k's draft is accepted when u_k < p(d_k)/q(d_k); the first
+    rejection resamples from norm(max(p - q, 0)); full acceptance draws the
+    bonus token from p at position K (the zero-padded q row makes the
+    residual formula collapse to p there); a spec_k cap truncates with a
+    plain draw from p at the cut. Greedy rows carry one-hot p/q, for which
+    the ratio test IS exact-match and every correction is the target argmax —
+    mixed batches need no branching.
+
+    Returns (tokens [B, K+1], n_acc [B]): tokens[:, :n_acc] are accepted
+    drafts and tokens[:, n_acc] the correction/bonus. By the speculative
+    sampling theorem the emitted stream is distributed EXACTLY as sampling
+    token-by-token from p."""
+    b, k, v = q_probs.shape
+    ukey, ckey = jax.random.split(key)
+    p_tok = jnp.take_along_axis(p_probs[:, :k], drafts[..., None], axis=-1)[..., 0]
+    q_tok = jnp.take_along_axis(q_probs, drafts[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(ukey, (b, k))
+    acc = u * jnp.maximum(q_tok, 1e-20) < p_tok  # u < p/q without the divide
+    n_raw = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+    n_acc = jnp.minimum(n_raw, spec_k)
+    capped = n_acc < n_raw
+    q_pad = jnp.concatenate([q_probs, jnp.zeros((b, 1, v), q_probs.dtype)], axis=1)
+    p_j = jnp.take_along_axis(p_probs, n_acc[:, None, None], axis=1)[:, 0]
+    q_j = jnp.take_along_axis(q_pad, n_acc[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_j - q_j, 0.0)
+    rs = resid.sum(-1, keepdims=True)
+    corr = jnp.where(
+        capped[:, None], p_j,
+        jnp.where(rs > 0, resid / jnp.maximum(rs, 1e-20), p_j),
+    )
+    tok_s = jax.random.categorical(ckey, jnp.log(corr + 1e-30), axis=-1)
+    tok_g = jnp.argmax(corr, axis=-1)
+    tok_corr = jnp.where(greedy, tok_g, tok_s).astype(jnp.int32)
+    drafts_pad = jnp.concatenate([drafts, drafts[:, -1:]], axis=1)
+    pos = jnp.arange(k + 1)[None, :]
+    tokens = jnp.where(pos == n_acc[:, None], tok_corr[:, None], drafts_pad)
+    return tokens.astype(jnp.int32), n_acc
+
+
 def dry_penalty(logits: jax.Array, recent: jax.Array, cfg: SamplerConfig) -> jax.Array:
     """DRY ("don't repeat yourself") repetition penalty
     (llama_sampler_dry, src/llama-sampling.cpp:1773, orig. Koboldcpp PR#982).

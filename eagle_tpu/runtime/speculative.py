@@ -16,10 +16,14 @@ Indexing model (matches EAGLE training's shifted sequence):
   `feature_source`; the fork uses post — result_norm — while official EAGLE
   checkpoints are trained on pre-norm features).
 
-Acceptance matches common_sampler_sample_and_accept_n
-(common/sampling.cpp:423-460): sample the target at every draft position,
-accept the longest exact-match prefix, and always emit one bonus/correction
-token.
+Acceptance: greedy rows use the exact-match prefix walk of
+common_sampler_sample_and_accept_n (common/sampling.cpp:423-460); sampling
+rows use stochastic speculative sampling — draft proposals SAMPLED from the
+draft's transformed distribution q, accepted with min(1, p/q), rejections
+resampled from the residual norm(max(p-q, 0))
+(examples/speculative/speculative-eagle.cpp:294-320). Both emit one
+bonus/correction token per cycle and both leave the emitted stream
+distributed exactly as plain decoding under the same sampler.
 """
 
 from __future__ import annotations
@@ -37,7 +41,14 @@ from ..models.eagle import eagle_forward
 from ..models.llama import llama_forward
 from .generate import pad_bucket
 from .kvcache import KVCache, causal_mask_from_tags
-from .sampling import BatchedSamplerParams, SamplerConfig, sample, sample_batched
+from .sampling import (
+    BatchedSamplerParams,
+    SamplerConfig,
+    sample,
+    sample_batched,
+    speculative_accept,
+    transformed_probs_batched,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -53,7 +64,7 @@ class SpecState:
 
 class CycleOutput(NamedTuple):
     state: SpecState
-    tokens: jax.Array  # [B, K+1] candidate output tokens (t_true)
+    tokens: jax.Array  # [B, K+1] output tokens (accepted drafts + correction)
     n_out: jax.Array  # [B] how many of `tokens` are real output (n_acc + 1)
     n_accepted: jax.Array  # [B] accepted draft tokens this cycle
 
@@ -310,9 +321,20 @@ class EagleChainEngine:
         b, K = self.batch, self.K
         b_idx = jnp.arange(b)
         m = state.n_past  # [B]
+        key, sub = jax.random.split(state.key)
+        greedy_rows = bs.greedy | (bs.temperature <= 0)
 
         # ---- 1. draft K tokens (feature autoregression) ----
-        def draft_step(carry, k):
+        # greedy: argmax proposals (exact-match acceptance below is optimal).
+        # sampling: proposals are SAMPLED from the draft's transformed
+        # distribution q and q is carried to the verifier — argmax proposals
+        # would cap the accept rate at p(argmax q), while min(1, p/q)
+        # acceptance over sampled proposals accepts with sum min(p, q) ≈ 1
+        # when the draft is good (speculative-eagle.cpp:294-320 semantics)
+        dkeys = jax.random.split(sub, K + 1)
+
+        def draft_step(carry, inp):
+            k, dkey = inp
             tok, feat, dkv = carry
             pos = (m - 1 + k)[:, None]  # [B,1] draft position of this pair
             dkv = dkv.with_tags(pos, pos)
@@ -322,14 +344,28 @@ class EagleChainEngine:
                 dkv, pos, mask, backend=self.draft_backend,
                 compute_dtype=self.compute_dtype, kv_limit=kv_limit,
             )
-            nxt = jnp.argmax(out.logits[:, 0], axis=-1).astype(jnp.int32)
+            dl = out.logits[:, 0]
             feat_next = self._pick_feature(out.feature, out.feature_pre)[:, 0]
-            return (nxt, feat_next, out.kv), nxt
+            if fast_greedy:
+                nxt = jnp.argmax(dl, axis=-1).astype(jnp.int32)
+                return (nxt, feat_next, out.kv), nxt
+            q = transformed_probs_batched(dl, bs)  # [B, V]
+            nxt = jnp.where(
+                greedy_rows,
+                jnp.argmax(q, axis=-1),
+                jax.random.categorical(dkey, jnp.log(q + 1e-30), axis=-1),
+            ).astype(jnp.int32)
+            return (nxt, feat_next, out.kv), (nxt, q)
 
-        (_, _, dft_kv), drafts = jax.lax.scan(
-            draft_step, (state.last_token, state.feature, state.dft_kv), jnp.arange(K)
+        (_, _, dft_kv), scanned = jax.lax.scan(
+            draft_step, (state.last_token, state.feature, state.dft_kv),
+            (jnp.arange(K), dkeys[:K]),
         )
-        drafts = drafts.T  # [B, K]; drafts[:, k] = candidate for x_{m+1+k}
+        if fast_greedy:
+            drafts = scanned.T  # [B, K]; drafts[:, k] = candidate for x_{m+1+k}
+        else:
+            drafts = scanned[0].T
+            q_probs = scanned[1].transpose(1, 0, 2)  # [B, K, V]
 
         # ---- 2. verify: one target forward over [x_m, d_1..d_K] ----
         v_tokens = jnp.concatenate([state.last_token[:, None], drafts], axis=1)  # [B, K+1]
@@ -342,29 +378,35 @@ class EagleChainEngine:
             kv_limit=kv_limit, slots_contiguous=True,
         )
 
-        # ---- 3. accept longest exact-match prefix ----
-        # per-slot sampler params (greedy rows reduce to argmax exactly)
-        key, sub = jax.random.split(state.key)
+        # ---- 3. acceptance ----
         if fast_greedy:
             # all rows greedy (host-tracked): argmax of the raw logits is
             # token-identical to the transform pipeline (no penalties in the
             # cycle; top-k/p/min-p masks always keep the max; temperature
             # cannot reorder) but skips its two full [B,V] sorts per position
             t_true = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)
+            match = drafts == t_true[:, :K]  # [B, K]
+            n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            # per-slot speculative override (server request's speculative.n_max)
+            n_acc = jnp.minimum(n_acc, bs.spec_k)
+            out_tokens = t_true
         else:
-            keys = jax.random.split(sub, K + 1)
-            t_true = jax.vmap(
-                lambda l, k: sample_batched(l, k, bs), in_axes=(1, 0), out_axes=1
-            )(tout.logits, keys)
-        match = drafts == t_true[:, :K]  # [B, K]
-        n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
-        # per-slot speculative override (server request's speculative.n_max)
-        n_acc = jnp.minimum(n_acc, bs.spec_k)
+            # stochastic speculative sampling: min(1, p/q) accept + residual
+            # resample, per-row sampler transforms on both sides; greedy rows
+            # inside a mixed batch reduce to exact-match via their one-hot
+            # p/q (sampling.speculative_accept)
+            p_probs = jax.vmap(
+                lambda l: transformed_probs_batched(l, bs),
+                in_axes=1, out_axes=1,
+            )(tout.logits)  # [B, K+1, V]
+            out_tokens, n_acc = speculative_accept(
+                drafts, q_probs, p_probs, bs.spec_k, greedy_rows, dkeys[K]
+            )
 
         new_m = m + n_acc + 1
         feats = self._pick_feature(tout.hidden, tout.hidden_pre)
         new_feature = feats[b_idx, n_acc]
-        new_token = t_true[b_idx, n_acc]
+        new_token = out_tokens[b_idx, n_acc]
 
         tgt_kv = tout.kv.rollback(keep_below=new_m)
         dft_kv = dft_kv.rollback(keep_below=new_m - 1)
@@ -388,7 +430,7 @@ class EagleChainEngine:
             key=key,
         )
         return CycleOutput(
-            state=new_state, tokens=t_true, n_out=n_acc + 1, n_accepted=n_acc
+            state=new_state, tokens=out_tokens, n_out=n_acc + 1, n_accepted=n_acc
         )
 
     # ------------------------------------------------------------------

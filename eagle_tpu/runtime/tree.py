@@ -184,10 +184,18 @@ class EagleTreeEngine(EagleChainEngine):
             backend=self.backend, compute_dtype=self.compute_dtype,
             kv_limit=kv_limit, slots_contiguous=True,
         )
-        # target decision per node: argmax (greedy) or one sampler-chain draw —
-        # the stochastic tree acceptance of the reference's tree example
-        # (examples/speculative/speculative-eagle.cpp:294-320), realized as
-        # sample-and-exact-match, which preserves the target distribution.
+        # target decision per node: argmax (greedy) or one sampler-chain draw,
+        # then exact-match against the node's children. For the tree engines
+        # this sample-then-match IS the optimal stochastic acceptance: the
+        # expansion is deterministic top-k, so the proposal at a node is a
+        # fixed candidate set C, and any distribution-preserving scheme can
+        # accept with probability at most P(x in C) = sum_{c in C} p(c) —
+        # exactly what sampling x ~ p and matching achieves (the sequential
+        # min(1, p/q)-with-residual walk over deterministic candidates
+        # telescopes to the same probability). The chain engine's stochastic
+        # gain (runtime/sampling.speculative_accept) comes from SAMPLING its
+        # single proposal from q, an option a deterministic multi-candidate
+        # tree has already spent on breadth.
         key, sub = jax.random.split(state.key)
         if self.scfg.greedy:
             t_argmax = jnp.argmax(tout.logits, axis=-1).astype(jnp.int32)  # [B, N]
