@@ -227,9 +227,8 @@ class PagedBatcher(ContinuousBatcher):
             self.pools["dft"].register_prefix(toks, pages, shift=1)
         self._payloads.pop(slot.id, None)
 
-    def _before_cycle(self):
+    def _before_cycle(self, n_past: np.ndarray):
         k = self.engine.K
-        n_past = np.asarray(self.state.n_past)
         for slot in self.slots:
             if slot.state != "generating" or not self._active_mask[slot.id]:
                 continue

@@ -256,9 +256,11 @@ class ContinuousBatcher:
         here, and register the prompt's pages for prefix sharing when
         `finished`)."""
 
-    def _before_cycle(self):
+    def _before_cycle(self, n_past: np.ndarray):
         """Hook: about to run one speculative cycle over all generating slots
-        (paged batchers map each slot's decode window here)."""
+        (paged batchers map each slot's decode window here). `n_past` is the
+        host copy step() already synced — hooks must not re-sync it (each
+        device sync costs 25-40 ms through the TPU relay)."""
 
     def _advance_prefill(self):
         """Process ONE chunk of the head-of-queue prompt."""
@@ -295,14 +297,14 @@ class ContinuousBatcher:
             self._advance_prefill()
         if self.n_active == 0:
             return
-        self._before_cycle()
-        # static attention-read bound: every GENERATING slot's tags live below
-        # max(n_past over active rows) + K + 2 after this cycle (n_past [B] is
-        # tiny — the sync is subsumed by the res.tokens sync just below).
-        # Parked rows are excluded: they may carry stale or quarantined
-        # n_past values (PagedBatcher parks rows at max_seq so their
-        # data-only cycle writes land on the scratch page)
+        # ONE n_past sync per step, shared with the hooks (the TPU relay
+        # charges 25-40 ms per device sync). Static attention-read bound:
+        # every GENERATING slot's tags live below max(n_past over active
+        # rows) + K + 2 after this cycle. Parked rows are excluded: they may
+        # carry stale or quarantined n_past values (PagedBatcher parks rows
+        # at max_seq so their data-only cycle writes land on the scratch page)
         n_past_h = np.asarray(self.state.n_past)
+        self._before_cycle(n_past_h)
         hint = int(n_past_h[self._active_mask].max()) + self.engine.K + 2
         res = self.engine._cycle_jit(
             self.state, active=jnp.asarray(self._active_mask),

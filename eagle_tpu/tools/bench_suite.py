@@ -40,8 +40,24 @@ def main(argv=None):
                     help="include EAGLE-2 dynamic-tree cycle bench, e.g. 8,6,32")
     ap.add_argument("--n-draft", type=int, default=5)
     ap.add_argument("--draft-backend", default=None, choices=[None, "xla", "pallas"])
+    ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--compute-dtype", default="bf16", choices=["bf16", "f32"],
+                    help="f32 for CPU smoke runs (this host lacks bf16 dots)")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--max-seq", type=int, default=1024)
+    # -- continuous-batching serving bench (batched-bench equivalent):
+    # R staggered requests over B slots, dense or paged KV
+    ap.add_argument("--serve", type=int, default=0, metavar="R",
+                    help="serving bench: R staggered requests through the "
+                    "continuous batcher (aggregate + per-request t/s)")
+    ap.add_argument("--serve-batch", type=int, default=4, help="slots")
+    ap.add_argument("--serve-pp", type=int, default=64, help="prompt tokens/request")
+    ap.add_argument("--serve-tg", type=int, default=64, help="decode tokens/request")
+    ap.add_argument("--paged", action="store_true",
+                    help="serve over the paged KV pool (PagedBatcher)")
+    ap.add_argument("--serve-pages", type=int, default=None,
+                    help="page-pool size (default: full dense capacity)")
+    ap.add_argument("--page-size", type=int, default=64)
     args = ap.parse_args(argv)
 
     import pathlib
@@ -61,16 +77,20 @@ def main(argv=None):
     from ..runtime.generate import Generator, pad_bucket
     from ..runtime.sampling import SamplerConfig
 
+    cdt = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
     cfg = dataclasses.replace(VICUNA_7B, n_layers=args.layers)
+    sdt = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
     params = synth_llama_params(cfg, seed=0, on_device=True, packed=True,
-                                scale_dtype=jnp.bfloat16)
+                                scale_dtype=sdt, embed_dtype=cdt)
     jax.block_until_ready(params["layers"]["wqkv"].q)
     rows = []
 
     # -- prefill throughput --------------------------------------------------
-    for t in (int(x) for x in args.pp.split(",")):
+    for t in (int(x) for x in args.pp.split(",") if x.strip()):
+        if t <= 0:
+            continue
         gen = Generator(params, cfg, max_seq=max(args.max_seq, 2 * t), batch=1,
-                        backend="pallas", eos_id=-1)
+                        backend=args.backend, compute_dtype=cdt, eos_id=-1)
         tokens = jnp.zeros((1, t), jnp.int32)
 
         def run_pp(n, gen=gen, tokens=tokens, t=t):
@@ -90,7 +110,7 @@ def main(argv=None):
     tg = int(args.tg.split(",")[0])
     for b in (int(x) for x in args.batch.split(",")) if tg > 0 else ():
         gen = Generator(params, cfg, max_seq=args.max_seq, batch=b,
-                        backend="pallas", eos_id=-1)
+                        backend=args.backend, compute_dtype=cdt, eos_id=-1)
         scfg = SamplerConfig(greedy=True)
         state = {"pos": 8, "tok": jnp.zeros((b,), jnp.int32)}
         prompt = jnp.zeros((b, 8), jnp.int32)
@@ -123,10 +143,10 @@ def main(argv=None):
 
         dcfg = dataclasses.replace(cfg, n_layers=1, is_eagle=True)
         dparams = synth_eagle_params(dcfg, seed=1, packed=True,
-                                     scale_dtype=jnp.bfloat16)
+                                     scale_dtype=sdt, embed_dtype=cdt)
         dparams = jax.tree_util.tree_map(jnp.asarray, dparams)
         eng = EagleChainEngine(params, dparams, cfg, dcfg, n_draft=args.n_draft,
-                               max_seq=args.max_seq, backend="pallas",
+                               max_seq=args.max_seq, backend=args.backend,
                                draft_backend=args.draft_backend, eos_id=-1)
         st = eng.fresh_state()
         pt = jnp.zeros((1, 16), jnp.int32)
@@ -154,11 +174,11 @@ def main(argv=None):
         bm, dpt, nv = (int(x) for x in args.tree2.split(","))
         dcfg = dataclasses.replace(cfg, n_layers=1, is_eagle=True)
         dparams = synth_eagle_params(dcfg, seed=1, packed=True,
-                                     scale_dtype=jnp.bfloat16)
+                                     scale_dtype=sdt, embed_dtype=cdt)
         dparams = jax.tree_util.tree_map(jnp.asarray, dparams)
         eng = EagleTree2Engine(params, dparams, cfg, dcfg, beam=bm, depth=dpt,
                                n_verify=nv, max_seq=args.max_seq,
-                               backend="pallas",
+                               backend=args.backend,
                                draft_backend=args.draft_backend, eos_id=-1)
         st = eng.fresh_state()
         pt = jnp.zeros((1, 16), jnp.int32)
@@ -178,6 +198,86 @@ def main(argv=None):
         per = _time_slope(run_t2, 2, 8)
         rows.append({"test": f"tree2-cycle b{bm} d{dpt} n{nv}",
                      "ms/cycle": round(per * 1e3, 2)})
+
+    # -- continuous-batching serving bench ------------------------------------
+    # The batched-bench counterpart (examples/batched-bench): R requests with
+    # staggered arrival (a new request is admitted whenever a slot frees)
+    # through the real scheduler — dense slots or the paged pool — measuring
+    # END-TO-END serving throughput including chunked prefill, the speculative
+    # cycle, host scheduling, and (paged) page mapping.
+    if args.serve:
+        from ..runtime.scheduler import ContinuousBatcher
+        from ..runtime.speculative import EagleChainEngine
+
+        b = args.serve_batch
+        dcfg = dataclasses.replace(cfg, n_layers=1, is_eagle=True)
+        dparams = synth_eagle_params(dcfg, seed=1, packed=True,
+                                     scale_dtype=sdt, embed_dtype=cdt)
+        dparams = jax.tree_util.tree_map(jnp.asarray, dparams)
+        eng = EagleChainEngine(params, dparams, cfg, dcfg,
+                               n_draft=args.n_draft, max_seq=args.max_seq,
+                               batch=b, backend=args.backend, compute_dtype=cdt,
+                               kv_dtype=cdt,
+                               draft_backend=args.draft_backend, eos_id=-1)
+        if args.paged:
+            from ..runtime.paged_batcher import PagedBatcher
+
+            mp = -(-args.max_seq // args.page_size)
+            batcher = PagedBatcher(
+                eng, n_pages=args.serve_pages or b * mp,
+                page_size=args.page_size,
+            )
+        else:
+            batcher = ContinuousBatcher(eng, prefill_chunk=args.serve_pp)
+        rng = np.random.default_rng(0)
+        prompts = [rng.integers(0, cfg.vocab_size, size=args.serve_pp).tolist()
+                   for _ in range(args.serve)]
+        t_first: dict[int, float] = {}
+        t_done: dict[int, float] = {}
+
+        def run_serve(warm: bool):
+            tag = "w" if warm else "m"
+            pend = list(enumerate(prompts if not warm else prompts[:b]))
+            submitted: set = set()
+            done: set = set()
+            t0 = time.time()
+            while pend or batcher.n_active or batcher.n_pending:
+                while pend:
+                    i, p = pend[0]
+                    rid = f"{tag}{i}"
+                    s = batcher.submit(p, max_new_tokens=args.serve_tg,
+                                       stop_at_eos=False, request_id=rid)
+                    if s is None:
+                        break
+                    pend.pop(0)
+                    submitted.add(rid)
+                    if not warm:
+                        t_first[i] = time.time()
+                batcher.step()
+                for s in batcher.slots:
+                    if s.state == "free" and s.request_id in submitted \
+                            and s.request_id not in done:
+                        done.add(s.request_id)
+                        if not warm:
+                            t_done[int(s.request_id[1:])] = time.time()
+            return time.time() - t0
+
+        run_serve(warm=True)  # compile prefill-chunk + cycle programs
+        wall = run_serve(warm=False)
+        total_tokens = args.serve * args.serve_tg
+        per_req = [
+            args.serve_tg / (t_done[i] - t_first[i]) for i in range(args.serve)
+        ]
+        mode = "paged" if args.paged else "dense"
+        row = {
+            "test": f"serve {mode} b{b} r{args.serve} pp{args.serve_pp} tg{args.serve_tg}",
+            "t/s": round(total_tokens / wall, 1),
+            "per-req t/s": round(float(np.mean(per_req)), 1),
+        }
+        if args.paged:
+            row["prefix_hits"] = batcher.stats["prefix_hits"]
+            row["pages"] = args.serve_pages or "full"
+        rows.append(row)
 
     if args.json:
         print(json.dumps(rows))
