@@ -44,11 +44,15 @@ def main():
                     help="nibble-packed int4 weights (true 4-bit HBM traffic)")
     ap.add_argument("--no-packed", dest="packed", action="store_false")
     ap.add_argument("--scale-dtype", default="bf16", choices=["f32", "bf16"])
-    # coded scales (u8 codes + f32 super-scales) are the bit-exact serving
-    # mode: measured 127.4 t/s vs 130.0 for approximate bf16 products and
-    # 117.4 for exact f32 products (2026-08-18). The headline bench keeps the
-    # reference-comparable approximate mode; --coded measures the exact mode.
-    ap.add_argument("--coded", action="store_true", default=False)
+    # coded scales (sub-scale codes + f32 super-scales reconstructed
+    # in-kernel) are THE serving mode: the GGUF loader emits them for k-quant
+    # matmul weights (models/loader.py), they are bit-exact with ggml's f32
+    # d*sc dequant products, and the round-3 serving-layout pass measured
+    # them at 132.28 t/s ≥ the 132.19 CUDA baseline. The headline measures
+    # what api.Engine serves; --no-coded measures the approximate
+    # bf16-scale-products mode (134.2 t/s — faster but not ggml-exact).
+    ap.add_argument("--coded", action="store_true", default=True)
+    ap.add_argument("--no-coded", dest="coded", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -135,10 +139,11 @@ def main():
     per_tok = (t_big - t_small) / (args.steps - args.warmup)
     toks_per_s = 1.0 / per_tok
 
+    mode = "coded/bit-exact" if args.coded and args.backend == "pallas" else "approx-bf16"
     print(
         json.dumps(
             {
-                "metric": f"decode tokens/s ({_size_label(cfg)} Q4_K, {args.layers}L, 1 chip, bs1, {args.backend})",
+                "metric": f"decode tokens/s ({_size_label(cfg)} Q4_K {mode}, {args.layers}L, 1 chip, bs1, {args.backend})",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s",
                 "vs_baseline": round(toks_per_s / BASELINE_TOKS, 3),

@@ -12,6 +12,7 @@ runtime uses half-split rope (ops/rope.py)."""
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Any, Callable
 
@@ -21,7 +22,17 @@ import numpy as np
 
 from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFReader, GGUFTensorInfo
-from ..quant.qtensor import QTensor, REPACKABLE_TYPES, repack_numpy
+from ..quant.qtensor import (
+    CODED_TYPES,
+    QTensor,
+    REPACKABLE_TYPES,
+    repack_coded_numpy,
+    repack_numpy,
+)
+
+#: coded-scales load for k-quant matmul weights (the bit-exact serving mode,
+#: BENCHMARKS.md); EAGLE_TPU_CODED_LOAD=0 reverts to materialized products
+_CODED_LOAD = os.environ.get("EAGLE_TPU_CODED_LOAD", "1") not in ("0", "false")
 from .config import ModelConfig
 
 LayerKeyMap = {
@@ -73,6 +84,31 @@ def _load_tensor(
     permutation (logical N axis) is applied before the transpose."""
     info: GGUFTensorInfo = reader.tensors[name]
     data = reader.tensor_bytes(name)
+    if (
+        layout == "kn"
+        and info.ggml_type in CODED_TYPES
+        and len(info.shape) == 2
+        and info.shape[-1] % 256 == 0
+        and _CODED_LOAD
+    ):
+        # k-quant matmul weights keep their super-block factorization ON-CHIP
+        # (sub-scale CODES + f32 per-256 super-scales): the bit-exact serving
+        # layout — same f32 d*sc products as ggml, computed in-kernel, at
+        # ~half the scale-stream bytes (EAGLE_TPU_CODED_LOAD=0 reverts to
+        # materialized f32 products)
+        q, sc, mc, group, sup, supmin = repack_coded_numpy(
+            data, info.ggml_type, info.shape
+        )
+        if row_perm is not None:
+            q, sc, sup = q[row_perm], sc[row_perm], sup[row_perm]
+            mc = mc[row_perm] if mc is not None else None
+            supmin = supmin[row_perm] if supmin is not None else None
+        t = lambda x: None if x is None else np.ascontiguousarray(x.T)
+        return QTensor(
+            q=t(q), scale=t(sc), bias=t(mc), group=group,
+            ggml_type=int(info.ggml_type), layout="kn",
+            sup=t(sup), sup_min=t(supmin),
+        )
     if info.ggml_type in REPACKABLE_TYPES and len(info.shape) == 2:
         q, scale, bias, group = repack_numpy(data, info.ggml_type, info.shape)
         if row_perm is not None:
@@ -101,6 +137,9 @@ def _stack(items: list[QTensor | np.ndarray]):
             group=first.group,
             ggml_type=first.ggml_type,
             layout=first.layout,
+            sup=None if first.sup is None else np.stack([t.sup for t in items]),
+            sup_min=None if first.sup_min is None
+            else np.stack([t.sup_min for t in items]),
         )
     return np.stack(items)
 

@@ -189,6 +189,68 @@ def _repack_q4_k(data: np.ndarray, n: int, k: int):
     return q.reshape(n, k), scale.reshape(n, k // 32), bias.reshape(n, k // 32), 32
 
 
+def _repack_q4_k_coded(data: np.ndarray, n: int, k: int):
+    """Q4_K keeping the super-block factorization ON-CHIP: raw 6-bit sub-scale
+    /min codes + f32 per-256 super-scales (d, -dmin), instead of materialized
+    f32 products. Bit-exact with the product form (the kernel's f32
+    sup*code multiply is the same operation repack would have precomputed)
+    at ~half the scale-stream HBM bytes."""
+    bl = data.reshape(-1, 144)
+    nb = bl.shape[0]
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    dmin = _b._f16_bytes_to_f32(bl[:, 2:4])
+    sc, m = _b._unpack_scale_min_k4(bl[:, 4:16])
+    qs = bl[:, 16:].reshape(nb, 4, 32)
+    q = np.stack([qs & 0xF, qs >> 4], axis=2).reshape(nb, 256).astype(np.int8)
+    return (
+        q.reshape(n, k),
+        sc.astype(np.int8).reshape(n, k // 32),
+        m.astype(np.int8).reshape(n, k // 32),
+        32,
+        d.astype(np.float32).reshape(n, k // 256),
+        (-dmin.astype(np.float32)).reshape(n, k // 256),
+    )
+
+
+def _repack_q6_k_coded(data: np.ndarray, n: int, k: int):
+    """Q6_K coded: int8 sub-scale codes (16 per super-block) + f32 d."""
+    bl = data.reshape(-1, 210)
+    nb = bl.shape[0]
+    ql = bl[:, 0:128].reshape(nb, 2, 64)
+    qh = bl[:, 128:192].reshape(nb, 2, 32)
+    sc = bl[:, 192:208].view(np.int8)
+    d = _b._f16_bytes_to_f32(bl[:, 208:210])
+    q1 = (ql[:, :, :32] & 0xF) | ((qh & 0x3) << 4)
+    q2 = (ql[:, :, 32:] & 0xF) | (((qh >> 2) & 0x3) << 4)
+    q3 = (ql[:, :, :32] >> 4) | (((qh >> 4) & 0x3) << 4)
+    q4 = (ql[:, :, 32:] >> 4) | (((qh >> 6) & 0x3) << 4)
+    q = (np.concatenate([q1, q2, q3, q4], axis=2).astype(np.int16) - 32).astype(np.int8)
+    return (
+        q.reshape(n, k),
+        np.ascontiguousarray(sc).reshape(n, k // 16),
+        None,
+        16,
+        d.astype(np.float32).reshape(n, k // 256),
+        None,
+    )
+
+
+def _repack_q5_k_coded(data: np.ndarray, n: int, k: int):
+    q, _, _, group = _repack_q5_k(data, n, k)
+    bl = data.reshape(-1, 176)
+    d = _b._f16_bytes_to_f32(bl[:, 0:2])
+    dmin = _b._f16_bytes_to_f32(bl[:, 2:4])
+    sc, m = _b._unpack_scale_min_k4(bl[:, 4:16])
+    return (
+        q,
+        sc.astype(np.int8).reshape(n, k // 32),
+        m.astype(np.int8).reshape(n, k // 32),
+        group,
+        d.astype(np.float32).reshape(n, k // 256),
+        (-dmin.astype(np.float32)).reshape(n, k // 256),
+    )
+
+
 def _repack_q5_k(data: np.ndarray, n: int, k: int):
     bl = data.reshape(-1, 176)
     nb = bl.shape[0]
@@ -336,6 +398,28 @@ from .iq_blocks import IQ_REPACKERS as _IQ_REPACKERS  # noqa: E402
 _REPACKERS.update(_IQ_REPACKERS)
 
 REPACKABLE_TYPES = tuple(sorted(_REPACKERS, key=int))
+
+#: k-quant formats whose super-block factorization the loader keeps on-chip
+#: (QTensor.sup coded scales — the bit-exact serving mode; see quant/serving)
+_CODED_REPACKERS = {
+    GGMLType.Q4_K: _repack_q4_k_coded,
+    GGMLType.Q5_K: _repack_q5_k_coded,
+    GGMLType.Q6_K: _repack_q6_k_coded,
+}
+CODED_TYPES = tuple(sorted(_CODED_REPACKERS, key=int))
+
+
+def repack_coded_numpy(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]):
+    """GGUF packed bytes -> (q, sub-scale codes, min codes|None, G,
+    super-scale f32 [N, K/256], -super-min|None) for CODED_TYPES."""
+    ggml_type = GGMLType(ggml_type)
+    if len(shape) != 2:
+        n, k = int(np.prod(shape[:-1])), shape[-1]
+    else:
+        n, k = shape
+    return _CODED_REPACKERS[ggml_type](
+        np.ascontiguousarray(data, dtype=np.uint8), n, k
+    )
 
 
 def repack_numpy(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...], use_native: bool = True):

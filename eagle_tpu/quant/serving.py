@@ -52,7 +52,16 @@ def _pack_q(q, group: int):
 
 
 def prepare_qtensor(t: QTensor, scale_mode: str = "f32", pack: bool = True) -> QTensor:
-    if t.sup is not None:  # already coded — layout is final
+    if t.sup is not None:
+        # coded scales (the loader's bit-exact k-quant layout): the scale
+        # stream is final, but 4-bit codes still nibble-pack
+        if (
+            pack
+            and t.layout == "kn"
+            and not t.packed
+            and GGMLType(t.ggml_type) in PACKABLE_TYPES
+        ):
+            return dataclasses.replace(t, q=_pack_q(t.q, t.group), packed=True)
         return t
     out = t
     if (

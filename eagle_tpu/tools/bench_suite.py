@@ -104,6 +104,7 @@ def main(argv=None):
         run_pp(1)  # compile
         per = _time_slope(run_pp, 1, 4)
         rows.append({"test": f"pp{t}", "t/s": round(t / per, 1)})
+        print(f"# {rows[-1]}", file=sys.stderr, flush=True)
         del gen, run_pp  # free the KV buffer before the next config
 
     # -- decode throughput ---------------------------------------------------
@@ -135,6 +136,7 @@ def main(argv=None):
         run_tg(8)
         per = _time_slope(run_tg, 8, tg)
         rows.append({"test": f"tg{tg} b{b}", "t/s": round(b / per, 1)})
+        print(f"# {rows[-1]}", file=sys.stderr, flush=True)
         del gen, run_tg  # free this batch size's dense KV before the next
 
     # -- speculative cycle ---------------------------------------------------
@@ -166,6 +168,7 @@ def main(argv=None):
         run_cycle(1)
         per = _time_slope(run_cycle, 2, 8)
         rows.append({"test": f"spec-cycle k{args.n_draft}", "ms/cycle": round(per * 1e3, 2)})
+        print(f"# {rows[-1]}", file=sys.stderr, flush=True)
 
     # -- EAGLE-2 dynamic-tree cycle -------------------------------------------
     if args.tree2:
@@ -278,6 +281,7 @@ def main(argv=None):
             row["prefix_hits"] = batcher.stats["prefix_hits"]
             row["pages"] = args.serve_pages or "full"
         rows.append(row)
+        print(f"# {rows[-1]}", file=sys.stderr, flush=True)
 
     if args.json:
         print(json.dumps(rows))

@@ -61,3 +61,66 @@ def test_effective_scale_bias_transpose(rng):
     s_nk, b_nk = qt_nk.effective_scale_bias()
     np.testing.assert_array_equal(np.asarray(s_kn).T, np.asarray(s_nk))
     np.testing.assert_array_equal(np.asarray(b_kn).T, np.asarray(b_nk))
+
+
+# ---- coded GGUF loading (the serving path: loader emits sup/sup_min) -------
+
+def test_gguf_coded_load_bit_exact(tmp_path, rng):
+    """Loading a Q4_K GGUF with coded scales (the default) must produce the
+    SAME dequantized weights as the materialized-product load, bit for bit —
+    the kernel's in-flight f32 sup*code multiply is the very multiply the
+    product repack would have precomputed."""
+    import os
+
+    from eagle_tpu.gguf.writer import GGUFWriter
+    from eagle_tpu.models import loader as L
+
+    w = (np.random.default_rng(7).standard_normal((64, 512)) * 0.05).astype(np.float32)
+    path = tmp_path / "t.gguf"
+    wr = GGUFWriter(path)
+    wr.add_tensor("blk.0.attn_output.weight", w, ggml_type=GGMLType.Q4_K)
+    wr.write()
+
+    from eagle_tpu.gguf.reader import GGUFReader
+
+    r = GGUFReader(path)
+    qt_coded = L._load_tensor(r, "blk.0.attn_output.weight", layout="kn")
+    assert qt_coded.sup is not None  # coded is the default serving load
+    old = L._CODED_LOAD
+    try:
+        L._CODED_LOAD = False
+        qt_prod = L._load_tensor(r, "blk.0.attn_output.weight", layout="kn")
+    finally:
+        L._CODED_LOAD = old
+    assert qt_prod.sup is None
+    a = np.asarray(qt_coded.dequantize())
+    b = np.asarray(qt_prod.dequantize())
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K])
+def test_repack_coded_matches_products(tmp_path, rng, qtype):
+    """repack_coded_numpy's sup*codes must reproduce repack_numpy's product
+    scales exactly for every coded k-quant format."""
+    from eagle_tpu.gguf.reader import GGUFReader
+    from eagle_tpu.gguf.writer import GGUFWriter
+    from eagle_tpu.quant.qtensor import repack_coded_numpy, repack_numpy
+
+    w = (np.random.default_rng(3).standard_normal((32, 512)) * 0.05).astype(np.float32)
+    path = tmp_path / f"t{int(qtype)}.gguf"
+    wr = GGUFWriter(path)
+    wr.add_tensor("w", w, ggml_type=qtype)
+    wr.write()
+    r = GGUFReader(path)
+    data = r.tensor_bytes("w")
+    shape = r.tensors["w"].shape
+    q0, s0, b0, g0 = repack_numpy(data, qtype, shape, use_native=False)
+    qc, sc, mc, gc, sup, supmin = repack_coded_numpy(data, qtype, shape)
+    assert gc == g0
+    np.testing.assert_array_equal(qc, q0)
+    per = s0.shape[-1] // sup.shape[-1]
+    s_re = np.repeat(sup, per, axis=-1) * sc.astype(np.float32)
+    np.testing.assert_array_equal(s_re, s0)
+    if b0 is not None:
+        b_re = np.repeat(supmin, per, axis=-1) * mc.astype(np.float32)
+        np.testing.assert_array_equal(b_re, b0)
