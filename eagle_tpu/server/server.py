@@ -52,18 +52,11 @@ class ServerMetrics:
 
 
 def _sampler_from_request(body: dict[str, Any], default: SamplerConfig) -> SamplerConfig:
-    import dataclasses
+    """Per-request sampler overrides — reads the SAME parameter table as the
+    CLI flags (utils/args.SAMPLING_REQUEST_KEYS; server.cpp:272-278)."""
+    from ..utils.args import sampler_from_request
 
-    temp = float(body.get("temperature", default.temperature))
-    return dataclasses.replace(
-        default,
-        temperature=temp,
-        greedy=temp <= 0.0,
-        top_k=int(body.get("top_k", default.top_k)),
-        top_p=float(body.get("top_p", default.top_p)),
-        min_p=float(body.get("min_p", default.min_p)),
-        penalty_repeat=float(body.get("repeat_penalty", default.penalty_repeat)),
-    )
+    return sampler_from_request(body, default)
 
 
 def _tool_system_prompt(tools: list[dict], fmt: str) -> str:
@@ -562,26 +555,11 @@ def main(argv=None):
 
     from ..api import Engine, EngineConfig
 
-    ap = argparse.ArgumentParser("eagle-tpu server")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("--draft", default=None, help="EAGLE draft-head GGUF")
-    ap.add_argument("--tree", default=None, help="tree branching, e.g. 4,2,2")
-    ap.add_argument("--n-draft", type=int, default=5)
-    ap.add_argument("--ctx", type=int, default=2048)
-    ap.add_argument("--parallel", "-np", type=int, default=1,
-                    help="number of server slots (continuous batching)")
-    ap.add_argument("--paged", action="store_true",
-                    help="serve KV from a shared page pool with prefix-cache "
-                    "reuse (the reference's seq-id cell sharing)")
-    ap.add_argument("--kv-pages", type=int, default=None,
-                    help="page-pool size; < batch*ctx/page-size oversubscribes")
-    ap.add_argument("--page-size", type=int, default=64)
-    ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("--host", default="0.0.0.0")
-    ap.add_argument("--jinja", action="store_true",
-                    help="execute the model's embedded jinja chat template "
-                    "(the reference's --jinja / minja mode)")
+    from ..utils.args import apply_log_args, build_parser
+
+    ap = build_parser("server")
     args = ap.parse_args(argv)
+    apply_log_args(args)
 
     cfg = EngineConfig(
         model_path=args.model,

@@ -30,17 +30,16 @@ def _time_slope(fn, small: int, big: int):
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser("eagle-tpu bench-suite")
+    from ..utils.args import build_parser
+
+    ap = build_parser("bench", prog="eagle-tpu bench-suite")
+    ap.set_defaults(backend="pallas")  # TPU bench default; registry row is None
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--pp", default="128")
     ap.add_argument("--tg", default="64")
     ap.add_argument("--batch", default="1")
     ap.add_argument("--spec", action="store_true", help="include EAGLE cycle bench")
-    ap.add_argument("--tree2", default=None, metavar="BEAM,DEPTH,NVERIFY",
-                    help="include EAGLE-2 dynamic-tree cycle bench, e.g. 8,6,32")
-    ap.add_argument("--n-draft", type=int, default=5)
     ap.add_argument("--draft-backend", default=None, choices=[None, "xla", "pallas"])
-    ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--compute-dtype", default="bf16", choices=["bf16", "f32"],
                     help="f32 for CPU smoke runs (this host lacks bf16 dots)")
     ap.add_argument("--json", action="store_true")

@@ -12,40 +12,12 @@ import sys
 import time
 
 
-def build_argparser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser("eagle-tpu cli")
-    ap.add_argument("-m", "--model", required=True, help="target GGUF path")
-    ap.add_argument("-p", "--prompt", default="Hello")
-    ap.add_argument("-n", "--n-predict", type=int, default=128)
-    ap.add_argument("--draft", default=None, help="EAGLE draft GGUF (enables speculation)")
-    ap.add_argument("--n-draft", type=int, default=5, help="chain draft length")
-    ap.add_argument("--tree", default=None, help="tree branching factors, e.g. 4,2,2")
-    ap.add_argument("--tree2", default=None, metavar="BEAM,DEPTH,NVERIFY",
-                    help="EAGLE-2 dynamic draft tree, e.g. 8,6,32")
-    ap.add_argument("--lookahead", default=None, metavar="W,N,G",
-                    help="model-free lookahead decoding (examples/lookahead), e.g. 8,4,8")
-    ap.add_argument("--ctx", type=int, default=2048)
-    ap.add_argument("--lora", default=None, help="LoRA adapter GGUF (merged at load)")
-    ap.add_argument("--lora-scale", type=float, default=None)
-    ap.add_argument("--grammar", default=None, help="GBNF grammar constraining output")
-    ap.add_argument("--json-schema", default=None, help="JSON schema constraining output")
-    ap.add_argument("--temp", type=float, default=0.8)
-    ap.add_argument("--top-k", type=int, default=40)
-    ap.add_argument("--top-p", type=float, default=0.95)
-    ap.add_argument("--min-p", type=float, default=0.05)
-    ap.add_argument("--repeat-penalty", type=float, default=1.0)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--backend", default=None, choices=[None, "xla", "pallas"])
-    ap.add_argument("--feature-source", default="pre_norm", choices=["pre_norm", "post_norm"])
-    ap.add_argument("--chat", action="store_true",
-                    help="interactive conversation mode (main.cpp -cnv): chat-"
-                         "template formatting + KV reuse across turns")
-    ap.add_argument("--system", default=None, help="system prompt (chat mode)")
-    ap.add_argument("--chat-template", default=None,
-                    help="force a template family (default: detect from GGUF)")
-    ap.add_argument("--jinja", action="store_true",
-                    help="execute the GGUF's embedded jinja template")
-    return ap
+def build_argparser():
+    """Parser from the unified declarative registry (utils/args.py — the
+    common/arg.cpp table; every flag resolves EAGLE_ARG_* env fallbacks)."""
+    from ..utils.args import build_parser
+
+    return build_parser("cli")
 
 
 def chat_loop(eng, args, sampler) -> int:
@@ -85,16 +57,10 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
 
     from ..api import Engine, EngineConfig
-    from ..runtime.sampling import SamplerConfig
+    from ..utils.args import apply_log_args, sampler_from_args
 
-    sampler = SamplerConfig(
-        temperature=args.temp,
-        greedy=args.temp <= 0,
-        top_k=args.top_k,
-        top_p=args.top_p,
-        min_p=args.min_p,
-        penalty_repeat=args.repeat_penalty,
-    )
+    apply_log_args(args)
+    sampler = sampler_from_args(args)
     cfg = EngineConfig(
         model_path=args.model,
         draft_path=args.draft,
@@ -118,7 +84,8 @@ def main(argv=None):
 
     t0 = time.time()
     text, stats = eng.generate_text(
-        args.prompt, max_new_tokens=args.n_predict, sampler=sampler, seed=args.seed,
+        args.prompt if args.prompt is not None else "Hello",
+        max_new_tokens=args.n_predict, sampler=sampler, seed=args.seed,
         grammar=args.grammar, json_schema=args.json_schema,
     )
     dt = time.time() - t0

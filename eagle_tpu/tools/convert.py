@@ -175,19 +175,18 @@ def load_hf_state_dict(model_dir: Path) -> dict:
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) < 2:
-        print(__doc__)
-        return 1
-    model_dir = Path(argv[0])
-    out = argv[1]
-    qtype = GGMLType.F16
-    arch = None
-    for a in argv[2:]:
-        if a.startswith("--qtype"):
-            qtype = GGMLType[a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1]]
-        if a.startswith("--arch="):
-            arch = a.split("=", 1)[1]
+    from ..utils.args import build_parser
+
+    ap = build_parser("convert", description=__doc__)
+    ap.add_argument("model_dir", help="HF model directory (config.json + weights)")
+    ap.add_argument("out", help="output GGUF path")
+    ap.add_argument("--qtype", default="F16", help="output quantization type")
+    ap.add_argument("--arch", default=None, help="override detected architecture")
+    args = ap.parse_args(argv)
+    model_dir = Path(args.model_dir)
+    out = args.out
+    qtype = GGMLType[args.qtype]
+    arch = args.arch
 
     from types import SimpleNamespace
 

@@ -150,3 +150,34 @@ def multiple_choice_score(
         "n_tasks": len(tasks),
         "details": details,
     }
+
+
+def main(argv=None):
+    """llama-perplexity CLI: -m model.gguf -f eval.txt [--n-ctx 256]."""
+    import sys
+
+    import jax.numpy as jnp
+
+    from ..models.loader import load_llama_params
+    from ..tokenizer.bpe import tokenizer_from_gguf_metadata
+    from ..utils.args import apply_log_args, build_parser
+
+    ap = build_parser("perplexity", description="perplexity over a text file")
+    args = ap.parse_args(argv)
+    apply_log_args(args)
+    if not args.file:
+        ap.error("-f/--file is required")
+    params, cfg, md = load_llama_params(args.model)
+    tok = tokenizer_from_gguf_metadata(md)
+    ids = tok.encode(open(args.file).read())
+    backend = args.backend
+    res = perplexity(params, cfg, np.asarray(ids, np.int32),
+                     n_ctx=args.n_ctx, backend=backend)
+    print(f"ppl = {res['ppl']:.4f} over {res['tokens']} tokens "
+          f"(n_ctx {args.n_ctx})", file=sys.stderr)
+    print(res["ppl"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -140,22 +140,23 @@ def quantize_gguf(
 
 
 def main(argv=None):
-    argv = argv or sys.argv[1:]
-    if len(argv) < 2:
-        print(__doc__)
-        return 1
-    args = [a for a in argv if not a.startswith("--")]
-    flags = [a for a in argv if a.startswith("--")]
-    src, dst = args[0], args[1]
-    scheme = args[2] if len(args) > 2 else "Q4_K_M"
-    imx = None
-    for f in flags:
-        if f.startswith("--imatrix="):
-            imx = f.split("=", 1)[1]
-    stats = quantize_gguf(src, dst, scheme, search="--search" in flags, imatrix_path=imx)
+    from ..utils.args import build_parser
+
+    ap = build_parser("quantize", description=__doc__)
+    ap.add_argument("src", help="input GGUF")
+    ap.add_argument("dst", help="output GGUF")
+    ap.add_argument("scheme", nargs="?", default="Q4_K_M",
+                    help="quantization scheme (Q4_K_M, Q4_0, Q8_0, ...)")
+    ap.add_argument("--imatrix", default=None,
+                    help="importance matrix from tools.imatrix")
+    ap.add_argument("--search", action="store_true",
+                    help="per-tensor search over candidate types")
+    args = ap.parse_args(argv)
+    stats = quantize_gguf(args.src, args.dst, args.scheme, search=args.search,
+                          imatrix_path=args.imatrix)
     print(
         f"quantized {stats['tensors']} tensors: "
-        f"{stats['bytes_in']/1e6:.1f}MB -> {stats['bytes_out']/1e6:.1f}MB ({scheme})"
+        f"{stats['bytes_in']/1e6:.1f}MB -> {stats['bytes_out']/1e6:.1f}MB ({args.scheme})"
     )
     return 0
 

@@ -24,10 +24,9 @@ def chunk_texts(files: list[str], chunk_size: int, separator: str) -> list[str]:
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser("eagle-tpu retrieval")
-    from ..utils.args import add_model_args
+    from ..utils.args import build_parser
 
-    add_model_args(ap)
+    ap = build_parser("retrieval")
     ap.add_argument("--context-files", nargs="+", required=True)
     ap.add_argument("--chunk-size", type=int, default=200)
     ap.add_argument("--chunk-separator", default="\n")

@@ -9,11 +9,9 @@ import sys
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser("eagle-tpu tokenize")
-    from ..utils.args import add_model_args
+    from ..utils.args import build_parser
 
-    add_model_args(ap)
-    ap.add_argument("-p", "--prompt", default=None)
+    ap = build_parser("tokenize")
     ap.add_argument("-f", "--file", default=None)
     ap.add_argument("--ids", action="store_true", help="ids only, one line")
     ap.add_argument("--no-bos", action="store_true")

@@ -62,17 +62,52 @@ def test_retrieval_cli(tiny_gguf, tmp_path, capsys):
 
 
 def test_env_arg_fallbacks(monkeypatch):
-    import argparse
-
-    from eagle_tpu.utils.args import add_model_args, env_default
+    from eagle_tpu.utils.args import build_parser, env_default
 
     monkeypatch.setenv("EAGLE_ARG_CTX", "512")
     monkeypatch.setenv("EAGLE_ARG_MODEL", "/tmp/x.gguf")
     assert env_default("ctx", 2048, int) == 512
-    ap = argparse.ArgumentParser()
-    add_model_args(ap)
-    args = ap.parse_args([])  # no -m needed: env provides it
+    args = build_parser("cli").parse_args(["-p", "hi"])
+    # no -m needed: the registry's env fallback satisfies the required flag
     assert args.model == "/tmp/x.gguf" and args.ctx == 512
+
+
+def test_registry_per_tool_masks_and_env(monkeypatch):
+    """One declarative table serves every tool: per-tool masks gate which
+    flags exist, EAGLE_ARG_* overrides declared defaults, and explicit CLI
+    values beat the environment (common/arg.cpp precedence)."""
+    import pytest as _pytest
+
+    from eagle_tpu.utils.args import REGISTRY, build_parser
+
+    # masks: --port exists for the server, not the cli
+    srv = build_parser("server")
+    monkeypatch.setenv("EAGLE_ARG_MODEL", "/tmp/x.gguf")
+    assert build_parser("server").parse_args([]).port == 8080
+    with _pytest.raises(SystemExit):
+        build_parser("cli").parse_args(["--port", "1"])
+    # env overrides default; explicit CLI wins over env
+    monkeypatch.setenv("EAGLE_ARG_TEMP", "0.25")
+    assert build_parser("cli").parse_args([]).temp == 0.25
+    assert build_parser("cli").parse_args(["--temp", "0.5"]).temp == 0.5
+    # boolean env fallback
+    monkeypatch.setenv("EAGLE_ARG_PAGED", "1")
+    assert build_parser("server").parse_args([]).paged is True
+    # every row resolves a well-formed dest + env name
+    for opt in REGISTRY:
+        assert opt.dest.isidentifier()
+        assert opt.env_name is None or opt.env_name.startswith("EAGLE_ARG_")
+
+
+def test_server_request_sampler_uses_registry_table():
+    from eagle_tpu.runtime.sampling import SamplerConfig
+    from eagle_tpu.utils.args import sampler_from_request
+
+    base = SamplerConfig(greedy=True, temperature=0.8)
+    cfg = sampler_from_request({"temperature": 0.3, "top_k": 7}, base)
+    assert cfg.temperature == 0.3 and cfg.top_k == 7 and cfg.greedy is False
+    cfg0 = sampler_from_request({"temperature": 0}, base)
+    assert cfg0.greedy is True
 
 
 def test_logging_framework(tmp_path):
