@@ -183,6 +183,8 @@ class Engine:
         seed: int = 0,
         grammar: str | None = None,
         json_schema: dict | str | None = None,
+        session_path: str | None = None,
+        session_cache_all: bool = False,
     ) -> tuple[str, dict]:
         ids = self.tokenizer.encode(prompt)
         if grammar or json_schema:
@@ -210,12 +212,26 @@ class Engine:
                 [t for t in out if t != self.tokenizer.eos_id], skip_special=True
             )
             return text, stats
-        if isinstance(self.engine, Generator):
+        if session_path and not isinstance(self.engine, Generator):
+            # prompt-cache sessions ride the plain generator (main.cpp is the
+            # non-speculative binary); reuse the target-only path
+            gen = self._plain_generator()
+            out = gen.generate(
+                ids, max_new_tokens=max_new_tokens,
+                sampler=sampler or self.cfg.sampler, seed=seed,
+                session_path=session_path, session_cache_all=session_cache_all,
+            )
+            stats = {"session_prefix_reused": gen.session_prefix_reused}
+        elif isinstance(self.engine, Generator):
             out = self.engine.generate(
                 ids, max_new_tokens=max_new_tokens,
                 sampler=sampler or self.cfg.sampler, seed=seed,
+                session_path=session_path, session_cache_all=session_cache_all,
             )
-            stats = {}
+            stats = (
+                {"session_prefix_reused": self.engine.session_prefix_reused}
+                if session_path else {}
+            )
         else:
             out, stats = self.engine.generate(ids, max_new_tokens=max_new_tokens, seed=seed)
         text = self.tokenizer.decode(

@@ -215,6 +215,8 @@ class Generator:
         grp_attn_n: int = 1,
         grp_attn_w: int = 512,
         on_token=None,
+        session_path=None,
+        session_cache_all: bool = False,
     ) -> list[int]:
         """Single-sequence generation. Returns generated token ids.
 
@@ -226,16 +228,56 @@ class Generator:
         --grp-attn-n/--grp-attn-w, examples/passkey): rope positions are
         periodically compressed by the seq_add/div triple so the model never
         sees positions beyond its training window, while every token keeps
-        its own cache slot."""
+        its own cache slot.
+
+        `session_path` enables prompt-cache sessions (main.cpp:235-253
+        --prompt-cache): the longest token prefix shared with the session
+        file's cached KV skips prefill; the session is (re)written on return.
+        `session_cache_all` also caches the generated continuation
+        (--prompt-cache-all). Sessions are not written after a context shift
+        or under self-extend (slots no longer equal token ordinals)."""
         scfg = sampler or SamplerConfig(greedy=True)
         prompt = np.asarray(prompt_tokens, dtype=np.int32)
         n = len(prompt)
-        t = pad_bucket(n)
-        padded = np.zeros((self.batch, t), np.int32)
-        padded[0, :n] = prompt
-        logits, _, self.kv = self._prefill_jit(
-            self.params, self.kv, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t
-        )
+        # invalidate any previous generation's tags: a reused Generator must
+        # not leak stale rows above this prompt into the visibility mask
+        self.kv = self.kv.rollback(keep_below=jnp.zeros((self.batch,), jnp.int32))
+        n_matched = 0
+        if session_path:
+            from .state_io import (
+                insert_session_kv,
+                load_prompt_session,
+                session_prefix_len,
+            )
+
+            loaded = load_prompt_session(session_path, self.kv)
+            if loaded is not None:
+                sess_tokens, arrs = loaded
+                # always re-evaluate at least the final prompt token: its
+                # logits seed the first sample (main.cpp forces n_past--
+                # on an exact whole-prompt match for the same reason)
+                n_matched = min(session_prefix_len(sess_tokens, prompt), n - 1)
+                if n_matched > 0:
+                    self.kv = insert_session_kv(self.kv, arrs, n_matched)
+        self.session_prefix_reused = n_matched  # introspection for tools/tests
+        if n_matched > 0:
+            tail = prompt[n_matched:]
+            tn = len(tail)
+            t = pad_bucket(tn)
+            padded = np.zeros((self.batch, t), np.int32)
+            padded[0, :tn] = tail
+            logits, self.kv = self._extend_jit(
+                self.params, self.kv, jnp.asarray(padded),
+                jnp.asarray([n_matched], np.int32), jnp.asarray([tn], np.int32),
+                t=t, kv_limit=self.kv_read_bucket(n),
+            )
+        else:
+            t = pad_bucket(n)
+            padded = np.zeros((self.batch, t), np.int32)
+            padded[0, :n] = prompt
+            logits, _, self.kv = self._prefill_jit(
+                self.params, self.kv, jnp.asarray(padded), jnp.asarray([n], np.int32), t=t
+            )
         key = jax.random.PRNGKey(seed)
         key, sub = jax.random.split(key)
         sstate = (
@@ -255,10 +297,23 @@ class Generator:
             first = sample(logits, sub, scfg)
 
         out = [int(first[0])]
+        shifted = [False]  # context shift / self-extend break slot==ordinal
+
+        def finish():
+            if session_path and not shifted[0]:
+                from .state_io import save_prompt_session
+
+                # the final sampled token was never FED, so its KV row does
+                # not exist — cache rows/tokens up to the last fed position
+                end = n + len(out) - 1 if session_cache_all else n
+                toks = list(prompt) + out if session_cache_all else list(prompt)
+                save_prompt_session(session_path, toks[:end], self.kv, end)
+            return out
+
         if on_token:
             on_token(out[0])
         if stop_at_eos and out[-1] == self.eos_id:
-            return out
+            return finish()
         pos = n
         slot = n
         ga_i = 0
@@ -276,6 +331,7 @@ class Generator:
                 # deliberately avoid)
                 inv_freq, _ = rope_freqs_cfg(self.cfg)
                 while pos >= ga_i + grp_attn_w:
+                    shifted[0] = True
                     self.kv, pos, ga_i = self_extend_shift(
                         self.kv, inv_freq, pos, ga_i, grp_attn_n, grp_attn_w
                     )
@@ -296,7 +352,7 @@ class Generator:
                     if on_token:
                         on_token(int(tk))
                     if stop_at_eos and tk == self.eos_id:
-                        return out
+                        return finish()
                 pos += steps
                 slot += steps
                 tok = toks[:, -1]
@@ -308,6 +364,7 @@ class Generator:
                 n_discard = (self.max_seq - context_shift_keep) // 2
                 inv_freq, _ = rope_freqs_cfg(self.cfg)  # no mscale (see above)
                 self.kv = context_shift(self.kv, inv_freq, context_shift_keep, n_discard)
+                shifted[0] = True
                 pos -= n_discard
             elif pos + chunk + 1 >= self.max_seq:
                 break
@@ -324,7 +381,7 @@ class Generator:
                 if on_token:
                     on_token(int(tk))
                 if stop_at_eos and tk == self.eos_id:
-                    return out
+                    return finish()
             pos += steps
             tok = jnp.asarray(np.asarray(toks)[:, -1])
-        return out
+        return finish()

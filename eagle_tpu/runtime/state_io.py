@@ -121,3 +121,111 @@ def load_state(template, path: str | Path):
             new_leaves.append(jnp.asarray(arr, dtype=tmpl.dtype))
         state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return state, meta.get("extra", {})
+
+
+# ---------------------------------------------------------------------------
+# CLI prompt-cache sessions (main.cpp:235-253 --prompt-cache): token list +
+# the KV rows they produced, reloaded next run and matched by longest token
+# prefix so only the unseen tail is re-evaluated.
+# ---------------------------------------------------------------------------
+
+SESSION_MAGIC = "eagle_tpu_session_v1"
+
+
+def _pack_np(a: np.ndarray) -> tuple[np.ndarray, str]:
+    """npz-safe view: ml_dtypes (bfloat16, ...) are not serializable by
+    np.save — store their bytes as uint8 with the dtype name on the side."""
+    name = a.dtype.name
+    if a.dtype in (np.float32, np.float16, np.int8, np.int32, np.int64, np.bool_):
+        return a, name
+    return a.view(np.uint8), name
+
+
+def _unpack_np(a: np.ndarray, name: str) -> np.ndarray:
+    if a.dtype.name == name:
+        return a
+    import ml_dtypes  # jax dependency — provides bfloat16 etc.
+
+    return a.view(np.dtype(getattr(ml_dtypes, name)))
+
+
+def save_prompt_session(path: str | Path, tokens, kv: KVCache, end: int):
+    """Persist `tokens[:end]` and their KV rows (cache slots [0, end))."""
+    end = int(min(end, kv.max_seq, len(tokens)))
+    raw = {
+        "tokens": np.asarray(tokens[:end], np.int32),
+        "k": np.asarray(kv.k[:, :, :, :end]),
+        "v": np.asarray(kv.v[:, :, :, :end]),
+        "slot_pos": np.asarray(kv.slot_pos[:, :end]),
+    }
+    if kv.k_scale is not None:
+        raw["k_scale"] = np.asarray(kv.k_scale[:, :, :, :end])
+        raw["v_scale"] = np.asarray(kv.v_scale[:, :, :, :end])
+    arrs, dtypes = {}, {}
+    for name, a in raw.items():
+        arrs[name], dtypes[name] = _pack_np(a)
+    meta = {"magic": SESSION_MAGIC, "end": end, "dtypes": dtypes}
+    buf = io.BytesIO()
+    np.savez_compressed(
+        buf, __meta__=np.frombuffer(json.dumps(meta).encode(), np.uint8), **arrs
+    )
+    Path(path).write_bytes(buf.getvalue())
+
+
+def load_prompt_session(path: str | Path, kv_template: KVCache):
+    """(tokens, arrays) from a session file, or None when the file is absent,
+    malformed, or shaped for a different model/kv-dtype (the reference
+    re-initializes on a bad session rather than failing the run)."""
+    p = Path(path)
+    if not p.exists() or p.stat().st_size == 0:
+        return None
+    try:
+        z = np.load(io.BytesIO(p.read_bytes()))
+        meta = json.loads(bytes(z["__meta__"]))
+        if meta.get("magic") != SESSION_MAGIC:
+            return None
+        dtypes = meta.get("dtypes", {})
+        arrs = {
+            n: _unpack_np(z[n], dtypes.get(n, z[n].dtype.name))
+            for n in z.files if n != "__meta__"
+        }
+        k = arrs["k"]
+        ref = kv_template.k
+        if (
+            k.shape[:3] != ref.shape[:3]
+            or k.shape[4:] != ref.shape[4:]
+            or k.dtype != np.asarray(ref[:1, :1, :1, :1]).dtype
+            or ("k_scale" in arrs) != (kv_template.k_scale is not None)
+        ):
+            return None
+        return arrs["tokens"].tolist(), arrs
+    except Exception:
+        return None
+
+
+def session_prefix_len(session_tokens, prompt) -> int:
+    """Longest common prefix (main.cpp:312-318's matching walk)."""
+    n = 0
+    for a, b in zip(session_tokens, prompt):
+        if int(a) != int(b):
+            break
+        n += 1
+    return n
+
+
+def insert_session_kv(kv: KVCache, arrs: dict, n: int) -> KVCache:
+    """Place a session's first `n` KV rows into a fresh cache (tags included);
+    rows >= n keep the fresh cache's empty (-1) tags."""
+    n = int(min(n, arrs["k"].shape[3], kv.max_seq))
+
+    def put(buf, saved):
+        return buf.at[:, :, :, :n].set(jnp.asarray(saved[:, :, :, :n]))
+
+    return dataclasses.replace(
+        kv,
+        k=put(kv.k, arrs["k"]),
+        v=put(kv.v, arrs["v"]),
+        slot_pos=kv.slot_pos.at[:, :n].set(jnp.asarray(arrs["slot_pos"][:, :n])),
+        k_scale=None if kv.k_scale is None else put(kv.k_scale, arrs["k_scale"]),
+        v_scale=None if kv.v_scale is None else put(kv.v_scale, arrs["v_scale"]),
+    )

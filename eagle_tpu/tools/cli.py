@@ -87,11 +87,15 @@ def main(argv=None):
         args.prompt if args.prompt is not None else "Hello",
         max_new_tokens=args.n_predict, sampler=sampler, seed=args.seed,
         grammar=args.grammar, json_schema=args.json_schema,
+        session_path=args.prompt_cache, session_cache_all=args.prompt_cache_all,
     )
     dt = time.time() - t0
     print(text)
     n = len(eng.tokenizer.encode(text, add_bos=False))
     print(f"[perf] {dt:.2f}s", file=sys.stderr)
+    if stats and "session_prefix_reused" in stats:
+        print(f"[session] reused {stats['session_prefix_reused']} cached prompt "
+              f"tokens from {args.prompt_cache}", file=sys.stderr)
     if stats and "accept_rate" in stats:
         print(
             f"[speculative] accept_rate={stats['accept_rate']:.3f} "

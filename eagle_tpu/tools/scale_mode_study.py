@@ -63,11 +63,22 @@ def run_study(steps: int = 700, eval_tokens: int = 16384, n_ctx: int = 256,
     save_target_gguf(f16_path, params_t, cfg, qtype=None)
     save_target_gguf(q4k_path, params_t, cfg, qtype=GGMLType.Q4_K)
 
+    # force MATERIALIZED product scales: the loader's default coded layout is
+    # bit-exact by construction (sup*code == precomputed product), so comparing
+    # coded-vs-coded would trivially measure zero — this study quantifies the
+    # bf16-PRODUCT mode, the approximate fast path
+    from ..models import loader as _loader
+
     dense, mcfg, _ = load_llama_params(f16_path)
-    q_f32, _, _ = load_llama_params(q4k_path)
-    q_f32 = prepare_params_for_serving(q_f32, scale_mode="f32", pack=True)
-    q_bf16, _, _ = load_llama_params(q4k_path)
-    q_bf16 = prepare_params_for_serving(q_bf16, scale_mode="bf16", pack=True)
+    coded_flag = _loader._CODED_LOAD
+    try:
+        _loader._CODED_LOAD = False
+        q_f32, _, _ = load_llama_params(q4k_path)
+        q_f32 = prepare_params_for_serving(q_f32, scale_mode="f32", pack=True)
+        q_bf16, _, _ = load_llama_params(q4k_path)
+        q_bf16 = prepare_params_for_serving(q_bf16, scale_mode="bf16", pack=True)
+    finally:
+        _loader._CODED_LOAD = coded_flag
 
     rng = np.random.default_rng(99)  # held-out stream (train used seed+1=1)
     heldout = lang.sample(rng, 1, eval_tokens)[0]
