@@ -110,6 +110,140 @@ def generate_with_image(
     return tok.decode(out, skip_special=True)
 
 
+def qwen2vl_mrope_positions(n_before: int, llm_h: int, llm_w: int, n_after: int):
+    """m-rope position channels [3, T] for [text][image rows][text] — HF
+    get_rope_index / the reference's qwen2vl-cli position walk
+    (qwen2vl-cli.cpp: img t/h/w channels offset from the text cursor; text
+    resumes at st + max(h, w))."""
+    t, h, w = list(range(n_before)), list(range(n_before)), list(range(n_before))
+    st = n_before
+    for r in range(llm_h):
+        for c in range(llm_w):
+            t.append(st)
+            h.append(st + r)
+            w.append(st + c)
+    nxt = st + max(llm_h, llm_w)
+    for i in range(n_after):
+        t.append(nxt + i)
+        h.append(nxt + i)
+        w.append(nxt + i)
+    return np.asarray([t, h, w], np.int32), nxt + n_after
+
+
+def generate_with_image_qwen2vl(
+    engine,
+    vis_params,
+    vis_cfg,
+    prompt: str,
+    image: np.ndarray,
+    max_new_tokens: int = 128,
+    marker: str = "<image>",
+    max_pixels: int | None = None,
+) -> str:
+    """Qwen2-VL multimodal generation: windowed/full ViT rows spliced between
+    the vision markers, m-rope positions per channel (t constant over the
+    image, h/w from the merged grid), decode resuming at the compressed text
+    cursor — qwen2vl-cli.cpp over models/qwen2vl_vision.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.llama import embed_lookup, llama_forward
+    from ..models.qwen2vl_vision import encode_image as q2_encode
+    from ..runtime.generate import pad_bucket
+    from ..runtime.kvcache import KVCache, causal_mask_from_tags
+
+    tok = engine.tokenizer
+    before, _, after = prompt.partition(marker)
+    ids_a = tok.encode(before)
+    ids_b = tok.encode(after, add_bos=False) if after else []
+    img_rows, (gh, gw) = q2_encode(vis_params, vis_cfg, image, max_pixels=max_pixels)
+    m = vis_cfg.merge_size
+    out = qwen2vl_generate_ids(
+        engine, ids_a, ids_b, img_rows, gh // m, gw // m,
+        max_new_tokens=max_new_tokens,
+    )
+    return tok.decode(out, skip_special=True)
+
+
+def qwen2vl_generate_ids(
+    engine, ids_a, ids_b, img_rows, llm_h: int, llm_w: int,
+    max_new_tokens: int = 128, eos_id: int | None = None,
+) -> list:
+    """Greedy decode over [ids_a ⊕ image rows ⊕ ids_b] with m-rope image
+    positions; `img_rows` [llm_h*llm_w, D] from the vision tower."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.llama import embed_lookup, llama_forward
+    from ..runtime.generate import pad_bucket
+    from ..runtime.kvcache import KVCache, causal_mask_from_tags
+
+    cfg = engine.model_cfg
+    params = engine.params
+    eos_id = engine.tokenizer.eos_id if eos_id is None else eos_id
+    emb_a = embed_lookup(params["tok_embd"], jnp.asarray([ids_a], jnp.int32))[0]
+    emb_b = (
+        embed_lookup(params["tok_embd"], jnp.asarray([ids_b], jnp.int32))[0]
+        if ids_b else jnp.zeros((0, cfg.n_embd), jnp.float32)
+    )
+    embeds = jnp.concatenate(
+        [emb_a, jnp.asarray(img_rows).astype(emb_a.dtype), emb_b], axis=0
+    )
+    n = embeds.shape[0]
+    mrope, text_cursor = qwen2vl_mrope_positions(len(ids_a), llm_h, llm_w, len(ids_b))
+    t = pad_bucket(n)
+    embeds = jnp.pad(embeds, ((0, t - n), (0, 0)))[None]
+    mrope = np.pad(mrope, ((0, 0), (0, t - n)))[:, None, :]  # [3, 1, t]
+
+    max_seq = max(engine.cfg.max_seq, t + max_new_tokens + 1)
+    kv = KVCache.create(cfg.n_layers, 1, max_seq, cfg.n_kv_heads, cfg.head_dim,
+                        engine.cfg.kv_dtype)
+
+    @jax.jit
+    def prefill(params, kv, embeds, mrope):
+        # cache slots + visibility tags are ORDINALS; rope reads the m-rope
+        # channels (they compress positions over the image rows)
+        ordinals = jnp.arange(t, dtype=jnp.int32)[None]
+        kv2 = kv.with_tags(ordinals, ordinals, valid=ordinals < n)
+        mask = causal_mask_from_tags(kv2.slot_pos, ordinals)
+        o = llama_forward(
+            params, cfg, jnp.zeros((1, t), jnp.int32), ordinals, kv2,
+            ordinals, mask, backend=engine.cfg.backend,
+            compute_dtype=engine.cfg.compute_dtype, input_embeds=embeds,
+            mrope_positions=mrope,
+        )
+        return o.logits[0, n - 1], o.kv
+
+    @jax.jit
+    def step(params, kv, tok_id, slot, rope_pos):
+        sl = jnp.full((1, 1), slot, jnp.int32)
+        kv = kv.with_tags(sl, sl)
+        mask = causal_mask_from_tags(kv.slot_pos, sl)
+        fo = llama_forward(
+            params, cfg, jnp.full((1, 1), tok_id, jnp.int32), sl, kv, sl, mask,
+            backend=engine.cfg.backend, compute_dtype=engine.cfg.compute_dtype,
+            mrope_positions=jnp.full((3, 1, 1), rope_pos, jnp.int32),
+        )
+        return jnp.argmax(fo.logits[0, 0]), fo.kv
+
+    logits, kv = prefill(params, kv, embeds, jnp.asarray(mrope))
+    out = []
+    slot = n
+    rope_pos = text_cursor
+    tok_id = int(jnp.argmax(logits))
+    for _ in range(max_new_tokens):
+        if tok_id == eos_id:
+            break
+        out.append(tok_id)
+        if slot + 1 >= max_seq:
+            break
+        nxt, kv = step(params, kv, tok_id, slot, rope_pos)
+        tok_id = int(nxt)
+        slot += 1
+        rope_pos += 1
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("eagle-tpu llava")
     ap.add_argument("-m", "--model", required=True)
@@ -123,19 +257,33 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from ..api import Engine, EngineConfig
-    from ..models.clip import load_clip_params
+    from ..gguf.reader import GGUFReader
 
     t0 = time.time()
     eng = Engine(EngineConfig(model_path=args.model, max_seq=args.ctx,
                               backend=args.backend))
-    clip_params, clip_cfg = load_clip_params(args.mmproj)
-    print(f"[load] {time.time()-t0:.1f}s (+mmproj: {clip_cfg.n_layers}L "
-          f"d={clip_cfg.d} {clip_cfg.image_size}px/{clip_cfg.patch_size})",
-          file=sys.stderr)
+    is_qwen2vl = bool(GGUFReader(args.mmproj).metadata.get(
+        "clip.has_qwen2vl_merger", False))
     img = load_image(args.image)
-    t0 = time.time()
-    text = generate_with_image(eng, clip_params, clip_cfg, args.prompt, img,
-                               max_new_tokens=args.n_predict)
+    if is_qwen2vl:
+        from ..models.qwen2vl_vision import load_qwen2vl_mmproj
+
+        vp, vc = load_qwen2vl_mmproj(args.mmproj)
+        print(f"[load] {time.time()-t0:.1f}s (+qwen2vl mmproj: {vc.n_layers}L "
+              f"d={vc.d} {vc.variant})", file=sys.stderr)
+        t0 = time.time()
+        text = generate_with_image_qwen2vl(eng, vp, vc, args.prompt, img,
+                                           max_new_tokens=args.n_predict)
+    else:
+        from ..models.clip import load_clip_params
+
+        clip_params, clip_cfg = load_clip_params(args.mmproj)
+        print(f"[load] {time.time()-t0:.1f}s (+mmproj: {clip_cfg.n_layers}L "
+              f"d={clip_cfg.d} {clip_cfg.image_size}px/{clip_cfg.patch_size})",
+              file=sys.stderr)
+        t0 = time.time()
+        text = generate_with_image(eng, clip_params, clip_cfg, args.prompt, img,
+                                   max_new_tokens=args.n_predict)
     print(text)
     print(f"[perf] {time.time()-t0:.2f}s", file=sys.stderr)
     return 0
