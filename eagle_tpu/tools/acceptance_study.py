@@ -1,0 +1,96 @@
+"""Acceptance-vs-target-scale study — turning the EAGLE speedup gate from a
+cited constant into a measured trend.
+
+The ≥2.5x end-to-end projection multiplies a MEASURED cycle time by the
+EAGLE paper's accept length (3.9-4.3 chain on Vicuna-7B). Real checkpoints
+cannot enter this environment, so this study trains target+draft pairs at
+SEVERAL target scales (tools/train_draft.py recipe: next-token-trained tiny
+llama + EAGLE-recipe distilled 1-layer head) and measures mean accept length
+for the chain and the EAGLE-2 dynamic tree at each scale, plus the chain at
+temperature 0.8 under stochastic min(1,p/q) acceptance. A rising (or flat)
+curve from tiny scales toward the paper's numbers is evidence the projection
+extrapolates; results land in BENCHMARKS.md.
+
+Usage:
+  python -m eagle_tpu.tools.acceptance_study [--steps 600] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+#: target scales: params grow ~5x across the sweep; head_dim fixed by d/heads
+SCALES = {
+    "S (2L d96)": dict(n_embd=96, n_layers=2, n_ff=192, n_heads=4,
+                       n_kv_heads=4, head_dim=24, rope_dim=24),
+    "M (4L d128)": dict(),  # train_draft.TINY default
+    "L (6L d192)": dict(n_embd=192, n_layers=6, n_ff=384, n_heads=4,
+                        n_kv_heads=4, head_dim=48, rope_dim=48),
+}
+
+
+def run_study(steps: int = 600, n_prompts: int = 4, max_new_tokens: int = 96,
+              log=print) -> dict:
+    from ..runtime.sampling import SamplerConfig
+    from ..runtime.speculative import EagleChainEngine
+    from .train_draft import measure_acceptance, train_pipeline
+
+    results = {}
+    for name, overrides in SCALES.items():
+        log(f"=== scale {name}: training target + draft ({steps} steps) ===")
+        target, draft, tcfg, dcfg, lang = train_pipeline(
+            steps=steps, cfg_overrides=overrides, log=log
+        )
+        row = {}
+        row["chain_k5"] = measure_acceptance(
+            target, draft, tcfg, dcfg, lang, n_prompts=n_prompts,
+            max_new_tokens=max_new_tokens, n_draft=5,
+        )["mean_accept_len"]
+        row["tree2_8_6_24"] = measure_acceptance(
+            target, draft, tcfg, dcfg, lang, n_prompts=n_prompts,
+            max_new_tokens=max_new_tokens, engine="tree2", tree2=(8, 6, 24),
+        )["mean_accept_len"]
+        # chain at temperature: stochastic min(1, p/q) acceptance
+        eng = EagleChainEngine(
+            target, draft, tcfg, dcfg, n_draft=5, max_seq=512, backend="xla",
+            feature_source="post_norm", eos_id=-1,
+            sampler=SamplerConfig(temperature=0.8, top_k=0, top_p=1.0, min_p=0.0),
+        )
+        rng = np.random.default_rng(99)
+        agg_c = agg_a = 0
+        for p in lang.sample(rng, n_prompts, 32):
+            _, stats = eng.generate(list(p), max_new_tokens=max_new_tokens)
+            agg_c += stats["n_cycles"]
+            agg_a += stats["n_accepted"]
+        row["chain_k5_temp0.8_stochastic"] = (agg_a + agg_c) / max(1, agg_c)
+        n_params = (
+            tcfg.n_layers * (4 * tcfg.n_embd * tcfg.n_heads * tcfg.head_dim
+                             + 3 * tcfg.n_embd * tcfg.n_ff)
+            + 2 * tcfg.vocab_size * tcfg.n_embd
+        )
+        row["target_params"] = n_params
+        results[name] = row
+        log(f"    {name}: {row}")
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("acceptance-vs-scale study")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--n-prompts", type=int, default=4)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args(argv)
+    res = run_study(args.steps, args.n_prompts)
+    if args.json:
+        print(json.dumps(res))
+    else:
+        for k, v in res.items():
+            print(k, v)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
