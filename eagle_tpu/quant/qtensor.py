@@ -473,18 +473,26 @@ def concat_qtensors(tensors: list, axis_n: bool = True):
     if not isinstance(first, QTensor):
         return np.concatenate([np.asarray(t) for t in tensors], axis=-2)  # dense [.., N, K]
     assert all(t.layout == first.layout and t.group == first.group and t.packed == first.packed for t in tensors)
+    # coded-scale layout must be uniform: a mixed concat would misread one
+    # side's codes as products (or vice versa)
+    assert all((t.sup is None) == (first.sup is None) for t in tensors)
     xp = jnp if isinstance(first.q, jax.Array) else np
     ax = -1 if first.layout == "kn" else -2
+
+    def cat(field):
+        vals = [getattr(t, field) for t in tensors]
+        return None if vals[0] is None else xp.concatenate(vals, axis=ax)
+
     return QTensor(
-        q=xp.concatenate([t.q for t in tensors], axis=ax),
-        scale=xp.concatenate([t.scale for t in tensors], axis=ax),
-        bias=None
-        if first.bias is None
-        else xp.concatenate([t.bias for t in tensors], axis=ax),
+        q=cat("q"),
+        scale=cat("scale"),
+        bias=cat("bias"),
         group=first.group,
         ggml_type=first.ggml_type,
         layout=first.layout,
         packed=first.packed,
+        sup=cat("sup"),
+        sup_min=cat("sup_min"),
     )
 
 

@@ -11,10 +11,12 @@ at engine build:
 - **scale mode**:
     "f32"  — keep exact f32 d*sc products (ggml's dequant math verbatim).
     "bf16" — round products to bf16: half the scale-stream bytes. The
-             products differ from ggml's f32 by <=2^-9 relative — the
-             quality study (tools/scale_mode_study.py, BENCHMARKS.md) shows
-             the effect on output distributions is orders of magnitude below
-             the Q4_K quantization error itself.
+             measured quality study (tools/scale_mode_study.py, results in
+             BENCHMARKS.md, 2026-08-20): output KLD is ~1% of the Q4_K
+             quantization effect and dPPL ~3% of it, but top-1 agreement is
+             98.1% — BELOW the 99.5% gate. bf16 products are therefore NOT
+             the serving default; the loader's coded-scales layout
+             (models/loader.py) delivers bit-exactness at comparable speed.
 
 The transform is value-preserving in "f32" mode and runs on whatever device
 the params live on (packing is a cheap one-time elementwise op)."""

@@ -124,3 +124,55 @@ def test_repack_coded_matches_products(tmp_path, rng, qtype):
     if b0 is not None:
         b_re = np.repeat(supmin, per, axis=-1) * mc.astype(np.float32)
         np.testing.assert_array_equal(b_re, b0)
+
+
+def test_full_model_coded_load_logits_match_product(tmp_path, rng):
+    """END-TO-END: a Q4_K model loaded coded (the serving default, with qkv/
+    gate-up FUSION and the packing pass) must produce the product-load's
+    logits exactly — this is the invariant a dropped `sup` in any fusion/
+    stacking/packing step silently breaks (caught live by scale_mode_study:
+    ppl 703 vs 43)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.models import loader as L
+    from eagle_tpu.models.config import ModelConfig
+    from eagle_tpu.models.llama import llama_forward
+    from eagle_tpu.models.loader import load_llama_params
+    from eagle_tpu.quant.serving import prepare_params_for_serving
+    from eagle_tpu.runtime.kvcache import KVCache, causal_mask_from_tags
+    from eagle_tpu.tools.train_draft import init_target, save_target_gguf
+
+    cfg = ModelConfig(
+        arch="llama", vocab_size=256, n_embd=256, n_layers=2, n_heads=4,
+        n_kv_heads=4, head_dim=64, n_ff=512, rope_dim=64, rms_eps=1e-5,
+        n_ctx_train=256,
+    )
+    params = init_target(cfg, np.random.default_rng(0))
+    path = tmp_path / "t.gguf"
+    save_target_gguf(path, params, cfg, qtype=GGMLType.Q4_K)
+
+    coded, mcfg, _ = load_llama_params(path)
+    assert coded["layers"]["wqkv"].sup is not None  # fusion kept the coding
+    coded = prepare_params_for_serving(coded, scale_mode="f32", pack=True)
+    old = L._CODED_LOAD
+    try:
+        L._CODED_LOAD = False
+        prod, _, _ = load_llama_params(path)
+    finally:
+        L._CODED_LOAD = old
+    prod = prepare_params_for_serving(prod, scale_mode="f32", pack=True)
+
+    tokens = jnp.asarray(rng.integers(0, 256, (1, 12)), jnp.int32)
+    pos = jnp.arange(12, dtype=jnp.int32)[None]
+
+    @jax.jit
+    def fwd(p):
+        kv = KVCache.create(mcfg.n_layers, 1, 32, mcfg.n_kv_heads,
+                            mcfg.head_dim, jnp.float32)
+        kv = kv.with_tags(pos, pos)
+        mask = causal_mask_from_tags(kv.slot_pos, pos)
+        return llama_forward(p, mcfg, tokens, pos, kv, pos, mask,
+                             backend="xla", compute_dtype=jnp.float32).logits
+
+    np.testing.assert_array_equal(np.asarray(fwd(coded)), np.asarray(fwd(prod)))
