@@ -142,6 +142,13 @@ class InferenceServer:
 
     # -- handlers ----------------------------------------------------------
 
+    async def handle_index(self, request):
+        """GET / — the built-in chat web UI (the reference serves its SPA
+        from examples/server/public/index.html.gz the same way)."""
+        from .webui import INDEX_HTML
+
+        return web.Response(text=INDEX_HTML, content_type="text/html")
+
     async def handle_health(self, request):
         return web.json_response({"status": "ok"})
 
@@ -242,6 +249,68 @@ class InferenceServer:
         )
         toks = await fut
         return toks, {"batched": True}
+
+    async def _stream_chat(self, request, prompt: str, body: dict):
+        """OpenAI chat.completion.chunk SSE streaming (`stream: true` on
+        /v1/chat/completions — the contract the built-in web UI speaks)."""
+        sampler = _sampler_from_request(body, self.engine.cfg.sampler)
+        max_new = int(body.get("max_tokens", body.get("n_predict", 128)))
+        seed = int(body.get("seed", 0))
+        self.metrics.requests_total += 1
+        ids = self.engine.tokenizer.encode(prompt)
+        loop = asyncio.get_event_loop()
+        q: asyncio.Queue = asyncio.Queue()
+
+        def on_token(tok):
+            loop.call_soon_threadsafe(q.put_nowait, tok)
+
+        def work():
+            eng = self.engine.engine
+            if self.engine.draft_params is not None:
+                toks, _ = eng.generate(ids, max_new_tokens=max_new, seed=seed, on_token=on_token)
+            else:
+                toks = eng.generate(
+                    ids, max_new_tokens=max_new, sampler=sampler, seed=seed, on_token=on_token
+                )
+            return toks
+
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        fut = loop.run_in_executor(None, work)
+        eos = self.engine.tokenizer.eos_id
+        cid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+        sent = 0
+        while True:
+            try:
+                tok = await asyncio.wait_for(q.get(), timeout=0.2)
+            except asyncio.TimeoutError:
+                if fut.done() and q.empty():
+                    break
+                continue
+            sent += 1
+            piece = self.engine.tokenizer.piece(tok) if tok != eos else ""
+            chunk = {
+                "id": cid, "object": "chat.completion.chunk",
+                "created": int(time.time()), "model": self.model_name,
+                "choices": [{"index": 0, "delta": {"content": piece},
+                             "finish_reason": None}],
+            }
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            if tok == eos:
+                break
+        await fut
+        self.metrics.tokens_generated_total += sent
+        final = {
+            "id": cid, "object": "chat.completion.chunk",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{"index": 0, "delta": {}, "finish_reason": "stop"}],
+        }
+        await resp.write(f"data: {json.dumps(final)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
 
     async def _stream_completion(self, request, prompt: str, body: dict):
         """SSE streaming (llama.cpp's `stream: true` contract)."""
@@ -359,6 +428,8 @@ class InferenceServer:
             eos_token=tok.decode([tok.eos_id]) if getattr(tok, "eos_id", -1) >= 0 else "",
             tools=tools or None,
         )
+        if body.get("stream") and not tools:
+            return await self._stream_chat(request, prompt, body)
         res = await self._complete(prompt, body)
         msg = parse_tool_output(res["text"].strip(), fmt if tools else "content_only")
         message: dict[str, Any] = {"role": "assistant", "content": msg.content or None}
@@ -510,6 +581,8 @@ class InferenceServer:
 
     def build_app(self):
         app = web.Application()
+        app.router.add_get("/", self.handle_index)
+        app.router.add_get("/index.html", self.handle_index)
         app.router.add_get("/health", self.handle_health)
         app.router.add_get("/props", self.handle_props)
         app.router.add_get("/metrics", self.handle_metrics)

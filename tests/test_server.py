@@ -524,3 +524,35 @@ def test_server_rerank(tool_server):
         assert False, "missing query should 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_server_web_ui(server):
+    """GET / serves the built-in chat page (the reference's public/index.html
+    equivalent) wired to /v1/chat/completions."""
+    html = urllib.request.urlopen(server + "/", timeout=30).read().decode()
+    assert "<!doctype html>" in html
+    assert "/v1/chat/completions" in html
+    assert "eagle-tpu" in html
+
+
+def test_server_chat_streaming_openai_chunks(server):
+    """stream:true on /v1/chat/completions emits OpenAI chat.completion.chunk
+    SSE frames ending with [DONE] (what the web UI consumes)."""
+    req = urllib.request.Request(
+        server + "/v1/chat/completions",
+        json.dumps({
+            "messages": [{"role": "user", "content": "hello"}],
+            "stream": True, "max_tokens": 6, "temperature": 0,
+        }).encode(),
+        {"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers.get("Content-Type", "").startswith("text/event-stream")
+        raw = r.read().decode()
+    frames = [l[5:].strip() for l in raw.split("\n") if l.startswith("data:")]
+    assert frames[-1] == "[DONE]"
+    chunks = [json.loads(f) for f in frames[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+    text = "".join(c["choices"][0]["delta"].get("content", "") for c in chunks)
+    assert isinstance(text, str)
