@@ -71,6 +71,14 @@ class ModelConfig:
     # (mixtral); True = softmax over ALL experts, then top-k without
     # renormalization (qwen2moe — build_qwen2moe, src/llama.cpp)
     moe_softmax_all: bool = False
+    # phimoe HF-exact sparsemixer routing (modeling_phimoe.sparsemixer,
+    # inference path): k sequential argmax rounds, each expert weighted by its
+    # softmax probability over that round's jitter-masked scores. The
+    # reference fork approximates phimoe with the mixtral softmax-top-k rule
+    # (build_phi3's MoE branch); HF differs — this matches HF.
+    # router_jitter is HF config.router_jitter_noise (0.01 for Phi-3.5-MoE).
+    moe_sparsemixer: bool = False
+    router_jitter: float = 0.01
     # LLM_NORM (mean-subtracted LayerNorm) vs LLM_NORM_RMS (llm_build_norm):
     # gpt2/starcoder2/command-r/phi2/falcon/gpt-neox use "layer"
     norm_type: str = "rms"
@@ -288,6 +296,8 @@ class ModelConfig:
             moe_softmax_all=(
                 arch in ("qwen2moe", "qwen3moe", "deepseek", "deepseek2", "olmoe")
             ),
+            moe_sparsemixer=(arch == "phimoe"),
+            router_jitter=float(md.get(f"{arch}.router_jitter", 0.0) or 0.01),
             norm_type="layer" if ln_arch else "rms",
             parallel_blocks=(
                 arch in PARALLEL_BLOCK_ARCHS

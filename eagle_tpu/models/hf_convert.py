@@ -1030,6 +1030,8 @@ def convert_hf_to_gguf(
         w.add(f"{arch}.expert_feed_forward_length", cfg.n_ff_exp)
         w.add(f"{arch}.expert_weights_scale", cfg.expert_weights_scale)
         w.add(f"{arch}.expert_weights_norm", cfg.expert_weights_norm)
+    if cfg.moe_sparsemixer:  # phimoe: HF router_jitter_noise (sparsemixer)
+        w.add(f"{arch}.router_jitter", cfg.router_jitter)
     if cfg.attn_softcap:
         w.add(f"{arch}.attn_logit_softcapping", cfg.attn_softcap)
     if cfg.final_softcap:

@@ -304,6 +304,10 @@ def config_from_hf_dict(hf: dict[str, Any], arch: str | None = None) -> ModelCon
         orig = _g(hf, "original_max_position_embeddings", default=0)
         if orig:
             kw["rope_orig_ctx"] = int(orig)
+    if arch == "phimoe":  # HF-exact sparsemixer routing (modeling_phimoe)
+        kw["moe_sparsemixer"] = True
+        kw["router_jitter"] = float(
+            _g(hf, "router_jitter_noise", default=0.01) or 0.01)
     if arch in ("command-r", "cohere2"):
         kw["logit_scale"] = float(_g(hf, "logit_scale", default=1.0))
         if arch == "cohere2":

@@ -54,6 +54,30 @@ def embed_lookup(tok_embd: QTensor | jax.Array, tokens: jax.Array) -> jax.Array:
     return tok_embd[tokens].astype(jnp.float32)
 
 
+def _sparsemixer_probs(router: jax.Array, k: int, jitter: float) -> jax.Array:
+    """HF phimoe sparsemixer routing, inference path (transformers
+    modeling_phimoe.sparsemixer with training=False): k sequential argmax
+    rounds; each round's selected expert is weighted by its softmax
+    probability over that round's jitter-masked score vector, where entries
+    with (round_max - score) / max(|score|, round_max) > 2*jitter are masked
+    to -inf (numerator/denominator always use the ORIGINAL scores, per the HF
+    code). Returns a dense [.., E] weight tensor (zeros off the selected
+    experts) for the all-expert combine in _moe_ffn."""
+    absr = jnp.abs(router)
+    probs = jnp.zeros_like(router)
+    masked = router
+    for _ in range(k):
+        m = masked.max(axis=-1, keepdims=True)
+        e = jnp.argmax(masked, axis=-1)  # first max index, like torch .max
+        sel = jax.nn.one_hot(e, router.shape[-1], dtype=jnp.bool_)
+        drop = (m - router) / jnp.maximum(absr, m) > 2 * jitter
+        gates = jax.nn.softmax(jnp.where(drop, -jnp.inf, masked), axis=-1)
+        w = jnp.take_along_axis(gates, e[..., None], axis=-1)
+        probs = probs + jnp.where(sel, w, 0.0)
+        masked = jnp.where(sel, -jnp.inf, masked)
+    return probs
+
+
 def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
     """Mixtral-style MoE FFN (llm_build_moe_ffn, src/llama.cpp:1976): softmax
     router over top-k experts.
@@ -69,9 +93,12 @@ def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
         preferred_element_type=jnp.float32,
     )  # [B, T, E]
     k = max(cfg.n_expert_used, 1)
-    top_vals, _ = jax.lax.top_k(router, k)
-    kth = top_vals[..., -1:]
-    if cfg.moe_softmax_all:
+    if cfg.moe_sparsemixer:
+        # phimoe: HF-exact sparsemixer weights (the fork approximates this
+        # arch with the mixtral rule below; see _sparsemixer_probs)
+        probs = _sparsemixer_probs(router, k, cfg.router_jitter)
+    elif cfg.moe_softmax_all:
+        kth = jax.lax.top_k(router, k)[0][..., -1:]
         # qwen2moe/deepseek2: probabilities over ALL experts, non-top-k zeroed;
         # deepseek2 optionally renormalizes the kept weights and applies the
         # routed scaling factor (build_deepseek2 / llm_build_moe_ffn)
@@ -83,6 +110,7 @@ def _moe_ffn(cfg: ModelConfig, layers, li, x, act, backend, compute_dtype):
             probs = probs * cfg.expert_weights_scale
     else:
         # mixtral: softmax over the selected experts only (mask rest to -inf)
+        kth = jax.lax.top_k(router, k)[0][..., -1:]
         masked = jnp.where(router >= kth, router, -jnp.inf)
         probs = jax.nn.softmax(masked, axis=-1)  # zeros for non-top-k
 

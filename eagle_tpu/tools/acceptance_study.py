@@ -33,16 +33,22 @@ SCALES = {
 
 
 def run_study(steps: int = 600, n_prompts: int = 4, max_new_tokens: int = 96,
-              log=print) -> dict:
+              log=print, scaled_steps: bool = False) -> dict:
     from ..runtime.sampling import SamplerConfig
     from ..runtime.speculative import EagleChainEngine
     from .train_draft import measure_acceptance, train_pipeline
 
     results = {}
-    for name, overrides in SCALES.items():
-        log(f"=== scale {name}: training target + draft ({steps} steps) ===")
+    for idx, (name, overrides) in enumerate(SCALES.items()):
+        # fixed `steps` for every scale confounds the curve: the larger
+        # targets are less converged (higher-entropy distributions are harder
+        # to draft). --scaled-steps doubles the budget per tier (S:1x M:2x
+        # L:4x, ~compute-matched to the ~5x param growth) so the trend
+        # reflects scale, not training budget.
+        n_steps = steps * (2 ** idx if scaled_steps else 1)
+        log(f"=== scale {name}: training target + draft ({n_steps} steps) ===")
         target, draft, tcfg, dcfg, lang = train_pipeline(
-            steps=steps, cfg_overrides=overrides, log=log
+            steps=n_steps, cfg_overrides=overrides, log=log
         )
         row = {}
         row["chain_k5"] = measure_acceptance(
@@ -80,10 +86,13 @@ def run_study(steps: int = 600, n_prompts: int = 4, max_new_tokens: int = 96,
 def main(argv=None):
     ap = argparse.ArgumentParser("acceptance-vs-scale study")
     ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--scaled-steps", action="store_true",
+                    help="double the training budget per scale tier "
+                    "(convergence-matched curve; see run_study)")
     ap.add_argument("--n-prompts", type=int, default=4)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
-    res = run_study(args.steps, args.n_prompts)
+    res = run_study(args.steps, args.n_prompts, scaled_steps=args.scaled_steps)
     if args.json:
         print(json.dumps(res))
     else:

@@ -212,10 +212,12 @@ def test_bitnet_parity(tmp_path, rng):
 
 
 def test_phimoe_parity(tmp_path, rng):
-    """phimoe routes to build_phi3's MoE branch in the reference (mixtral
-    softmax-topk routing, RMS norms, NEOX rope; llama-arch.cpp:594 table —
-    note the fork models phimoe with RMS norms rather than HF's LayerNorm,
-    and this implementation matches the fork)."""
+    """phimoe routes to build_phi3's MoE branch in the reference
+    (llama-arch.cpp:594 table) — but the fork's mixtral softmax-topk routing
+    is an approximation: HF Phimoe routes with sparsemixer
+    (modeling_phimoe.sparsemixer), which this implementation matches exactly;
+    the oracle below calls the transformers sparsemixer itself. (Norm
+    structure still follows the fork: RMS rather than HF's LayerNorm.)"""
     torch.manual_seed(103)
     d, ffe, h, hk, dh, L, V, E, K = 32, 24, 4, 2, 8, 2, 128, 4, 2
     path = tmp_path / "phimoe.gguf"
@@ -246,7 +248,7 @@ def test_phimoe_parity(tmp_path, rng):
     w.write()
 
     params, cfg, _ = load_llama_params(path)
-    assert not cfg.moe_softmax_all  # mixtral-style routing
+    assert cfg.moe_sparsemixer and cfg.router_jitter == 0.01
 
     tokens = rng.integers(0, V, size=(1, 9)).astype(np.int32)
     with torch.no_grad():
@@ -261,9 +263,9 @@ def test_phimoe_parity(tmp_path, rng):
             x = x + at @ sd[f"{b}.attn_output.weight"].T
             hN = _rms_t(x, sd[f"{b}.ffn_norm.weight"])
             logits = hN @ sd[f"{b}.ffn_gate_inp.weight"].T
-            top = logits.topk(K, dim=-1).values[..., -1:]
-            pz = torch.where(logits >= top, logits,
-                             torch.full((), float("-inf"))).softmax(-1)
+            from transformers.models.phimoe.modeling_phimoe import sparsemixer
+            mult, sel = sparsemixer(logits, jitter_eps=0.01, training=False)
+            pz = torch.zeros_like(logits).scatter(-1, sel, mult)
             moe = torch.zeros_like(x)
             for e in range(E):
                 moe = moe + pz[..., e:e + 1] * _gated(
@@ -276,3 +278,26 @@ def test_phimoe_parity(tmp_path, rng):
 
     np.testing.assert_allclose(run_fwd(params, cfg, tokens), ref,
                                atol=3e-3, rtol=1e-2)
+
+
+def test_sparsemixer_probs_matches_transformers(rng):
+    """_sparsemixer_probs == transformers sparsemixer (inference path) on
+    fuzzed scores, including near-tie rows where the 2*jitter_eps mask
+    actually retains competitors (the branch that distinguishes sparsemixer
+    from mixtral's softmax-over-top-k)."""
+    from eagle_tpu.models.llama import _sparsemixer_probs
+
+    from transformers.models.phimoe.modeling_phimoe import sparsemixer
+
+    E = 16
+    base = rng.standard_normal((64, E)).astype(np.float32)
+    ties = base.copy()
+    # force near-ties: second expert within jitter range of the max
+    mx = ties.max(-1)
+    ties[np.arange(64), rng.integers(0, E, 64)] = mx * (1 - 1e-3)
+    for scores in (base, ties, 0.01 * base):
+        t = torch.tensor(scores)
+        mult, sel = sparsemixer(t, jitter_eps=0.01, training=False)
+        ref = torch.zeros_like(t).scatter(-1, sel, mult).numpy()
+        got = np.asarray(_sparsemixer_probs(jnp.asarray(scores), 2, 0.01))
+        np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-5)
