@@ -35,6 +35,15 @@ from ..quant.qtensor import QTensor
 #: was apparently already folding. Kept for the record; off by default.
 _SPLIT_DEFAULT = os.environ.get("EAGLE_TPU_QMM_SPLIT", "0") not in ("0", "false")
 
+#: coded-scales bias handling: per-step streamed code blocks + transposed
+#: group-sum side-dot (0, the shipping default) vs full-K RESIDENT min-code /
+#: super-min blocks with ONE reconstruct+dot on the first K step (1) — the
+#: resident layout mirrors the non-coded bias path (the mcodes byte stream is
+#: tiny: K/G x TILE_N u8), trading a little VMEM residency for fewer DMA
+#: streams and one bias dot per tile column instead of one per K step.
+_CODED_RESIDENT_BIAS = os.environ.get(
+    "EAGLE_TPU_CODED_RESIDENT_BIAS", "0") not in ("0", "false")
+
 
 def _split_x_halves(x: jax.Array, g: int) -> jax.Array:
     """[B, K] -> [2B, K/2]: rows 0..B hold the lo-nibble positions of every
@@ -243,10 +252,36 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    if sup_ref is not None and b_ref is not None:
+    if sup_ref is not None and b_ref is not None and xs_ref is not None:
+        # RESIDENT coded bias (EAGLE_TPU_CODED_RESIDENT_BIAS=1): min codes +
+        # super-mins stay resident over the FULL K extent (tiny: K/G x TN u8
+        # + K/256 x TN f32), so the bias matrix is reconstructed ONCE and
+        # folded with one whole-K dot on the first K step — the non-coded
+        # bias path's shape, with the in-kernel reconstruct standing in for
+        # the f32 product stream.
+        kg_full = b_ref.shape[0]
+        rows_full = supmin_ref.shape[0]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            supm_f = supmin_ref[:].astype(jnp.float32)
+            mcodes_f = b_ref[:].astype(jnp.float32).reshape(
+                rows_full, kg_full // rows_full, tn)
+            bias_full = (supm_f[:, None, :] * mcodes_f).reshape(kg_full, tn)
+            o_ref[:] = acc + jax.lax.dot_general(
+                xs_ref[:].astype(compute_dtype),
+                bias_full.astype(compute_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(pl.program_id(1) != 0)
+        def _():
+            o_ref[:] = o_ref[:] + acc
+    elif sup_ref is not None and b_ref is not None:
         # coded bias: reconstruct this tile's [TK/G, TN] bias and fold it via
-        # a per-step side-dot (the full-K resident trick is pointless once the
-        # codes stream at 1 byte/group)
+        # a per-step side-dot (streams 1 byte/group/step; the resident
+        # variant above is the measured alternative)
         if supmin_ref.shape[0] == rows:
             supm = supmin_ref[:].astype(jnp.float32)
         else:
@@ -295,7 +330,8 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k", "split")
+    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k",
+                              "split", "coded_resident")
 )
 def qmatmul_pallas_2d(
     x: jax.Array,  # [B, K]
@@ -305,6 +341,7 @@ def qmatmul_pallas_2d(
     tile_n: int | None = None,
     tile_k: int | None = None,
     split: bool | None = None,
+    coded_resident: bool | None = None,
 ) -> jax.Array:
     assert w.layout == "kn", "pallas qmatmul requires K-major layout"
     g = w.group
@@ -317,6 +354,7 @@ def qmatmul_pallas_2d(
     coded = w.sup is not None
     has_bias = w.bias is not None
     split = (_SPLIT_DEFAULT if split is None else split) and w.packed
+    resident = _CODED_RESIDENT_BIAS if coded_resident is None else coded_resident
 
     # Mosaic: block last dims must be multiples of (8-ish, 128) or span the
     # whole array; tile_k also must divide into whole quant groups.
@@ -345,12 +383,26 @@ def qmatmul_pallas_2d(
     args = [_split_x_halves(x, g) if split else x, w.q, w.scale]
     if coded:
         # resident full-K super-scales (tiny), per-step code blocks, per-step
-        # TRANSPOSED group-sums for the bias side-dot (see _qmm_kernel)
+        # TRANSPOSED group-sums for the bias side-dot (see _qmm_kernel); the
+        # resident-bias variant instead keeps min codes + group-sums full-K
         in_specs.append(
             pl.BlockSpec((k // 256, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(w.sup)
-        if has_bias:
+        if has_bias and resident:
+            in_specs.append(
+                pl.BlockSpec((k // g, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(w.bias)
+            in_specs.append(
+                pl.BlockSpec((k // 256, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(w.sup_min)
+            in_specs.append(
+                pl.BlockSpec((b, k // g), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(x.reshape(b, k // g, g).sum(axis=-1))
+        elif has_bias:
             in_specs.append(
                 pl.BlockSpec((tile_k // g, tile_n), lambda i, j: (j, i), memory_space=pltpu.VMEM)
             )
@@ -381,7 +433,10 @@ def qmatmul_pallas_2d(
         rest = list(rest)
         if coded:
             sup_ref = rest.pop(0)
-            if has_bias:
+            if has_bias and resident:
+                b_ref, supmin_ref, xs_ref = rest[:3]
+                rest = rest[3:]
+            elif has_bias:
                 b_ref, supmin_ref, xst_ref = rest[:3]
                 rest = rest[3:]
         elif has_bias:
@@ -497,7 +552,8 @@ def qmatmul_pallas_2d_i4(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k", "split")
+    jax.jit, static_argnames=("compute_dtype", "interpret", "tile_n", "tile_k",
+                              "split", "coded_resident")
 )
 def qmatmul_pallas_stacked(
     x: jax.Array,  # [B, K]
@@ -508,6 +564,7 @@ def qmatmul_pallas_stacked(
     tile_n: int | None = None,
     tile_k: int | None = None,
     split: bool | None = None,
+    coded_resident: bool | None = None,
 ) -> jax.Array:
     """Layer-indexed matmul over layer-stacked weights.
 
@@ -529,6 +586,7 @@ def qmatmul_pallas_stacked(
     coded = w.sup is not None
     has_bias = w.bias is not None
     split = (_SPLIT_DEFAULT if split is None else split) and w.packed
+    resident = _CODED_RESIDENT_BIAS if coded_resident is None else coded_resident
 
     if tile_n is None and tile_k is None:
         tile_n, tile_k = _pick_tiles_2d(k, n, g, w.packed, b, coded, has_bias)
@@ -559,7 +617,20 @@ def qmatmul_pallas_stacked(
             pl.BlockSpec((1, k // 256, tile_n), lambda i, j, l: (l[0], 0, i), memory_space=pltpu.VMEM)
         )
         args.append(w.sup)
-        if has_bias:
+        if has_bias and resident:
+            in_specs.append(
+                pl.BlockSpec((1, k // g, tile_n), lambda i, j, l: (l[0], 0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(w.bias)
+            in_specs.append(
+                pl.BlockSpec((1, k // 256, tile_n), lambda i, j, l: (l[0], 0, i), memory_space=pltpu.VMEM)
+            )
+            args.append(w.sup_min)
+            in_specs.append(
+                pl.BlockSpec((b, k // g), lambda i, j, l: (0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(x.reshape(b, k // g, g).sum(axis=-1))
+        elif has_bias:
             in_specs.append(
                 pl.BlockSpec((1, tile_k // g, tile_n), lambda i, j, l: (l[0], j, i), memory_space=pltpu.VMEM)
             )
@@ -588,7 +659,11 @@ def qmatmul_pallas_stacked(
         rest = list(rest)
         if coded:
             sup_ref = _squeeze_lead(rest.pop(0))
-            if has_bias:
+            if has_bias and resident:
+                b_ref = _squeeze_lead(rest.pop(0))
+                supmin_ref = _squeeze_lead(rest.pop(0))
+                xs_ref = rest.pop(0)
+            elif has_bias:
                 b_ref = _squeeze_lead(rest.pop(0))
                 supmin_ref = _squeeze_lead(rest.pop(0))
                 xst_ref = rest.pop(0)
@@ -733,7 +808,7 @@ def _squeeze_lead(ref):
 
 def qmatmul_pallas(
     x: jax.Array, w: QTensor, compute_dtype=jnp.bfloat16, interpret: bool = False,
-    split: bool | None = None,
+    split: bool | None = None, coded_resident: bool | None = None,
 ) -> jax.Array:
     """x [..., K] @ dequant(w)[N, K]^T -> [..., N]; flattens leading dims."""
     lead = x.shape[:-1]
@@ -745,7 +820,7 @@ def qmatmul_pallas(
     if bp != b:
         xb = jnp.pad(xb, ((0, bp - b), (0, 0)))
     out = qmatmul_pallas_2d(xb, w, compute_dtype=compute_dtype, interpret=interpret,
-                            split=split)
+                            split=split, coded_resident=coded_resident)
     if bp != b:
         out = out[:b]
     return out.reshape(*lead, -1)

@@ -40,6 +40,19 @@ from .scheduler import ContinuousBatcher, Slot
 from .speculative import EagleChainEngine
 
 
+def _admit_row(state, sid, row_t, row_d, feat):
+    """Prefix-hit admission: preset one slot's tag rows + boundary feature in
+    a single compiled program (see PagedBatcher.submit)."""
+    return dataclasses.replace(
+        state,
+        tgt_kv=dataclasses.replace(
+            state.tgt_kv, slot_pos=state.tgt_kv.slot_pos.at[sid].set(row_t)),
+        dft_kv=dataclasses.replace(
+            state.dft_kv, slot_pos=state.dft_kv.slot_pos.at[sid].set(row_d)),
+        feature=state.feature.at[sid].set(feat),
+    )
+
+
 class PagedBatcher(ContinuousBatcher):
     """ContinuousBatcher whose KV memory is a shared page pool.
 
@@ -54,13 +67,23 @@ class PagedBatcher(ContinuousBatcher):
     def __init__(self, engine: EagleChainEngine, n_pages: int,
                  page_size: int = 64, prefill_chunk: int | None = None,
                  dft_n_pages: int | None = None, prefix_cache: bool = True):
-        # chunk == page keeps every chunk boundary on a page boundary, so
-        # every full prompt page gets its boundary-feature payload captured
+        # Prefix reuse stays PAGE-granular at any chunk size: prefill chunks
+        # return the feature at every page boundary (_feat_every below), so
+        # each full prompt page carries the EAGLE boundary feature a resumed
+        # draft needs. Larger chunks just mean fewer scheduler steps (each
+        # one is a host<->device sync). The remaining granularity limit is
+        # the draft cache's shift-1 keying: the draft page containing the
+        # shared/suffix boundary depends on one suffix token, so reuse tops
+        # out one page short of the target-side match for novel suffixes.
         prefill_chunk = page_size if prefill_chunk is None else prefill_chunk
         assert prefill_chunk % page_size == 0, (prefill_chunk, page_size)
         state = engine.fresh_paged_state(n_pages, page_size, dft_n_pages)
         super().__init__(engine, prefill_chunk=prefill_chunk, state=state)
         self.ps = page_size
+        # prefill chunks return the feature at every page boundary so each
+        # full prompt page gets its payload even when chunk > page
+        self._feat_every = page_size
+        self._admit_c = jax.jit(_admit_row)
         self.prefix_cache = prefix_cache
         self.pools = {
             "tgt": PagePool(n_pages, page_size),
@@ -164,24 +187,18 @@ class PagedBatcher(ContinuousBatcher):
         self._sync_tables()
         # preset the row's device state as if positions [0, s) were prefilled:
         # tags make the shared pages visible; the page payload is the chunk-
-        # boundary feature the resumed prefill expects in state.feature
+        # boundary feature the resumed prefill expects in state.feature.
+        # ONE jitted update — eager .at[].set per field would run a separate
+        # remote program each (expensive through the TPU relay)
         mp_t = self.state.tgt_kv.slot_pos.shape[1]
         row = np.full(mp_t, -1, np.int32)
         row[:s] = np.arange(s, dtype=np.int32)
         d_row = np.full(self.state.dft_kv.slot_pos.shape[1], -1, np.int32)
         d_row[: s - 1] = np.arange(s - 1, dtype=np.int32)
-        self._set_kv("tgt", dataclasses.replace(
-            self.state.tgt_kv,
-            slot_pos=self.state.tgt_kv.slot_pos.at[sid].set(jnp.asarray(row)),
-        ))
-        self._set_kv("dft", dataclasses.replace(
-            self.state.dft_kv,
-            slot_pos=self.state.dft_kv.slot_pos.at[sid].set(jnp.asarray(d_row)),
-        ))
-        self.state = dataclasses.replace(
-            self.state,
-            feature=self.state.feature.at[sid].set(
-                payloads[m - 1].astype(self.state.feature.dtype)),
+        self.state = self._admit_c(
+            self.state, jnp.asarray(sid, jnp.int32), jnp.asarray(row),
+            jnp.asarray(d_row),
+            jnp.asarray(payloads[m - 1], self.state.feature.dtype),
         )
         slot.consumed = s
         self.stats["prefill_tokens_skipped"] += s
@@ -200,12 +217,16 @@ class PagedBatcher(ContinuousBatcher):
     def _after_prefill_chunk(self, slot: Slot, finished: bool):
         if not self.prefix_cache:
             return
-        done = slot.consumed
-        if done > 0 and done % self.ps == 0:
-            # boundary feature f_{done-1}: payload of prompt page done/ps - 1
-            self._payloads.setdefault(slot.id, {})[done // self.ps - 1] = (
-                self.state.feature[slot.id]
-            )
+        # every page fully covered by this chunk gets its boundary feature
+        # f_{(j+1)*ps - 1} from the chunk's stride features (bfeats row m is
+        # the feature at start + (m+1)*ps - 1; _feat_every == ps, and chunk
+        # starts are always page-aligned: admission resumes at a page
+        # multiple and whole chunks are page multiples)
+        start, bf = self._chunk_feats
+        assert start % self.ps == 0, start
+        pl = self._payloads.setdefault(slot.id, {})
+        for m in range((slot.consumed - start) // self.ps):
+            pl[start // self.ps + m] = bf[m]
         if finished:
             self._register_prompt(slot)
 

@@ -116,14 +116,21 @@ class ContinuousBatcher:
         self.state = dataclasses.replace(
             self.state, n_past=jnp.ones((self.batch,), jnp.int32)
         )
-        self._chunk_c = jax.jit(self._prefill_chunk_one, static_argnames=("ct",))
+        self._chunk_c = jax.jit(self._prefill_chunk_one,
+                                static_argnames=("ct", "feat_every"))
         self._active_mask = np.zeros(self.batch, bool)
         self._prefill_queue: list[Slot] = []
+        #: stride at which prefill chunks also return boundary features
+        #: (0 = off; PagedBatcher sets page_size so every full page gets its
+        #: EAGLE boundary-feature payload even under multi-page chunks)
+        self._feat_every = 0
+        #: (chunk_start, bfeats row) of the chunk just run, for hooks
+        self._chunk_feats: tuple[int, np.ndarray] | None = None
 
     # ------------------------------------------------------------------
 
     def _prefill_chunk_one(self, tp, dp, state: SpecState, tokens, start, n_valid,
-                           bs, slot: jax.Array, ct: int):
+                           bs, slot: jax.Array, ct: int, feat_every: int = 0):
         """Run one prompt chunk for batch row `slot` (B=1 view, scattered
         back); other rows untouched."""
         eng = self.engine
@@ -151,14 +158,16 @@ class ContinuousBatcher:
             key=state.key,
         )
         bs_row = jax.tree_util.tree_map(take1, bs)
-        new_sub = eng._prefill_chunk(
-            tp, dp, sub, tokens[None, :], start, n_valid, bs_row, ct=ct
+        out = eng._prefill_chunk(
+            tp, dp, sub, tokens[None, :], start, n_valid, bs_row, ct=ct,
+            feat_every=feat_every,
         )
+        new_sub, bfeats = out if feat_every else (out, None)
 
         def put1(f, r):
             return jax.lax.dynamic_update_slice_in_dim(f, r, slot, axis=0)
 
-        return dataclasses.replace(
+        new_state = dataclasses.replace(
             state,
             tgt_kv=_put_row_kv(state.tgt_kv, new_sub.tgt_kv, slot),
             dft_kv=_put_row_kv(state.dft_kv, new_sub.dft_kv, slot),
@@ -167,6 +176,7 @@ class ContinuousBatcher:
             n_past=put1(state.n_past, new_sub.n_past),
             key=new_sub.key,
         )
+        return (new_state, bfeats[0]) if feat_every else new_state
 
     # ------------------------------------------------------------------
 
@@ -271,14 +281,21 @@ class ContinuousBatcher:
         n = min(ct, len(prompt) - slot.consumed)
         chunk[:n] = prompt[slot.consumed : slot.consumed + n]
         self._before_prefill_chunk(slot, n)
-        self.state = self._chunk_c(
+        start = slot.consumed
+        out = self._chunk_c(
             self.engine.tp, self.engine.dp, self.state,
             jnp.asarray(chunk),
             jnp.asarray([slot.consumed], np.int32),
             jnp.asarray([len(prompt)], np.int32),
             self.engine.bsampler,
             jnp.asarray(slot.id, np.int32), ct=ct,
+            feat_every=self._feat_every,
         )
+        if self._feat_every:
+            self.state, bfeats = out
+            self._chunk_feats = (start, np.asarray(bfeats))
+        else:
+            self.state = out
         slot.consumed += n
         finished = slot.consumed >= len(prompt)
         self._after_prefill_chunk(slot, finished)

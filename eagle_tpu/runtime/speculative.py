@@ -260,7 +260,7 @@ class EagleChainEngine:
         )
 
     def _prefill_chunk(self, tp, dp, state: SpecState, tokens, start, n_valid, bs,
-                       ct: int):
+                       ct: int, feat_every: int = 0):
         """One prompt CHUNK [B, ct] at absolute positions start..start+ct: the
         unit of chunked prefill, so the batcher can interleave long-prompt
         admission with decode steps instead of stalling every generating slot
@@ -269,7 +269,16 @@ class EagleChainEngine:
 
         Draft pairs are shifted one back: pair (x_i, f_{i-1}) sits at draft
         position i-1; the chunk-boundary feature comes from state.feature.
-        On the final chunk the first output token is sampled per-slot."""
+        On the final chunk the first output token is sampled per-slot.
+
+        feat_every > 0 (static, must divide ct) additionally returns the
+        features at every in-chunk stride boundary — row m is the feature of
+        absolute position start + (m+1)*feat_every - 1, shape
+        [B, ct//feat_every, D] — so a paged batcher can attach a boundary
+        feature to EVERY full KV page regardless of chunk size (prefix reuse
+        then stays page-granular under large chunks); rows past n_valid carry
+        garbage and must be ignored by the caller. Returns (state, bfeats)
+        in that mode, plain state otherwise."""
         b = tokens.shape[0]
         b_idx = jnp.arange(b)
         positions = start[:, None] + jnp.arange(ct, dtype=jnp.int32)[None, :]
@@ -303,7 +312,7 @@ class EagleChainEngine:
         tok = sample_batched(tout.logits[b_idx, last_idx], sub, bs)
         new_last = jnp.where(is_final, tok, state.last_token)
         new_feature = feats[b_idx, last_idx]
-        return dataclasses.replace(
+        new_state = dataclasses.replace(
             state,
             tgt_kv=tout.kv,
             dft_kv=dout.kv,
@@ -312,6 +321,10 @@ class EagleChainEngine:
             n_past=done,
             key=key,
         )
+        if feat_every:
+            assert ct % feat_every == 0, (ct, feat_every)
+            return new_state, feats[:, feat_every - 1 :: feat_every]
+        return new_state
 
     # ------------------------------------------------------------------
 

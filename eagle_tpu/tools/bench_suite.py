@@ -57,6 +57,16 @@ def main(argv=None):
     ap.add_argument("--serve-pages", type=int, default=None,
                     help="page-pool size (default: full dense capacity)")
     ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--serve-prefix", type=int, default=0, metavar="P",
+                    help="share the first P prompt tokens across all serve "
+                    "requests (with --paged, later requests prefix-match "
+                    "registered pages and skip those prefill chunks)")
+    ap.add_argument("--serve-chunk", type=int, default=None,
+                    help="prefill chunk for the paged batcher (multiple of "
+                    "--page-size; default: the full prompt). Prefix reuse is "
+                    "CHUNK-granular — boundary features exist only where a "
+                    "chunk ended — so set this to the shared-prefix length "
+                    "to make --serve-prefix matchable")
     args = ap.parse_args(argv)
 
     import pathlib
@@ -225,14 +235,22 @@ def main(argv=None):
             from ..runtime.paged_batcher import PagedBatcher
 
             mp = -(-args.max_seq // args.page_size)
+            # match the dense row's prefill chunking by default (PagedBatcher
+            # defaults to page_size chunks — at pp128/page32 that is 4x the
+            # scheduler steps, each a full host<->device sync via the relay)
+            chunk = args.serve_chunk or (
+                max(args.serve_pp // args.page_size, 1) * args.page_size)
             batcher = PagedBatcher(
                 eng, n_pages=args.serve_pages or b * mp,
-                page_size=args.page_size,
+                page_size=args.page_size, prefill_chunk=chunk,
             )
         else:
             batcher = ContinuousBatcher(eng, prefill_chunk=args.serve_pp)
         rng = np.random.default_rng(0)
-        prompts = [rng.integers(0, cfg.vocab_size, size=args.serve_pp).tolist()
+        shared = rng.integers(0, cfg.vocab_size, size=args.serve_prefix).tolist()
+        prompts = [shared + rng.integers(
+                       0, cfg.vocab_size,
+                       size=args.serve_pp - args.serve_prefix).tolist()
                    for _ in range(args.serve)]
         t_first: dict[int, float] = {}
         t_done: dict[int, float] = {}

@@ -129,7 +129,7 @@ def main(argv=None):
     if "split" in variants:
         bench("q4-split", lambda x, w: qmatmul_pallas_2d(x, w, split=True),
               (qt_packed,), bytes_q4)
-    if "coded" in variants or "codedsplit" in variants:
+    if {"coded", "codedsplit", "codedres"} & set(variants):
         # coded-scales (bit-exact) mode: u8 codes + f32 super-scales; K must be
         # a multiple of 256 (Q4_K super-blocks)
         codes = rng.integers(1, 64, size=(K // G, N)).astype(np.int8)
@@ -143,6 +143,13 @@ def main(argv=None):
         bytes_coded = K * N // 2 + (K // G) * N * 2 + (K // 256) * N * 8
         if "coded" in variants:
             bench("q4-coded", lambda x, w: qmatmul_pallas_2d(x, w, split=False),
+                  (qt_coded,), bytes_coded)
+        if "codedres" in variants:
+            # resident-bias coded variant: one full-K bias reconstruct+dot
+            # per tile column instead of a per-step streamed side-dot
+            bench("q4-codedres",
+                  lambda x, w: qmatmul_pallas_2d(x, w, split=False,
+                                                 coded_resident=True),
                   (qt_coded,), bytes_coded)
         if "codedsplit" in variants:
             bench("q4-codedsp", lambda x, w: qmatmul_pallas_2d(x, w, split=True),

@@ -283,6 +283,41 @@ def _base_metadata(cfg, arch: str) -> dict:
     }
 
 
+def _smoke_vocab(v: int) -> dict:
+    """Minimal SPM vocab sized to the synthetic model so the saved GGUF is
+    usable through the real CLI/server surfaces (tokenize text prompts, detok
+    output): specials + single printable-ASCII pieces + filler words. The
+    MarkovLang training stream is id-level, so the vocab STRINGS are
+    arbitrary — this exists purely to make the artifact drivable."""
+    import numpy as np
+
+    from ..gguf.constants import Keys, TokenType
+
+    tokens = ["<unk>", "<s>", "</s>", "▁"]
+    ttypes = [TokenType.UNKNOWN, TokenType.CONTROL, TokenType.CONTROL,
+              TokenType.NORMAL]
+    for c in range(33, 127):  # printable ASCII, single-char pieces
+        tokens.append(chr(c))
+        ttypes.append(TokenType.NORMAL)
+    i = 0
+    while len(tokens) < v:
+        tokens.append(f"▁w{i}")
+        ttypes.append(TokenType.NORMAL)
+        i += 1
+    tokens = tokens[:v]
+    scores = [-float(i) for i in range(len(tokens))]
+    return {
+        Keys.Tokenizer.MODEL: "llama",
+        Keys.Tokenizer.LIST: tokens,
+        Keys.Tokenizer.SCORES: np.asarray(scores, np.float32),
+        Keys.Tokenizer.TOKEN_TYPE: np.asarray([int(t) for t in ttypes], np.int32),
+        Keys.Tokenizer.BOS_ID: 1,
+        Keys.Tokenizer.EOS_ID: 2,
+        Keys.Tokenizer.UNK_ID: 0,
+        Keys.Tokenizer.ADD_BOS: True,
+    }
+
+
 def save_target_gguf(path, params, cfg, qtype=None):
     from ..gguf.constants import GGMLType
     from ..gguf.writer import GGUFWriter
@@ -290,6 +325,8 @@ def save_target_gguf(path, params, cfg, qtype=None):
 
     w = GGUFWriter(path)
     for k, v in _base_metadata(cfg, "llama").items():
+        w.add(k, v)
+    for k, v in _smoke_vocab(cfg.vocab_size).items():
         w.add(k, v)
 
     def add(name, arr, permute_heads=None, quantizable=False):

@@ -176,3 +176,20 @@ def test_full_model_coded_load_logits_match_product(tmp_path, rng):
                              backend="xla", compute_dtype=jnp.float32).logits
 
     np.testing.assert_array_equal(np.asarray(fwd(coded)), np.asarray(fwd(prod)))
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_coded_resident_bias_matches_streamed(rng, packed):
+    """The resident-bias coded variant (EAGLE_TPU_CODED_RESIDENT_BIAS=1 /
+    coded_resident=True: full-K min-code + super-min blocks, ONE bias
+    reconstruct+dot on the first K step) computes the same result as the
+    shipping per-step streamed side-dot path."""
+    qt = synth_qtensor(rng, 256, 512, GGMLType.Q4_K, coded=True, packed=packed)
+    assert qt.bias is not None and qt.sup_min is not None
+    x = jnp.asarray(rng.normal(0, 1, (8, 512)).astype(np.float32))
+    streamed = np.asarray(qmatmul_pallas(
+        x, qt, compute_dtype=jnp.float32, interpret=True, coded_resident=False))
+    res = np.asarray(qmatmul_pallas(
+        x, qt, compute_dtype=jnp.float32, interpret=True, coded_resident=True))
+    np.testing.assert_allclose(res, streamed, rtol=0,
+                               atol=2e-5 * np.abs(streamed).max())

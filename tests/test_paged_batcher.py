@@ -203,3 +203,33 @@ def test_pool_pages_released_on_free(setup, rng):
         assert s.generated[:6] == want, f"iteration {i}"
     assert len(batcher.pools["tgt"].free) == 16
     assert len(batcher.pools["dft"].free) == 16
+
+
+def test_prefix_reuse_is_page_granular_under_large_chunks(setup, rng):
+    """Prefill chunks spanning several pages must still attach a boundary
+    feature to EVERY full page (the chunk program returns page-stride
+    features), so a novel-suffix request sharing a prefix is admitted with
+    page-granular reuse — not truncated to the last chunk boundary.
+
+    Layout: page 8, chunk 32 (4 pages), shared prefix 24 (3 pages). The
+    target matches 3 pages; the draft's shift-1 keying matches 2 (its third
+    page depends on the first suffix token), so the expected reuse is
+    2 pages = 16 tokens — which requires the page-1 payload that only the
+    page-stride features provide under a 32-token chunk."""
+    base = rng.integers(0, 128, size=3 * PS).tolist()
+    p1 = base + rng.integers(0, 128, size=2 * PS).tolist()  # 40 tokens
+    p2 = base + rng.integers(0, 128, size=2 * PS + 3).tolist()  # novel suffix
+    want1 = single_ref(setup, p1, 8)
+    want2 = single_ref(setup, p2, 8)
+
+    batcher = PagedBatcher(make_engine(setup, batch=2), n_pages=48,
+                           page_size=PS, prefill_chunk=4 * PS)
+    s1 = batcher.submit(p1, max_new_tokens=8, stop_at_eos=False)
+    batcher.run_until_done(max_steps=100)
+    got1 = list(s1.generated)
+    s2 = batcher.submit(p2, max_new_tokens=8, stop_at_eos=False)
+    assert batcher.stats["prefix_hits"] == 1
+    assert s2.consumed == 2 * PS  # page-granular, one short of target match
+    batcher.run_until_done(max_steps=100)
+    assert got1[:8] == want1
+    assert s2.generated[:8] == want2
