@@ -17,6 +17,7 @@ import sys
 import time
 
 BASELINE_TOKS = 132.19  # 7B Q4_0 tg128, CUDA GPU (BASELINE.md)
+BASELINE_13B = 82.17  # 13B Q4_0 tg128, CUDA GPU (llama-bench/README.md:88)
 
 
 def _size_label(cfg) -> str:
@@ -140,13 +141,16 @@ def main():
     toks_per_s = 1.0 / per_tok
 
     mode = "coded/bit-exact" if args.coded and args.backend == "pallas" else "approx-bf16"
+    # compare against the SAME model size's reference number: the in-tree
+    # llama-bench tables publish 7B and 13B Q4_0 tg rows (BASELINE.md)
+    baseline = BASELINE_13B if (cfg.n_embd, cfg.n_layers) == (5120, 40) else BASELINE_TOKS
     print(
         json.dumps(
             {
                 "metric": f"decode tokens/s ({_size_label(cfg)} Q4_K {mode}, {args.layers}L, 1 chip, bs1, {args.backend})",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s",
-                "vs_baseline": round(toks_per_s / BASELINE_TOKS, 3),
+                "vs_baseline": round(toks_per_s / baseline, 3),
             }
         )
     )

@@ -83,6 +83,41 @@ def run_study(steps: int = 600, n_prompts: int = 4, max_new_tokens: int = 96,
     return results
 
 
+def run_draft_sweep(target_steps: int = 1200, draft_steps=(300, 1200, 4800),
+                    n_prompts: int = 8, max_new_tokens: int = 96,
+                    log=print) -> dict:
+    """Acceptance vs DRAFT training budget at a fixed target — the
+    complementary axis to the scale sweep: if acceptance rises with draft
+    convergence at constant target, the low toy-scale numbers are a
+    draft-quality artifact (real EAGLE heads train on 68k ShareGPT
+    conversations), not a ceiling of the speculation machinery."""
+    import dataclasses
+
+    from ..models.config import ModelConfig
+    from .train_draft import (MarkovLang, TINY, measure_acceptance,
+                              train_draft, train_target)
+
+    tcfg = ModelConfig(arch="llama", **TINY)
+    dcfg = dataclasses.replace(tcfg, n_layers=1, is_eagle=True, arch="eagle")
+    lang = MarkovLang(vocab=tcfg.vocab_size, seed=0)
+    log(f"training fixed target ({target_steps} steps)")
+    target = train_target(tcfg, lang, target_steps, 24, 64, seed=0, log=log)
+    results = {}
+    for ds in draft_steps:
+        log(f"=== draft budget {ds} steps ===")
+        draft = train_draft(tcfg, dcfg, target, lang, ds, 24, 64, seed=10,
+                            feature_source="post_norm", log=log)
+        row = {}
+        for eng, kw in (("chain", dict(n_draft=5)),
+                        ("tree2", dict(engine="tree2", tree2=(8, 6, 24)))):
+            row[eng] = measure_acceptance(
+                target, draft, tcfg, dcfg, lang, n_prompts=n_prompts,
+                max_new_tokens=max_new_tokens, **kw)["mean_accept_len"]
+        results[f"draft_{ds}"] = row
+        log(f"    {ds}: {row}")
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("acceptance-vs-scale study")
     ap.add_argument("--steps", type=int, default=600)
@@ -90,9 +125,15 @@ def main(argv=None):
                     help="double the training budget per scale tier "
                     "(convergence-matched curve; see run_study)")
     ap.add_argument("--n-prompts", type=int, default=4)
+    ap.add_argument("--draft-sweep", action="store_true",
+                    help="sweep DRAFT training budget at a fixed target "
+                    "instead of sweeping target scale")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
-    res = run_study(args.steps, args.n_prompts, scaled_steps=args.scaled_steps)
+    if args.draft_sweep:
+        res = run_draft_sweep(n_prompts=args.n_prompts)
+    else:
+        res = run_study(args.steps, args.n_prompts, scaled_steps=args.scaled_steps)
     if args.json:
         print(json.dumps(res))
     else:
