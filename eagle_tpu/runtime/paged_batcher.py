@@ -167,6 +167,25 @@ class PagedBatcher(ContinuousBatcher):
         _, pages_t, payloads = self.pools["tgt"].match_prefix(
             toks, want_payloads=True)
         _, pages_d = self.pools["dft"].match_prefix(toks, shift=1)
+        # The draft cache's shift-1 keying means its page at the shared/
+        # suffix boundary depends on one suffix token and can never exact-
+        # match a novel suffix — extend draft coverage by one page via
+        # copy-on-write: copy a page agreeing on all page_size prefix tokens;
+        # its final row (the suffix-dependent pair) stays UNTAGGED after
+        # admission (d_row below validates [0, s-1) only) and is rewritten by
+        # the resumed prefill's first chunk before anything can read it.
+        if len(pages_d) < len(pages_t):
+            src = self.pools["dft"].match_cow(toks, len(pages_d))
+            if src is not None:
+                try:
+                    fresh = self.pools["dft"].alloc()
+                except MemoryError:
+                    fresh = None
+                if fresh is not None:
+                    self._set_kv("dft", self._copy_c(self._kv("dft"), src, fresh))
+                    pages_d.append(fresh)
+                    self.stats["pages_copied"] += 1
+                self.pools["dft"].release(src)
         # shared length: both caches must cover it, >= 1 token of real prefill
         # must remain (the engine needs the final logits/feature), and the
         # boundary feature f_{S-1} must be available to seed the draft

@@ -127,6 +127,11 @@ class PagePool:
         # boundary feature at each page's last token so a matched prefix can
         # seed the draft head without re-running the target)
         self._payload: dict = {}
+        # copy-on-write index for shift-keyed pools: the same pages keyed by
+        # their chain WITHOUT the shift tail (match_cow). Adds no refs of its
+        # own; entries die with their exact-cache entry.
+        self._cow: dict = {}
+        self._cow_of_page: dict[int, object] = {}
 
     # -- raw page ops ------------------------------------------------------
 
@@ -157,6 +162,9 @@ class PagePool:
                 del self._cache[h]
                 del self._cache_of_page[page]
                 self._payload.pop(h, None)
+                ck = self._cow_of_page.pop(page, None)
+                if ck is not None:
+                    self._cow.pop(ck, None)
                 self.release(page)
                 if self.free:
                     return
@@ -213,7 +221,13 @@ class PagePool:
         """Publish a prefilled prompt's full pages for reuse (pages gain one
         cache reference each; already-cached chains are left alone).
         `payloads` optionally attaches caller data (e.g. the EAGLE boundary
-        feature) to each page's cache entry, returned by match_prefix."""
+        feature) to each page's cache entry, returned by match_prefix.
+
+        For shift-keyed pools (the EAGLE draft cache), each page is also
+        indexed under its chain WITHOUT the shift tail, so a prompt that
+        agrees on a page's first page_size tokens but diverges at the shift
+        token can COPY the page and rebuild only the divergent final row
+        (match_cow — the batcher's boundary-page copy-on-write)."""
         keys = self._chain_keys(tokens, shift)
         for i, (key, page) in enumerate(zip(keys, page_ids)):
             if key in self._cache:
@@ -222,7 +236,25 @@ class PagePool:
             self._cache_of_page[page] = key
             if payloads is not None and i < len(payloads) and payloads[i] is not None:
                 self._payload[key] = payloads[i]
+            if shift and key[:-shift] not in self._cow:
+                self._cow[key[:-shift]] = page
+                self._cow_of_page[page] = key[:-shift]
             self.retain(page)
+
+    def match_cow(self, tokens, page_idx: int):
+        """Page whose first page_size-token span matches `tokens`' page
+        `page_idx` ignoring the shift tail, retained for the caller (copy it,
+        then release) — None if uncached. Content beyond the agreeing span
+        (the shift-dependent final rows) is STALE for the caller's chain and
+        must stay untagged until rewritten."""
+        key = tuple(int(t) for t in tokens[: (page_idx + 1) * self.page_size])
+        if len(key) < (page_idx + 1) * self.page_size:
+            return None
+        page = self._cow.get(key)
+        if page is None:
+            return None
+        self.retain(page)
+        return page
 
 
 def copy_pool_page(kv: PagedKVCache, src, dst) -> PagedKVCache:

@@ -30,6 +30,8 @@ SHAPES = {
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", default="qkv,wo,gu,down")
+    ap.add_argument("--kn", action="append", default=[], metavar="K,N",
+                    help="extra custom shapes, e.g. --kn 5120,27648 (13B gu)")
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--group", type=int, default=32)
     ap.add_argument("--small", type=int, default=64)
@@ -52,8 +54,11 @@ def main(argv=None):
     B, G = args.b, args.group
     rng = np.random.default_rng(0)
 
-    for shape_name in args.shapes.split(","):
-        K, N = SHAPES[shape_name]
+    shapes = {n: SHAPES[n] for n in args.shapes.split(",") if n}
+    for kn in args.kn:
+        k, n = (int(v) for v in kn.split(","))
+        shapes[f"{k}x{n}"] = (k, n)
+    for shape_name, (K, N) in shapes.items():
         q_codes = rng.integers(0, 16, size=(K, N), dtype=np.int8)
         scale = (rng.standard_normal((K // G, N)) * 0.01).astype(np.float32)
         bias = (rng.standard_normal((K // G, N)) * 0.001).astype(np.float32)

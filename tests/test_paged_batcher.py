@@ -212,9 +212,10 @@ def test_prefix_reuse_is_page_granular_under_large_chunks(setup, rng):
     page-granular reuse — not truncated to the last chunk boundary.
 
     Layout: page 8, chunk 32 (4 pages), shared prefix 24 (3 pages). The
-    target matches 3 pages; the draft's shift-1 keying matches 2 (its third
-    page depends on the first suffix token), so the expected reuse is
-    2 pages = 16 tokens — which requires the page-1 payload that only the
+    target matches 3 pages; the draft's shift-1 keying exact-matches 2 (its
+    third page depends on the first suffix token) and the boundary-page
+    copy-on-write extends it to 3, so the expected reuse is the FULL
+    3-page prefix — which requires the page-2 payload that only the
     page-stride features provide under a 32-token chunk."""
     base = rng.integers(0, 128, size=3 * PS).tolist()
     p1 = base + rng.integers(0, 128, size=2 * PS).tolist()  # 40 tokens
@@ -229,7 +230,8 @@ def test_prefix_reuse_is_page_granular_under_large_chunks(setup, rng):
     got1 = list(s1.generated)
     s2 = batcher.submit(p2, max_new_tokens=8, stop_at_eos=False)
     assert batcher.stats["prefix_hits"] == 1
-    assert s2.consumed == 2 * PS  # page-granular, one short of target match
+    assert s2.consumed == 3 * PS  # full prefix: boundary draft page CoW'd
+    assert batcher.stats["pages_copied"] >= 1
     batcher.run_until_done(max_steps=100)
     assert got1[:8] == want1
     assert s2.generated[:8] == want2
