@@ -296,6 +296,7 @@ def main(argv=None):
         }
         if args.paged:
             row["prefix_hits"] = batcher.stats["prefix_hits"]
+            row["prefill_skipped"] = batcher.stats["prefill_tokens_skipped"]
             row["pages"] = args.serve_pages or "full"
         rows.append(row)
         print(f"# {rows[-1]}", file=sys.stderr, flush=True)
