@@ -254,6 +254,12 @@ def main(argv=None):
                    for _ in range(args.serve)]
         t_first: dict[int, float] = {}
         t_done: dict[int, float] = {}
+        t_tok1: dict[int, float] = {}  # first emitted token (TTFT end)
+
+        def _first_tok_cb(i):
+            def cb(_tok):
+                t_tok1.setdefault(i, time.time())
+            return cb
 
         def run_serve(warm: bool):
             tag = "w" if warm else "m"
@@ -266,7 +272,8 @@ def main(argv=None):
                     i, p = pend[0]
                     rid = f"{tag}{i}"
                     s = batcher.submit(p, max_new_tokens=args.serve_tg,
-                                       stop_at_eos=False, request_id=rid)
+                                       stop_at_eos=False, request_id=rid,
+                                       on_token=None if warm else _first_tok_cb(i))
                     if s is None:
                         break
                     pend.pop(0)
@@ -289,10 +296,15 @@ def main(argv=None):
             args.serve_tg / (t_done[i] - t_first[i]) for i in range(args.serve)
         ]
         mode = "paged" if args.paged else "dense"
+        ttft = sorted(t_tok1[i] - t_first[i] for i in t_tok1)
         row = {
             "test": f"serve {mode} b{b} r{args.serve} pp{args.serve_pp} tg{args.serve_tg}",
             "t/s": round(total_tokens / wall, 1),
             "per-req t/s": round(float(np.mean(per_req)), 1),
+            # submit -> first emitted token, over all requests (BASELINE.md's
+            # p50 TTFT target row); includes queueing behind busy slots
+            "ttft_p50_ms": round(1e3 * ttft[len(ttft) // 2], 1),
+            "ttft_p95_ms": round(1e3 * ttft[int(len(ttft) * 0.95)], 1),
         }
         if args.paged:
             row["prefix_hits"] = batcher.stats["prefix_hits"]
