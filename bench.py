@@ -122,8 +122,15 @@ def main():
     pos = len(prompt)
     # one attention-read bucket for every slope point (same compiled program);
     # tg-style decode reads only the live prefix of the cache, like the
-    # reference's n_kv-sized graph (BASELINE tg128 attends over <=128+ctx)
-    kv_limit = gen2.kv_read_bucket(pos + 2 * (args.warmup + args.steps))
+    # reference's n_kv-sized graph (BASELINE tg128 attends over <=128 ctx).
+    # Every slope run RESTARTS at the prompt position — rewritten slots get
+    # same-ordinal tags and any stale higher tags from a longer previous run
+    # are > the query positions, hence masked invisible — so the read bucket
+    # matches the measured workload's true context (prompt + steps), not the
+    # runs' accumulated positions (that previously forced the next
+    # power-of-two bucket and overstated attention reads ~2x vs the
+    # reference's tg semantics).
+    kv_limit = gen2.kv_read_bucket(pos + args.steps)
     times = {}
     for steps in (args.warmup, args.steps, args.warmup, args.steps):
         t0 = time.time()
@@ -134,7 +141,6 @@ def main():
         tok = toks[:, -1]
         int(tok[0])  # hard sync
         times.setdefault(steps, []).append(time.time() - t0)
-        pos += steps
     t_small = min(times[args.warmup])
     t_big = min(times[args.steps])
     per_tok = (t_big - t_small) / (args.steps - args.warmup)
