@@ -297,7 +297,12 @@ class ModelConfig:
                 arch in ("qwen2moe", "qwen3moe", "deepseek", "deepseek2", "olmoe")
             ),
             moe_sparsemixer=(arch == "phimoe"),
-            router_jitter=float(md.get(f"{arch}.router_jitter", 0.0) or 0.01),
+            # missing-vs-zero matters: router_jitter_noise=0 is a valid
+            # stored value (tie-mask width 0) and must not fall back to 0.01
+            router_jitter=(
+                0.01 if md.get(f"{arch}.router_jitter") is None
+                else float(md.get(f"{arch}.router_jitter"))
+            ),
             norm_type="layer" if ln_arch else "rms",
             parallel_blocks=(
                 arch in PARALLEL_BLOCK_ARCHS

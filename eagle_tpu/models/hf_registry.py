@@ -306,8 +306,8 @@ def config_from_hf_dict(hf: dict[str, Any], arch: str | None = None) -> ModelCon
             kw["rope_orig_ctx"] = int(orig)
     if arch == "phimoe":  # HF-exact sparsemixer routing (modeling_phimoe)
         kw["moe_sparsemixer"] = True
-        kw["router_jitter"] = float(
-            _g(hf, "router_jitter_noise", default=0.01) or 0.01)
+        _rj = _g(hf, "router_jitter_noise", default=None)
+        kw["router_jitter"] = 0.01 if _rj is None else float(_rj)
     if arch in ("command-r", "cohere2"):
         kw["logit_scale"] = float(_g(hf, "logit_scale", default=1.0))
         if arch == "cohere2":

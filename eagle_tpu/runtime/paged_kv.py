@@ -165,6 +165,16 @@ class PagePool:
                 ck = self._cow_of_page.pop(page, None)
                 if ck is not None:
                     self._cow.pop(ck, None)
+                    # other cached pages may share this stripped chain (same
+                    # page span, different shift tail); re-point the cow key
+                    # so eviction doesn't close the match_cow window for them
+                    for k2, p2 in self._cache.items():
+                        if (p2 != page and len(k2) > len(ck)
+                                and len(k2) - len(ck) < self.page_size
+                                and k2[: len(ck)] == ck):
+                            self._cow[ck] = p2
+                            self._cow_of_page[p2] = ck
+                            break
                 self.release(page)
                 if self.free:
                     return

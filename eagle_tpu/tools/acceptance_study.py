@@ -85,15 +85,23 @@ def run_study(steps: int = 600, n_prompts: int = 4, max_new_tokens: int = 96,
 
 def run_draft_sweep(target_steps: int = 1200, draft_steps=(300, 1200, 4800),
                     n_prompts: int = 8, max_new_tokens: int = 96,
-                    log=print) -> dict:
+                    save_best: str | None = None, log=print) -> dict:
     """Acceptance vs DRAFT training budget at a fixed target — the
     complementary axis to the scale sweep: if acceptance rises with draft
     convergence at constant target, the low toy-scale numbers are a
     draft-quality artifact (real EAGLE heads train on 68k ShareGPT
-    conversations), not a ceiling of the speculation machinery."""
+    conversations), not a ceiling of the speculation machinery.
+
+    Each budget row measures chain K=5, the EAGLE-2 tree, and the chain at
+    temperature 0.8 under stochastic min(1,p/q) acceptance.  With
+    `save_best`, the highest-budget pair is exported as target.gguf +
+    draft.gguf so the wall-clock spec-vs-plain bench can drive the SAME
+    trained pair through `api.Engine` on TPU."""
     import dataclasses
 
     from ..models.config import ModelConfig
+    from ..runtime.sampling import SamplerConfig
+    from ..runtime.speculative import EagleChainEngine
     from .train_draft import (MarkovLang, TINY, measure_acceptance,
                               train_draft, train_target)
 
@@ -113,8 +121,32 @@ def run_draft_sweep(target_steps: int = 1200, draft_steps=(300, 1200, 4800),
             row[eng] = measure_acceptance(
                 target, draft, tcfg, dcfg, lang, n_prompts=n_prompts,
                 max_new_tokens=max_new_tokens, **kw)["mean_accept_len"]
+        # stochastic min(1,p/q) acceptance at temperature 0.8 (the serving
+        # sampling path; provably target-distribution-preserving)
+        eng = EagleChainEngine(
+            target, draft, tcfg, dcfg, n_draft=5, max_seq=512, backend="xla",
+            feature_source="post_norm", eos_id=-1,
+            sampler=SamplerConfig(temperature=0.8, top_k=0, top_p=1.0, min_p=0.0),
+        )
+        rng = np.random.default_rng(99)
+        agg_c = agg_a = 0
+        for p in lang.sample(rng, n_prompts, 32):
+            _, stats = eng.generate(list(p), max_new_tokens=max_new_tokens)
+            agg_c += stats["n_cycles"]
+            agg_a += stats["n_accepted"]
+        row["chain_temp0.8_stochastic"] = (agg_a + agg_c) / max(1, agg_c)
         results[f"draft_{ds}"] = row
         log(f"    {ds}: {row}")
+        if save_best:  # overwrite each budget: last (largest) survives
+            from pathlib import Path
+
+            from .train_draft import save_eagle_gguf, save_target_gguf
+
+            out = Path(save_best)
+            out.mkdir(parents=True, exist_ok=True)
+            save_target_gguf(out / "target.gguf", target, tcfg, qtype=None)
+            save_eagle_gguf(out / "draft.gguf", draft, dcfg)
+            log(f"    saved pair (budget {ds}) to {out}")
     return results
 
 
@@ -128,10 +160,18 @@ def main(argv=None):
     ap.add_argument("--draft-sweep", action="store_true",
                     help="sweep DRAFT training budget at a fixed target "
                     "instead of sweeping target scale")
+    ap.add_argument("--draft-steps", default="300,1200,4800",
+                    help="comma-separated draft budgets for --draft-sweep")
+    ap.add_argument("--target-steps", type=int, default=1200)
+    ap.add_argument("--save-best", default=None,
+                    help="dir to export the largest-budget pair as GGUFs")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
     if args.draft_sweep:
-        res = run_draft_sweep(n_prompts=args.n_prompts)
+        res = run_draft_sweep(
+            target_steps=args.target_steps,
+            draft_steps=tuple(int(x) for x in args.draft_steps.split(",")),
+            n_prompts=args.n_prompts, save_best=args.save_best)
     else:
         res = run_study(args.steps, args.n_prompts, scaled_steps=args.scaled_steps)
     if args.json:

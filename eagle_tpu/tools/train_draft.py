@@ -305,6 +305,7 @@ def _smoke_vocab(v: int) -> dict:
         ttypes.append(TokenType.NORMAL)
         i += 1
     tokens = tokens[:v]
+    ttypes = ttypes[:v]
     scores = [-float(i) for i in range(len(tokens))]
     return {
         Keys.Tokenizer.MODEL: "llama",
