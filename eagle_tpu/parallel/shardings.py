@@ -47,10 +47,18 @@ def _apply_qspec(t, spec_kind: str, stacked: bool):
 
 
 class QTensorSpec:
-    """Pytree-shaped container of PartitionSpecs mirroring a QTensor."""
+    """Pytree-shaped container of PartitionSpecs mirroring a QTensor.
 
-    def __init__(self, q, scale, bias):
+    `sup`/`sup_min` (the coded-scale per-256 super-scales of the packed+coded
+    SERVING layout) default to the `scale` spec: they share scale's logical
+    axes ([.., K/256, N] vs [.., K/G, N]), so the same PartitionSpec shards
+    them consistently. Row-sharded (K-sharded) coded tensors therefore need
+    K/256 divisible by the model-axis size."""
+
+    def __init__(self, q, scale, bias, sup=None, sup_min=None):
         self.q, self.scale, self.bias = q, scale, bias
+        self.sup = scale if sup is None else sup
+        self.sup_min = scale if sup_min is None else sup_min
 
 
 _LAYER_KIND = {
@@ -144,6 +152,12 @@ def shard_params(params, mesh: Mesh, specs) -> Any:
                 bias=None
                 if t.bias is None
                 else jax.device_put(t.bias, NamedSharding(mesh, s.bias)),
+                sup=None
+                if t.sup is None
+                else jax.device_put(t.sup, NamedSharding(mesh, s.sup)),
+                sup_min=None
+                if t.sup_min is None
+                else jax.device_put(t.sup_min, NamedSharding(mesh, s.sup_min)),
             )
         return jax.device_put(t, NamedSharding(mesh, s))
 
