@@ -290,16 +290,190 @@ class PagedBatcher(ContinuousBatcher):
         self._quarantine(sid)
         self._payloads.pop(sid, None)
 
-    # slot save/restore snapshots dense KV rows; a paged row is a view into
-    # the shared pool — serialize via the dense extraction path instead
-    def save_slot(self, slot_id: int, path) -> dict:
-        raise NotImplementedError(
-            "per-slot state save/restore is served by the dense batcher; "
-            "paged rows alias shared pool pages"
+    # -- slot save/restore --------------------------------------------------
+    # A paged row is a view into the shared pool, so save/restore serializes
+    # through the DENSE per-sequence format (state_io.extract_seq_state
+    # layout): save gathers the slot's pages into contiguous dense KV rows —
+    # the artifact is byte-compatible with the dense batcher's save_slot, so
+    # a slot saved paged restores dense and vice versa (the reference's
+    # llama_state_seq_* files are likewise cache-layout agnostic).
+
+    def _dense_template(self):
+        """B=1 dense SpecState with this engine's shapes (restore template)."""
+        from .speculative import SpecState
+
+        def tkv(kind):
+            from .kvcache import KVCache
+
+            pool = self._kv(kind)
+            L, _, H, _, D = pool.k.shape
+            Dv = pool.v.shape[-1]
+            S = self.engine.max_seq
+            return KVCache(
+                k=jnp.zeros((L, 1, H, S, D), pool.k.dtype),
+                v=jnp.zeros((L, 1, H, S, Dv), pool.v.dtype),
+                slot_pos=jnp.full((1, S), -1, jnp.int32),
+                k_scale=None if pool.k_scale is None
+                else jnp.zeros((L, 1, H, S), jnp.float32),
+                v_scale=None if pool.v_scale is None
+                else jnp.zeros((L, 1, H, S), jnp.float32),
+            )
+
+        return SpecState(
+            tgt_kv=tkv("tgt"), dft_kv=tkv("dft"),
+            last_token=jnp.zeros((1,), jnp.int32),
+            feature=jnp.zeros((1, self.state.feature.shape[1]),
+                              self.state.feature.dtype),
+            n_past=jnp.zeros((1,), jnp.int32),
+            key=self.state.key,
         )
 
-    def restore_slot(self, path, slot_id: int | None = None):
-        raise NotImplementedError(
-            "per-slot state save/restore is served by the dense batcher; "
-            "paged rows alias shared pool pages"
+    def _gather_dense_seq(self, sid: int):
+        """Dense B=1 SpecState snapshot of one paged slot (host-side page
+        gather — save is rare, clarity over device round-trips)."""
+        from .kvcache import KVCache
+        from .speculative import SpecState
+
+        S = self.engine.max_seq
+
+        def gather(kind):
+            pool = self._kv(kind)
+            kN, vN = np.asarray(pool.k), np.asarray(pool.v)
+            L, _, H, ps, D = kN.shape
+            dk = np.zeros((L, 1, H, S, D), kN.dtype)
+            dv = np.zeros((L, 1, H, S, vN.shape[-1]), vN.dtype)
+            ks = vs = None
+            if pool.k_scale is not None:
+                ksN = np.asarray(pool.k_scale)
+                vsN = np.asarray(pool.v_scale)
+                ks = np.zeros((L, 1, H, S), np.float32)
+                vs = np.zeros((L, 1, H, S), np.float32)
+            for pg, p in enumerate(self.tables[kind][sid]):
+                p = int(p)
+                lo = pg * ps
+                if p < 0 or lo >= S:
+                    continue
+                w = min(ps, S - lo)
+                dk[:, 0, :, lo : lo + w] = kN[:, p, :, :w]
+                dv[:, 0, :, lo : lo + w] = vN[:, p, :, :w]
+                if ks is not None:
+                    ks[:, 0, :, lo : lo + w] = ksN[:, p, :, :w]
+                    vs[:, 0, :, lo : lo + w] = vsN[:, p, :, :w]
+            return KVCache(
+                k=jnp.asarray(dk), v=jnp.asarray(dv),
+                slot_pos=jnp.asarray(
+                    np.asarray(pool.slot_pos[sid])[:S][None]),
+                k_scale=None if ks is None else jnp.asarray(ks),
+                v_scale=None if vs is None else jnp.asarray(vs),
+            )
+
+        return SpecState(
+            tgt_kv=gather("tgt"), dft_kv=gather("dft"),
+            last_token=self.state.last_token[sid : sid + 1],
+            feature=self.state.feature[sid : sid + 1],
+            n_past=self.state.n_past[sid : sid + 1],
+            key=self.state.key,
         )
+
+    def save_slot(self, slot_id: int, path) -> dict:
+        from .state_io import save_state
+
+        slot = self.slots[slot_id]
+        if slot.state == "free":
+            raise ValueError(
+                "paged slot save needs a live slot: completion releases its "
+                "pages back to the shared pool (save before the request "
+                "finishes; the dense batcher can snapshot after completion "
+                "because its rows are per-slot)"
+            )
+        extra = {
+            "generated": list(slot.generated),
+            "prompt_len": slot.prompt_len,
+            "max_new": slot.max_new,
+            "stop_at_eos": slot.stop_at_eos,
+        }
+        save_state(self._gather_dense_seq(slot_id), path, extra=extra)
+        return extra
+
+    def restore_slot(self, path, slot_id: int | None = None):
+        from .state_io import load_state
+
+        if slot_id is None:
+            free = [s for s in self.slots if s.state == "free"]
+            if not free:
+                return None
+            slot_id = free[0].id
+        sub, extra = load_state(self._dense_template(), path)
+
+        # allocate private pages covering the written region and scatter the
+        # dense rows into them — one jitted program per cache
+        for kind, kv_row in (("tgt", sub.tgt_kv), ("dft", sub.dft_kv)):
+            row = np.asarray(kv_row.slot_pos[0])
+            valid = np.nonzero(row >= 0)[0]
+            n_w = int(valid.max()) + 1 if valid.size else 0
+            if n_w == 0:
+                continue
+            self._ensure_writable(kind, slot_id, 0, n_w)
+            self._sync_tables()
+            pool = self._kv(kind)
+            ps = self.ps
+            n_pg = -(-n_w // ps)
+            pages = jnp.asarray(
+                self.tables[kind][slot_id, :n_pg].copy(), jnp.int32)
+            S = self.engine.max_seq
+            pad = n_pg * ps - S
+
+            full_row = np.full(pool.slot_pos.shape[1], -1, np.int32)
+            full_row[: min(S, len(row))] = row[: min(S, len(row))]
+
+            def write(kv, pages, kr, vr, ksr, vsr, srow):
+                kv = dataclasses.replace(
+                    kv,
+                    k=kv.k.at[:, pages].set(kr),
+                    v=kv.v.at[:, pages].set(vr),
+                    slot_pos=kv.slot_pos.at[slot_id].set(srow),
+                )
+                if ksr is not None:
+                    kv = dataclasses.replace(
+                        kv,
+                        k_scale=kv.k_scale.at[:, pages].set(ksr),
+                        v_scale=kv.v_scale.at[:, pages].set(vsr),
+                    )
+                return kv
+
+            # axes: dense [L,1,H,S,D] -> pages [L,n_pg,H,ps,D]
+            def rows_of(a):
+                a = a[:, 0]  # [L,H,S,...]
+                if pad > 0:
+                    widths = [(0, 0)] * a.ndim
+                    widths[2] = (0, pad)
+                    a = jnp.pad(a, widths)
+                a = a[:, :, : n_pg * ps]
+                a = a.reshape(a.shape[0], a.shape[1], n_pg, ps, *a.shape[3:])
+                return jnp.swapaxes(a, 1, 2)  # [L,n_pg,H,ps,...]
+
+            self._set_kv(kind, jax.jit(write, donate_argnums=(0,))(
+                pool, pages, rows_of(kv_row.k), rows_of(kv_row.v),
+                None if kv_row.k_scale is None else rows_of(kv_row.k_scale),
+                None if kv_row.v_scale is None else rows_of(kv_row.v_scale),
+                jnp.asarray(full_row),
+            ))
+
+        def set_row(state, lt, ft, npast):
+            return dataclasses.replace(
+                state,
+                last_token=state.last_token.at[slot_id].set(lt),
+                feature=state.feature.at[slot_id].set(ft),
+                n_past=state.n_past.at[slot_id].set(npast),
+            )
+
+        self.state = jax.jit(set_row)(
+            self.state, sub.last_token[0], sub.feature[0], sub.n_past[0])
+
+        slot = self.slots[slot_id]
+        slot.state = "restored"
+        slot.generated = list(extra.get("generated", []))
+        slot.prompt_len = int(extra.get("prompt_len", 0))
+        slot.max_new = int(extra.get("max_new", 0))
+        slot.stop_at_eos = bool(extra.get("stop_at_eos", True))
+        return slot

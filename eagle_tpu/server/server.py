@@ -572,9 +572,9 @@ class InferenceServer:
             return web.json_response({"error": f"unknown action {action!r}"}, status=400)
         try:
             res = await asyncio.get_event_loop().run_in_executor(None, fut.result)
-        except NotImplementedError as e:
-            # paged batcher: per-slot save/restore is a dense-batcher feature
-            return web.json_response({"error": str(e)}, status=501)
+        except ValueError as e:
+            # e.g. paged save on a freed slot (its pages went back to the pool)
+            return web.json_response({"error": str(e)}, status=409)
         return web.json_response({"id": slot_id, "result": res})
 
     # -- app ---------------------------------------------------------------

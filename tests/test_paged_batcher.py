@@ -235,3 +235,72 @@ def test_prefix_reuse_is_page_granular_under_large_chunks(setup, rng):
     batcher.run_until_done(max_steps=100)
     assert got1[:8] == want1
     assert s2.generated[:8] == want2
+
+
+def test_paged_slot_save_restore_resume(setup, rng, tmp_path):
+    """test_slot_save.py semantics on the PAGED batcher: save a slot
+    mid-generation, restore into a FRESH paged batcher (different slot),
+    resume — the continued stream must equal uninterrupted generation. The
+    artifact is the dense per-sequence format, so it also restores into a
+    DENSE batcher and a dense save restores into a paged one."""
+    p = rng.integers(0, 128, size=6).tolist()
+    want = single_ref(setup, p, 14)
+
+    b1 = PagedBatcher(make_engine(setup, batch=2), n_pages=40, page_size=PS)
+    # paged pools reclaim a slot's pages the moment it completes, so the
+    # save happens mid-generation (the live-slot case the server exercises)
+    s = b1.submit(p, max_new_tokens=20, stop_at_eos=False)
+    for _ in range(50):
+        if len(s.generated) >= 6:
+            break
+        b1.step()
+    got_first = list(s.generated)
+    assert got_first[:6] == want[:6]
+    b1.save_slot(s.id, tmp_path / "slot.bin")
+
+    # paged -> paged, into a different slot
+    b2 = PagedBatcher(make_engine(setup, batch=2), n_pages=40, page_size=PS)
+    s2 = b2.restore_slot(tmp_path / "slot.bin", slot_id=1)
+    assert s2.state == "restored" and s2.generated == got_first
+    b2.resume_slot(1, max_new_tokens=14)
+    b2.run_until_done(max_steps=60)
+    assert s2.generated[:14] == want
+
+    # paged -> dense (cross-layout restore)
+    b3 = ContinuousBatcher(make_engine(setup, batch=2))
+    s3 = b3.restore_slot(tmp_path / "slot.bin", slot_id=0)
+    b3.resume_slot(0, max_new_tokens=14)
+    b3.run_until_done(max_steps=60)
+    assert s3.generated[:14] == want
+
+    # dense -> paged (cross-layout restore)
+    b4 = ContinuousBatcher(make_engine(setup, batch=2))
+    s4 = b4.submit(p, max_new_tokens=6, stop_at_eos=False)
+    b4.run_until_done(max_steps=50)
+    b4.save_slot(s4.id, tmp_path / "slot_dense.bin")
+    b5 = PagedBatcher(make_engine(setup, batch=2), n_pages=40, page_size=PS)
+    s5 = b5.restore_slot(tmp_path / "slot_dense.bin", slot_id=1)
+    b5.resume_slot(1, max_new_tokens=14)
+    b5.run_until_done(max_steps=60)
+    assert s5.generated[:14] == want
+
+
+def test_paged_slot_save_restore_int8_kv(setup, rng, tmp_path):
+    """int8-KV paged slot round-trips its per-row scales too."""
+    p = rng.integers(0, 128, size=5).tolist()
+    b1 = PagedBatcher(make_engine(setup, batch=2, kv_dtype=jnp.int8),
+                      n_pages=40, page_size=PS)
+    s = b1.submit(p, max_new_tokens=18, stop_at_eos=False)
+    for _ in range(50):
+        if len(s.generated) >= 5:
+            break
+        b1.step()
+    want = single_ref(setup, p, 12, kv_dtype=jnp.int8)
+    assert list(s.generated)[:5] == want[:5]
+    b1.save_slot(s.id, tmp_path / "slot8.bin")
+    b2 = PagedBatcher(make_engine(setup, batch=2, kv_dtype=jnp.int8),
+                      n_pages=40, page_size=PS)
+    s2 = b2.restore_slot(tmp_path / "slot8.bin")
+    b2.resume_slot(s2.id, max_new_tokens=12)
+    b2.run_until_done(max_steps=60)
+    assert s2.generated[:12] == want

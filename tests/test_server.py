@@ -349,7 +349,9 @@ def test_paged_server_concurrent_and_prefix_reuse(paged_server):
     assert eng.batcher.stats["prefix_hits"] >= 1
 
 
-def test_paged_server_slot_save_returns_501(paged_server):
+def test_paged_server_slot_save_freed_slot_conflict(paged_server):
+    """Saving a FREED paged slot is a 409 (its pages went back to the pool);
+    live-slot save/restore works and is covered by test_paged_batcher."""
     base, _ = paged_server
     req = urllib.request.Request(
         base + "/slots/0?action=save", data=b"{}",
@@ -360,7 +362,7 @@ def test_paged_server_slot_save_returns_501(paged_server):
         raised = None
     except urllib.error.HTTPError as e:
         raised = e.code
-    assert raised == 501
+    assert raised == 409
 
 
 def test_server_grammar_constrained(server):
