@@ -128,9 +128,11 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
         k_tiles = [
             t for t in _valid_tiles(k)
             if t % g == 0 and ((t // g) % 8 == 0 or t == k)
-            # coded: the resident super-scale is sliced by t/256 sublane rows
-            # per K step — the offset must be provably 8-aligned (Mosaic)
-            and (not coded or t % 2048 == 0 or t == k)
+            # coded: per-step codes reshape to (t/256, 256/g, tn) -> t must
+            # cover whole 256-blocks; the sup slice itself is alignment-free
+            # (aligned dynamic slice when t % 2048 == 0, one-hot matmul
+            # fallback otherwise — _qmm_kernel._step_rows)
+            and (not coded or t % 256 == 0 or t == k)
         ] or [k]
     else:
         k_tiles = [k]
@@ -217,10 +219,33 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
         rows = tk // 256
         per = 256 // group
         j = pl.program_id(1)
-        if sup_ref.shape[0] == rows:  # single K step: whole block, static
-            sup = sup_ref[:].astype(jnp.float32)
-        else:  # rows % 8 == 0 by the tile constraint; hint the alignment
-            sup = sup_ref[pl.ds(pl.multiple_of(j * rows, 8), rows)].astype(jnp.float32)
+
+        def _step_rows(ref):
+            """This K step's [rows, TN] slice of a resident full-K per-256
+            block. Mosaic only accepts dynamic sublane offsets it can prove
+            8-aligned, so when rows % 8 != 0 (tile_k % 2048 != 0 — the 13B
+            K=5120/13824 shapes have no 2048-multiple divisors) the slice is
+            realized as a one-hot matmul instead: sel[r, rf] = (rf == j*rows
+            + r), sel @ block — rows x rows_full x TN MACs, noise next to the
+            tile dot, and it lifts the old K % 2048 tile restriction."""
+            if ref.shape[0] == rows:  # single K step: whole block, static
+                return ref[:].astype(jnp.float32)
+            if rows % 8 == 0:  # provably aligned dynamic slice
+                return ref[pl.ds(pl.multiple_of(j * rows, 8), rows)].astype(
+                    jnp.float32)
+            rows_full = ref.shape[0]
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, rows_full), 0)
+                + j * rows
+                == jax.lax.broadcasted_iota(jnp.int32, (rows, rows_full), 1)
+            ).astype(jnp.float32)
+            return jax.lax.dot_general(
+                sel, ref[:].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        sup = _step_rows(sup_ref)
         codes = s_ref[:].astype(jnp.float32).reshape(rows, per, tn)
         scale = (sup[:, None, :] * codes).reshape(tk // group, tn)
     else:
@@ -282,10 +307,7 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,
         # coded bias: reconstruct this tile's [TK/G, TN] bias and fold it via
         # a per-step side-dot (streams 1 byte/group/step; the resident
         # variant above is the measured alternative)
-        if supmin_ref.shape[0] == rows:
-            supm = supmin_ref[:].astype(jnp.float32)
-        else:
-            supm = supmin_ref[pl.ds(pl.multiple_of(j * rows, 8), rows)].astype(jnp.float32)
+        supm = _step_rows(supmin_ref)
         mcodes = b_ref[:].astype(jnp.float32).reshape(rows, per, tn)
         bias_mat = (supm[:, None, :] * mcodes).reshape(tk // group, tn)
         acc = acc + jax.lax.dot_general(
@@ -363,7 +385,7 @@ def qmatmul_pallas_2d(
     else:
         tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
         tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
-    if tile_k % g != 0 or (coded and tile_k % 2048 != 0 and tile_k != k):
+    if tile_k % g != 0 or (coded and tile_k % 256 != 0 and tile_k != k):
         tile_k = k
     assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0, (n, k, tile_n, tile_k, g)
 
@@ -593,7 +615,7 @@ def qmatmul_pallas_stacked(
     else:
         tile_n = _pick_tile(n, tile_n or 256, 128) if n % 128 == 0 else n
         tile_k = _pick_tile(k, tile_k or 2048, 128) if k % 128 == 0 and (128 % g == 0 or k % 128 == 0) else k
-    if tile_k % g != 0 or (coded and tile_k % 2048 != 0 and tile_k != k):
+    if tile_k % g != 0 or (coded and tile_k % 256 != 0 and tile_k != k):
         tile_k = k
     assert n % tile_n == 0 and k % tile_k == 0 and tile_k % g == 0
 

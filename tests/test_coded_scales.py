@@ -193,3 +193,47 @@ def test_coded_resident_bias_matches_streamed(rng, packed):
         x, qt, compute_dtype=jnp.float32, interpret=True, coded_resident=True))
     np.testing.assert_allclose(res, streamed, rtol=0,
                                atol=2e-5 * np.abs(streamed).max())
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("resident", [False, True])
+def test_coded_misaligned_ktile_onehot_path(rng, packed, resident):
+    """K tiles that are 256-multiples but NOT 2048-multiples (the 13B
+    K=5120/13824 situation scaled down): the kernel's one-hot sup-row
+    selection must stay exact across multiple K grid steps."""
+    k, n = 1280, 256  # tile_k=256 -> 5 K steps, rows=1 (% 8 != 0)
+    qt = synth_qtensor(rng, n, k, GGMLType.Q4_K, coded=True, packed=packed)
+    x = jnp.asarray(rng.normal(0, 1, (8, k)).astype(np.float32))
+    want = np.asarray(x) @ np.asarray(qt.dequantize()).T
+    from eagle_tpu.ops.pallas_qmm import qmatmul_pallas_2d
+
+    got = np.asarray(qmatmul_pallas_2d(
+        x, qt, compute_dtype=jnp.float32, interpret=True,
+        tile_n=128, tile_k=256, coded_resident=resident))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5 * np.abs(want).max())
+
+
+def test_coded_misaligned_ktile_stacked(rng):
+    qts = synth_qtensor(rng, 256, 1280, GGMLType.Q4_K, stack=2, coded=True,
+                        packed=True)
+    x = jnp.asarray(rng.normal(0, 1, (8, 1280)).astype(np.float32))
+    for li in range(2):
+        qt = jax.tree_util.tree_map(lambda a: a[li], qts)
+        want = np.asarray(x) @ np.asarray(qt.dequantize()).T
+        from eagle_tpu.ops.pallas_qmm import qmatmul_pallas_stacked
+
+        got = np.asarray(qmatmul_pallas_stacked(
+            x, qts, jnp.asarray(li), compute_dtype=jnp.float32,
+            interpret=True, tile_n=128, tile_k=256))
+        np.testing.assert_allclose(got, want, rtol=0,
+                                   atol=2e-5 * np.abs(want).max())
+
+
+def test_pick_tiles_coded_misaligned_k_multistep():
+    """The 13B shapes (K=5120/13824) must now be eligible for multi-step K
+    grids in coded mode (previously forced to whole-K tiles)."""
+    from eagle_tpu.ops.pallas_qmm import _pick_tiles_2d
+
+    for k, n in ((5120, 13824), (13824, 5120)):
+        tn, tk = _pick_tiles_2d(k, n, 32, True, 8, coded=True, has_bias=True)
+        assert tk % 256 == 0 and k % tk == 0
