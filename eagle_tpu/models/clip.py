@@ -43,6 +43,10 @@ class ClipVisionConfig:
     eps: float = 1e-5
     use_quick_gelu: bool = True  # original CLIP ViT activation
     has_post_norm: bool = False  # llava projector path skips post_ln
+    #: SigLIP-style towers (MiniCPM-V) have neither a class token nor a
+    #: pre-layernorm (clip.cpp:598-599 detects both by tensor presence)
+    has_class_embd: bool = True
+    has_pre_ln: bool = True
 
     @property
     def n_patches(self) -> int:
@@ -69,13 +73,18 @@ def load_clip_params(path) -> tuple[dict[str, Any], ClipVisionConfig]:
         n_ff=int(md["clip.vision.feed_forward_length"]),
         eps=float(md.get("clip.vision.attention.layer_norm_epsilon", 1e-5)),
         has_post_norm=any(n == "v.post_ln.weight" for n in r.tensors),
+        has_class_embd="v.class_embd" in r.tensors,
+        has_pre_ln="v.pre_ln.weight" in r.tensors,
+        use_quick_gelu=not bool(md.get("clip.use_gelu", False)),
     )
     p: dict[str, Any] = {
         "patch_embd": t("v.patch_embd.weight").reshape(cfg.d, 3, cfg.patch_size, cfg.patch_size),
-        "class_embd": t("v.class_embd"),
         "pos_embd": t("v.position_embd.weight"),
-        "pre_ln": (t("v.pre_ln.weight"), t("v.pre_ln.bias")),
     }
+    if cfg.has_class_embd:
+        p["class_embd"] = t("v.class_embd")
+    if cfg.has_pre_ln:
+        p["pre_ln"] = (t("v.pre_ln.weight"), t("v.pre_ln.bias"))
     if "v.patch_embd.bias" in r.tensors:
         p["patch_bias"] = t("v.patch_embd.bias")
     if cfg.has_post_norm:
@@ -106,14 +115,16 @@ def _lin(x, wb):
     return x @ w.T + b
 
 
-def preprocess_image(img: np.ndarray, cfg: ClipVisionConfig) -> jnp.ndarray:
+def preprocess_image(img: np.ndarray, cfg: ClipVisionConfig,
+                     mean: np.ndarray = CLIP_MEAN,
+                     std: np.ndarray = CLIP_STD) -> jnp.ndarray:
     """uint8/float HWC image -> normalized [H, W, 3] f32 at the model's
     resolution (bilinear, like CLIPImageProcessor's default resample≈)."""
     x = jnp.asarray(img, jnp.float32)
     if x.max() > 1.5:
         x = x / 255.0
     x = jax.image.resize(x, (cfg.image_size, cfg.image_size, 3), "bilinear")
-    return (x - CLIP_MEAN) / CLIP_STD
+    return (x - mean) / std
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -129,9 +140,11 @@ def clip_vision_forward(params: dict, cfg: ClipVisionConfig, pixels: jnp.ndarray
     x = patches @ w.T  # [n_patches, D]
     if "patch_bias" in params:
         x = x + params["patch_bias"]
-    x = jnp.concatenate([params["class_embd"][None, :], x], axis=0)
+    if cfg.has_class_embd:
+        x = jnp.concatenate([params["class_embd"][None, :], x], axis=0)
     x = x + params["pos_embd"][: x.shape[0]]
-    x = _ln(x, *params["pre_ln"], cfg.eps)
+    if cfg.has_pre_ln:
+        x = _ln(x, *params["pre_ln"], cfg.eps)
 
     h, dh = cfg.n_heads, D // cfg.n_heads
     act = (lambda v: v * jax.nn.sigmoid(1.702 * v)) if cfg.use_quick_gelu else jax.nn.gelu

@@ -42,8 +42,11 @@ def generate_with_image(
     image: np.ndarray,
     max_new_tokens: int = 128,
     marker: str = "<image>",
+    encode=None,
 ) -> str:
-    """Greedy multimodal generation over [text_before ⊕ image ⊕ text_after]."""
+    """Greedy multimodal generation over [text_before ⊕ image ⊕ text_after].
+    `encode` maps (params, cfg, image) -> [rows, n_embd] (defaults to the
+    CLIP+MLP llava projector; the MiniCPM-V resampler path passes its own)."""
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +62,9 @@ def generate_with_image(
     ids_a = tok.encode(before)
     ids_b = tok.encode(after, add_bos=False) if after else []
 
-    img_embd = encode_image(clip_params, clip_cfg, image)  # [n_patch, D]
+    if encode is None:
+        encode = encode_image
+    img_embd = encode(clip_params, clip_cfg, image)  # [n_rows, D]
     emb_a = embed_lookup(params["tok_embd"], jnp.asarray([ids_a], jnp.int32))[0]
     emb_b = (
         embed_lookup(params["tok_embd"], jnp.asarray([ids_b], jnp.int32))[0]
@@ -262,10 +267,25 @@ def main(argv=None):
     t0 = time.time()
     eng = Engine(EngineConfig(model_path=args.model, max_seq=args.ctx,
                               backend=args.backend))
-    is_qwen2vl = bool(GGUFReader(args.mmproj).metadata.get(
-        "clip.has_qwen2vl_merger", False))
+    mm_md = GGUFReader(args.mmproj).metadata
+    is_qwen2vl = bool(mm_md.get("clip.has_qwen2vl_merger", False))
+    is_minicpmv = bool(mm_md.get("clip.has_minicpmv_projector", False))
     img = load_image(args.image)
-    if is_qwen2vl:
+    if is_minicpmv:
+        from functools import partial
+
+        from ..models.minicpmv import encode_image_minicpmv, load_minicpmv_mmproj
+
+        mp, rcfg, vcfg = load_minicpmv_mmproj(args.mmproj)
+        print(f"[load] {time.time()-t0:.1f}s (+minicpmv mmproj v{rcfg.version}: "
+              f"{vcfg.n_layers}L d={vcfg.d} -> {rcfg.num_query} queries x "
+              f"d={rcfg.embed_dim})", file=sys.stderr)
+        t0 = time.time()
+        text = generate_with_image(
+            eng, mp, vcfg, args.prompt, img, max_new_tokens=args.n_predict,
+            encode=lambda p, c, im: encode_image_minicpmv(p, rcfg, c, im),
+        )
+    elif is_qwen2vl:
         from ..models.qwen2vl_vision import load_qwen2vl_mmproj
 
         vp, vc = load_qwen2vl_mmproj(args.mmproj)
