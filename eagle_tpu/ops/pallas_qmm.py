@@ -106,20 +106,12 @@ _C_STEP = 0.1e-6
 _C_KREV = 0.3e-6
 
 
-@functools.lru_cache(maxsize=None)
-def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
-                   coded: bool = False, has_bias: bool = True) -> tuple[int, int]:
-    """Choose (tile_n, tile_k) minimizing MODELED kernel time under a VMEM
-    budget:
-
-        t = (weight + x + out traffic)/BW        -- streaming
-          + first_block/BW                       -- pipeline ramp (unoverlapped)
-          + C_STEP * steps + C_KREV * k_revisits -- per-step overheads
-
-    x is re-fetched once per n-tile (its block index cycles with the K grid
-    dim), so large b (prefill) pushes toward wide tile_n; the ramp term pushes
-    toward ~1-3 MB blocks instead of the budget-filling single-step grids the
-    round-1 picker chose."""
+def _score_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
+                    coded: bool = False, has_bias: bool = True
+                    ) -> list[tuple[float, tuple[int, int]]]:
+    """All legal (tile_n, tile_k) candidates with their MODELED kernel time,
+    ascending (see _pick_tiles_2d). Used by the picker and by
+    tools/tile_sweep.py to prune measured sweeps to the model's top ranks."""
     n_tiles = _valid_tiles(n) if n % 128 == 0 else [n]
     if k % 128 == 0 and (128 % g == 0 or k % 128 == 0):
         # the scale/bias blocks have sublane extent tile_k/g — Mosaic requires
@@ -142,7 +134,7 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
     # for it or the kernel blocks must shrink accordingly
     full_out = b * n * 4
     staged_out = full_out if full_out <= 12_000_000 else 0
-    best = None
+    scored = []
     fallback = None
     for tn in n_tiles:
         for tk in k_tiles:
@@ -171,11 +163,36 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
                 fallback = (qb + sb + xb + ob, (tn, tk))
             if vmem > budget:
                 continue
-            if best is None or score < best[0]:
-                best = (score, (tn, tk))
-    if best is None:  # nothing fits the model: smallest-footprint blocks
-        return fallback[1]
-    return best[1]
+            scored.append((score, (tn, tk)))
+    if not scored:  # nothing fits the model: smallest-footprint blocks
+        return [(float("inf"), fallback[1])]
+    return sorted(scored)
+
+
+#: measured overrides: (k, n, g, packed, b, coded, has_bias) -> (tn, tk).
+#: Filled from tools/tile_sweep.py runs where the calibrated model's pick
+#: measurably loses to a swept configuration on real hardware.
+_TILE_OVERRIDES: dict[tuple, tuple[int, int]] = {}
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
+                   coded: bool = False, has_bias: bool = True) -> tuple[int, int]:
+    """Choose (tile_n, tile_k) minimizing MODELED kernel time under a VMEM
+    budget:
+
+        t = (weight + x + out traffic)/BW        -- streaming
+          + first_block/BW                       -- pipeline ramp (unoverlapped)
+          + C_STEP * steps + C_KREV * k_revisits -- per-step overheads
+
+    x is re-fetched once per n-tile (its block index cycles with the K grid
+    dim), so large b (prefill) pushes toward wide tile_n; the ramp term pushes
+    toward ~1-3 MB blocks instead of the budget-filling single-step grids the
+    round-1 picker chose.  Measured sweep overrides take precedence."""
+    ov = _TILE_OVERRIDES.get((k, n, g, packed, b, coded, has_bias))
+    if ov is not None:
+        return ov
+    return _score_tiles_2d(k, n, g, packed, b, coded, has_bias)[0][1]
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group: int, compute_dtype,

@@ -35,21 +35,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .paged_kv import PagePool, copy_pool_page
+from .paged_kv import PagePool, copy_pool_page, copy_pool_pages
 from .scheduler import ContinuousBatcher, Slot
 from .speculative import EagleChainEngine
 
+#: scatter-pad sentinel: a LARGE POSITIVE index is dropped by mode="drop";
+#: -1 would wrap to the last row (negative indices are valid in jnp scatters)
+_DROP = 1 << 30
 
-def _admit_row(state, sid, row_t, row_d, feat):
-    """Prefix-hit admission: preset one slot's tag rows + boundary feature in
-    a single compiled program (see PagedBatcher.submit)."""
+
+def _flush_rows(state, max_seq, q_sids, a_sids, rows_t, rows_d, feats):
+    """Apply every deferred admission/quarantine of a scheduler step in ONE
+    compiled program: park rows q_sids at max_seq (scratch-page writes), and
+    preset rows a_sids' tag rows + boundary features (prefix-hit admission).
+    Padded entries carry an out-of-bounds POSITIVE sid (mode="drop" drops
+    out-of-bounds scatters, but a -1 pad would WRAP to the last row) and are
+    dropped by the scatters — through the
+    TPU relay each eager .at[].set would be its own 25-40 ms round trip."""
     return dataclasses.replace(
         state,
+        n_past=state.n_past.at[q_sids].set(max_seq, mode="drop"),
         tgt_kv=dataclasses.replace(
-            state.tgt_kv, slot_pos=state.tgt_kv.slot_pos.at[sid].set(row_t)),
+            state.tgt_kv,
+            slot_pos=state.tgt_kv.slot_pos.at[a_sids].set(rows_t, mode="drop")),
         dft_kv=dataclasses.replace(
-            state.dft_kv, slot_pos=state.dft_kv.slot_pos.at[sid].set(row_d)),
-        feature=state.feature.at[sid].set(feat),
+            state.dft_kv,
+            slot_pos=state.dft_kv.slot_pos.at[a_sids].set(rows_d, mode="drop")),
+        feature=state.feature.at[a_sids].set(feats, mode="drop"),
     )
 
 
@@ -83,8 +95,15 @@ class PagedBatcher(ContinuousBatcher):
         # prefill chunks return the feature at every page boundary so each
         # full prompt page gets its payload even when chunk > page
         self._feat_every = page_size
-        self._admit_c = jax.jit(_admit_row)
+        self._flush_c = jax.jit(_flush_rows, donate_argnums=(0,))
         self.prefix_cache = prefix_cache
+        #: deferred device work, applied in ONE program at the next step()
+        #: (admission previously paid 4-6 relay syncs per submitted request:
+        #: quarantine, CoW copy, table sync, tag/feature preset)
+        self._pending_quar: list[int] = []
+        self._pending_admits: list[tuple] = []  # (sid, row_t, row_d, feat)
+        self._pending_copies: dict[str, list[tuple[int, int]]] = {
+            "tgt": [], "dft": []}
         self.pools = {
             "tgt": PagePool(n_pages, page_size),
             "dft": PagePool(dft_n_pages or n_pages, page_size),
@@ -97,6 +116,7 @@ class PagedBatcher(ContinuousBatcher):
         }
         self._dirty = {"tgt": False, "dft": False}
         self._copy_c = jax.jit(copy_pool_page, donate_argnums=(0,))
+        self._copy_pages_c = jax.jit(copy_pool_pages, donate_argnums=(0,))
         #: per-slot page-boundary features captured during prefill
         #: (slot id -> {prompt page index: [D] device array})
         self._payloads: dict[int, dict] = {}
@@ -147,11 +167,57 @@ class PagedBatcher(ContinuousBatcher):
         whose table already holds freshly-matched SHARED prefix pages must
         not scribble into them. At max_seq, both the target window
         [m, m+K+1) and the draft window [m-1, m+K) resolve to the table's
-        last entry, which a parked row never maps -> scratch page."""
-        self.state = dataclasses.replace(
-            self.state,
-            n_past=self.state.n_past.at[sid].set(self.engine.max_seq),
+        last entry, which a parked row never maps -> scratch page.
+
+        Deferred: applied by _flush_admissions at the next step(), before any
+        device program runs — nothing reads engine state in between."""
+        self._pending_quar.append(sid)
+
+    def _flush_admissions(self):
+        """Apply every deferred admission effect in at most three compiled
+        calls (CoW page copies, page-table sync, row preset/quarantine) —
+        the per-request admission cost that made shared-prefix serving a net
+        loss at short prefixes was dominated by per-submit relay syncs."""
+        for kind in ("tgt", "dft"):
+            lst = self._pending_copies[kind]
+            if not lst:
+                continue
+            cap = max(len(lst), self.batch)
+            srcs = np.zeros(cap, np.int32)
+            dsts = np.full(cap, _DROP, np.int32)
+            for i, (s, d) in enumerate(lst):
+                srcs[i], dsts[i] = s, d
+            self._set_kv(kind, self._copy_pages_c(
+                self._kv(kind), jnp.asarray(srcs), jnp.asarray(dsts)))
+            lst.clear()
+        self._sync_tables()
+        if not (self._pending_quar or self._pending_admits):
+            return
+        B = self.batch
+        q = np.full(2 * B, _DROP, np.int32)
+        for i, s in enumerate(dict.fromkeys(self._pending_quar)):  # <= B distinct
+            q[i] = s
+        a = np.full(B, _DROP, np.int32)
+        rows_t = np.zeros((B, self.state.tgt_kv.slot_pos.shape[1]), np.int32)
+        rows_d = np.zeros((B, self.state.dft_kv.slot_pos.shape[1]), np.int32)
+        feats = [jnp.zeros((self.state.feature.shape[1],),
+                           self.state.feature.dtype)] * B
+        for i, (sid, rt, rd, f) in enumerate(self._pending_admits):
+            a[i] = sid
+            rows_t[i, : len(rt)] = rt
+            rows_d[i, : len(rd)] = rd
+            feats[i] = jnp.asarray(f, self.state.feature.dtype)
+        self.state = self._flush_c(
+            self.state, jnp.int32(self.engine.max_seq), jnp.asarray(q),
+            jnp.asarray(a), jnp.asarray(rows_t), jnp.asarray(rows_d),
+            jnp.stack(feats),
         )
+        self._pending_quar.clear()
+        self._pending_admits.clear()
+
+    def step(self):
+        self._flush_admissions()
+        super().step()
 
     # -- admission: prefix matching ----------------------------------------
 
@@ -182,7 +248,9 @@ class PagedBatcher(ContinuousBatcher):
                 except MemoryError:
                     fresh = None
                 if fresh is not None:
-                    self._set_kv("dft", self._copy_c(self._kv("dft"), src, fresh))
+                    # deferred: flushed in one batched program at the next
+                    # step(), before any device write can touch either page
+                    self._pending_copies["dft"].append((src, fresh))
                     pages_d.append(fresh)
                     self.stats["pages_copied"] += 1
                 self.pools["dft"].release(src)
@@ -203,22 +271,18 @@ class PagedBatcher(ContinuousBatcher):
         self.tables["tgt"][sid, :m] = pages_t[:m]
         self.tables["dft"][sid, :m] = pages_d[:m]
         self._dirty["tgt"] = self._dirty["dft"] = True
-        self._sync_tables()
         # preset the row's device state as if positions [0, s) were prefilled:
         # tags make the shared pages visible; the page payload is the chunk-
         # boundary feature the resumed prefill expects in state.feature.
-        # ONE jitted update — eager .at[].set per field would run a separate
-        # remote program each (expensive through the TPU relay)
+        # DEFERRED to _flush_admissions: one compiled program applies every
+        # admission of the step (per-submit eager updates each cost a
+        # 25-40 ms remote round trip through the TPU relay)
         mp_t = self.state.tgt_kv.slot_pos.shape[1]
         row = np.full(mp_t, -1, np.int32)
         row[:s] = np.arange(s, dtype=np.int32)
         d_row = np.full(self.state.dft_kv.slot_pos.shape[1], -1, np.int32)
         d_row[: s - 1] = np.arange(s - 1, dtype=np.int32)
-        self.state = self._admit_c(
-            self.state, jnp.asarray(sid, jnp.int32), jnp.asarray(row),
-            jnp.asarray(d_row),
-            jnp.asarray(payloads[m - 1], self.state.feature.dtype),
-        )
+        self._pending_admits.append((sid, row, d_row, payloads[m - 1]))
         slot.consumed = s
         self.stats["prefill_tokens_skipped"] += s
         self.stats["prefix_hits"] += 1
@@ -286,7 +350,10 @@ class PagedBatcher(ContinuousBatcher):
                 pool.release(int(table[sid, pg]))
             table[sid] = -1
             self._dirty[kind] = True
-        self._sync_tables()
+        # table sync + quarantine are deferred to the next step's flush —
+        # no device program runs before it, and after it the freed row's
+        # unmapped (-1) entries route its data-only cycle writes to the
+        # scratch page
         self._quarantine(sid)
         self._payloads.pop(sid, None)
 

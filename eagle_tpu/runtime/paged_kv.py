@@ -284,6 +284,23 @@ def copy_pool_page(kv: PagedKVCache, src, dst) -> PagedKVCache:
     )
 
 
+def copy_pool_pages(kv: PagedKVCache, srcs, dsts) -> PagedKVCache:
+    """Batched copy_pool_page: srcs/dsts are [N] int32 (padded entries use
+    an out-of-bounds positive dst, dropped by the scatter — -1 would wrap). One program copies every admission
+    CoW page of a scheduler step — through the TPU relay each separate copy
+    would cost a 25-40 ms sync."""
+
+    def cp(buf):
+        if buf is None:
+            return None
+        pages = buf[:, srcs]
+        return buf.at[:, dsts].set(pages, mode="drop")
+
+    return dataclasses.replace(
+        kv, k=cp(kv.k), v=cp(kv.v), k_scale=cp(kv.k_scale), v_scale=cp(kv.v_scale)
+    )
+
+
 def gather_pages(pool: jax.Array, li, page_table: jax.Array, n_pages: int) -> jax.Array:
     """Layer li of pool [L, P, H, page, D] (or [L, P, H, page] for int8
     scales) -> per-slot contiguous view [B, H, n_pages*page, ...]; unmapped

@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--group", type=int, default=32)
     ap.add_argument("--small", type=int, default=64)
     ap.add_argument("--big", type=int, default=512)
+    ap.add_argument("--coded", action="store_true",
+                    help="sweep the coded-scales serving layout (u8 codes + "
+                    "f32 super-scales) instead of bf16 products")
+    ap.add_argument("--top", type=int, default=0,
+                    help="prune to the kernel-time model's TOP ranked "
+                    "candidates (+ whole-K variants); 0 = sweep everything")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,24 +66,41 @@ def main(argv=None):
         shapes[f"{k}x{n}"] = (k, n)
     for shape_name, (K, N) in shapes.items():
         q_codes = rng.integers(0, 16, size=(K, N), dtype=np.int8)
-        scale = (rng.standard_normal((K // G, N)) * 0.01).astype(np.float32)
-        bias = (rng.standard_normal((K // G, N)) * 0.001).astype(np.float32)
         half = G // 2
         q_np = q_codes.astype(np.uint8).reshape(K // G, G, N)
         packed = (q_np[:, :half] | (q_np[:, half:] << 4)).reshape(K // 2, N)
-        qt = QTensor(
-            q=jnp.asarray(np.stack([packed.view(np.int8)] * 2)),
-            scale=jnp.asarray(np.stack([scale] * 2), jnp.bfloat16),
-            bias=jnp.asarray(np.stack([bias] * 2), jnp.bfloat16),
-            group=G, layout="kn", packed=True,
-        )
+        if args.coded:
+            # serving layout: u8 sub-scale codes + f32 per-256 super-scales
+            scodes = rng.integers(1, 64, size=(K // G, N)).astype(np.int8)
+            mcodes = rng.integers(0, 64, size=(K // G, N)).astype(np.int8)
+            sup = (rng.uniform(0.5, 1.5, (K // 256, N)) * 3e-4).astype(np.float32)
+            supm = (-rng.uniform(0.5, 1.5, (K // 256, N)) * 3e-4).astype(np.float32)
+            qt = QTensor(
+                q=jnp.asarray(np.stack([packed.view(np.int8)] * 2)),
+                scale=jnp.asarray(np.stack([scodes] * 2)),
+                bias=jnp.asarray(np.stack([mcodes] * 2)),
+                sup=jnp.asarray(np.stack([sup] * 2)),
+                sup_min=jnp.asarray(np.stack([supm] * 2)),
+                group=G, layout="kn", packed=True,
+            )
+            bytes_q4 = K * N // 2 + (K // G) * N * 2 + (K // 256) * N * 4 * 2
+        else:
+            scale = (rng.standard_normal((K // G, N)) * 0.01).astype(np.float32)
+            bias = (rng.standard_normal((K // G, N)) * 0.001).astype(np.float32)
+            qt = QTensor(
+                q=jnp.asarray(np.stack([packed.view(np.int8)] * 2)),
+                scale=jnp.asarray(np.stack([scale] * 2), jnp.bfloat16),
+                bias=jnp.asarray(np.stack([bias] * 2), jnp.bfloat16),
+                group=G, layout="kn", packed=True,
+            )
+            bytes_q4 = K * N // 2 + (K // G) * N * 2 * 2
         x0 = jnp.asarray(rng.standard_normal((B, K)) * 0.1, jnp.float32)
-        bytes_q4 = K * N // 2 + (K // G) * N * 2 * 2
 
         # candidate tiles: every (tn, tk) with ramp-friendly blocks <= ~8MB
         tns = _valid_tiles(N)
         tks = [t for t in _valid_tiles(K, 128)
-               if t % G == 0 and ((t // G) % 8 == 0 or t == K)]
+               if t % G == 0 and ((t // G) % 8 == 0 or t == K)
+               and (not args.coded or t % 256 == 0 or t == K)]
         cands = []
         for tn in tns:
             for tk in tks:
@@ -86,6 +109,17 @@ def main(argv=None):
                 if qb > 9_000_000 or qb < 250_000 or steps > 64:
                     continue
                 cands.append((tn, tk))
+        if args.top:
+            from ..ops.pallas_qmm import _score_tiles_2d
+
+            ranked = [c for _, c in _score_tiles_2d(
+                K, N, G, True, B, coded=args.coded, has_bias=True)]
+            keep = [c for c in ranked if c in cands][: args.top]
+            # + the best whole-K variant by model rank (the old forced path)
+            whole = next((c for c in ranked if c[1] == K), None)
+            if whole and whole not in keep:
+                keep.append(whole)
+            cands = keep
 
         def chain(n_steps, tn, tk):
             def run(x, w):
