@@ -101,6 +101,17 @@ def load_clip_params(path) -> tuple[dict[str, Any], ClipVisionConfig]:
     for mm in ("mm.0", "mm.2"):
         if f"{mm}.weight" in r.tensors:
             p[mm] = (t(f"{mm}.weight"), t(f"{mm}.bias"))
+    if "adapter.conv.weight" in r.tensors:  # GLM-Edge adapter (clip.cpp:166-173)
+        p["adapter"] = {
+            "conv": (t("adapter.conv.weight"), t("adapter.conv.bias")),
+            "linear": t("adapter.linear.linear.weight"),
+            "norm1": (t("adapter.linear.norm1.weight"), t("adapter.linear.norm1.bias")),
+            "h_to_4h": t("adapter.linear.dense_h_to_4h.weight"),
+            "gate": t("adapter.linear.gate.weight"),
+            "4h_to_h": t("adapter.linear.dense_4h_to_h.weight"),
+            "boi": t("adapter.boi"),
+            "eoi": t("adapter.eoi"),
+        }
     return p, cfg
 
 
@@ -176,6 +187,39 @@ def llava_project(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     return _lin(x, params["mm.2"])
 
 
+def glmedge_project(params: dict, hidden: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """GLM-Edge adapter (PROJECTOR_TYPE_GLM_EDGE, clip.cpp:1138-1160): a
+    2x2/stride-2 conv downsamples the patch grid 4:1, then a gated GLU block
+    (gelu -> silu(gate) * up -> down); boi/eoi rows bracket the output
+    (clip_image_encode pads 2 extra rows, clip.cpp:2420,2603)."""
+    a = params["adapter"]
+    P, D = hidden.shape
+    g = int(round(P ** 0.5))
+    cw, cb = a["conv"]  # [Do, Di, 2, 2]
+    do = cw.shape[0]
+    # stride-2 2x2 conv == 2x2-patchify + matmul, flatten order (ci, dy, dx)
+    x = hidden.reshape(g // 2, 2, g // 2, 2, D).transpose(0, 2, 4, 1, 3)
+    x = x.reshape((g // 2) * (g // 2), D * 4)
+    x = x @ cw.reshape(do, D * 4).T + cb
+    x = x @ a["linear"].T
+    x = _ln(x, *a["norm1"], eps)
+    x = jax.nn.gelu(x, approximate=True)  # ggml_gelu = tanh approximation
+    h = jax.nn.silu(x @ a["gate"].T) * (x @ a["h_to_4h"].T)
+    out = h @ a["4h_to_h"].T
+    return jnp.concatenate([a["boi"][None] if a["boi"].ndim == 1 else a["boi"],
+                            out,
+                            a["eoi"][None] if a["eoi"].ndim == 1 else a["eoi"]])
+
+
+def encode_image_glmedge(params: dict, cfg: ClipVisionConfig, img: np.ndarray) -> jnp.ndarray:
+    """Image -> [1 + n_patches/4 + 1, n_embd_llm] rows (boi ... eoi)."""
+    pixels = preprocess_image(img, cfg)
+    hidden = clip_vision_forward(params, cfg, pixels)
+    if cfg.has_class_embd:
+        hidden = hidden[1:]
+    return glmedge_project(params, hidden)
+
+
 def encode_image(params: dict, cfg: ClipVisionConfig, img: np.ndarray) -> jnp.ndarray:
     """Image (uint8 HWC) -> [n_patches, n_embd_llm] embedding rows to splice
     into the LLM prompt (llava_image_embed_make_*, llava.cpp)."""
@@ -244,4 +288,66 @@ def convert_clip_to_mmproj(vision_sd: dict, projector_sd: dict, hf_cfg,
             v = projector_sd[f"{hf}.{kind}"]
             v = v.detach().cpu().numpy() if hasattr(v, "detach") else v
             w.add_tensor(f"{ours}.{kind}", np.asarray(v, np.float32), GGMLType.F32)
+    w.write()
+
+
+def convert_glmedge_mmproj(vision_sd: dict, adapter_sd: dict, hf_cfg, path):
+    """Write a GLM-Edge mmproj GGUF (glmedge-convert-image-encoder-to-gguf.py
+    schema): tower under v.*, adapter tensors pass through under their
+    surgery names (adapter.conv/linear/boi/eoi — glmedge-surgery.py strips
+    the `vision.` prefix)."""
+    from ..gguf.constants import GGMLType
+    from ..gguf.writer import GGUFWriter
+
+    def np32(sd, tname):
+        v = sd[tname]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                          np.float32)
+
+    n_layers = hf_cfg.num_hidden_layers
+    w = GGUFWriter(path)
+    w.add("general.architecture", "clip")
+    w.add("clip.has_text_encoder", False)
+    w.add("clip.has_vision_encoder", True)
+    w.add("clip.has_glm_projector", True)
+    w.add("clip.projector_type", "adapter")
+    w.add("clip.use_gelu", True)
+    w.add("clip.vision.image_size", hf_cfg.image_size)
+    w.add("clip.vision.patch_size", hf_cfg.patch_size)
+    w.add("clip.vision.embedding_length", hf_cfg.hidden_size)
+    w.add("clip.vision.feed_forward_length", hf_cfg.intermediate_size)
+    w.add("clip.vision.attention.head_count", hf_cfg.num_attention_heads)
+    w.add("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add("clip.vision.block_count", n_layers)
+
+    pre = "vision_model.embeddings."
+    w.add_tensor("v.patch_embd.weight", np32(vision_sd, pre + "patch_embedding.weight"), GGMLType.F32)
+    if pre + "patch_embedding.bias" in vision_sd:
+        w.add_tensor("v.patch_embd.bias", np32(vision_sd, pre + "patch_embedding.bias"), GGMLType.F32)
+    if pre + "class_embedding" in vision_sd:
+        w.add_tensor("v.class_embd", np32(vision_sd, pre + "class_embedding"), GGMLType.F32)
+    w.add_tensor("v.position_embd.weight", np32(vision_sd, pre + "position_embedding.weight"), GGMLType.F32)
+    name_map = {
+        "attn_q": "self_attn.q_proj", "attn_k": "self_attn.k_proj",
+        "attn_v": "self_attn.v_proj", "attn_out": "self_attn.out_proj",
+        "ln1": "layer_norm1", "ln2": "layer_norm2",
+        "ffn_down": "mlp.fc1", "ffn_up": "mlp.fc2",
+    }
+    for i in range(n_layers):
+        for ours, hf in name_map.items():
+            for kind in ("weight", "bias"):
+                w.add_tensor(
+                    f"v.blk.{i}.{ours}.{kind}",
+                    np32(vision_sd, f"vision_model.encoder.layers.{i}.{hf}.{kind}"),
+                    GGMLType.F32,
+                )
+    if "vision_model.post_layernorm.weight" in vision_sd:
+        w.add_tensor("v.post_ln.weight", np32(vision_sd, "vision_model.post_layernorm.weight"), GGMLType.F32)
+        w.add_tensor("v.post_ln.bias", np32(vision_sd, "vision_model.post_layernorm.bias"), GGMLType.F32)
+    for name in ("adapter.conv.weight", "adapter.conv.bias",
+                 "adapter.linear.linear.weight", "adapter.linear.norm1.weight",
+                 "adapter.linear.norm1.bias", "adapter.linear.dense_h_to_4h.weight",
+                 "adapter.linear.gate.weight", "adapter.linear.dense_4h_to_h.weight",
+                 "adapter.boi", "adapter.eoi"):
+        w.add_tensor(name, np32(adapter_sd, name), GGMLType.F32)
     w.write()

@@ -270,8 +270,20 @@ def main(argv=None):
     mm_md = GGUFReader(args.mmproj).metadata
     is_qwen2vl = bool(mm_md.get("clip.has_qwen2vl_merger", False))
     is_minicpmv = bool(mm_md.get("clip.has_minicpmv_projector", False))
+    is_glmedge = bool(mm_md.get("clip.has_glm_projector", False))
     img = load_image(args.image)
-    if is_minicpmv:
+    if is_glmedge:
+        from ..models.clip import encode_image_glmedge, load_clip_params
+
+        gp, gcfg = load_clip_params(args.mmproj)
+        print(f"[load] {time.time()-t0:.1f}s (+glmedge mmproj: {gcfg.n_layers}L "
+              f"d={gcfg.d})", file=sys.stderr)
+        t0 = time.time()
+        text = generate_with_image(
+            eng, gp, gcfg, args.prompt, img, max_new_tokens=args.n_predict,
+            encode=encode_image_glmedge,
+        )
+    elif is_minicpmv:
         from functools import partial
 
         from ..models.minicpmv import encode_image_minicpmv, load_minicpmv_mmproj

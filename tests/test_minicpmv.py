@@ -162,3 +162,78 @@ def test_llava_cli_autodetects_minicpmv(tiny_minicpmv, tmp_path):
     md = GGUFReader(path).metadata
     assert bool(md["clip.has_minicpmv_projector"]) is True
     assert md["clip.projector_type"] == "resampler"
+
+
+# ---------------------------------------------------------------------------
+# GLM-Edge adapter (PROJECTOR_TYPE_GLM_EDGE, clip.cpp:1138-1160)
+# ---------------------------------------------------------------------------
+
+
+class TorchGlmAdapter(torch.nn.Module):
+    """Literal port of GLM-Edge's vision adapter (conv downsample + GLU)."""
+
+    def __init__(self, d_in, d_llm):
+        super().__init__()
+        self.conv = torch.nn.Conv2d(d_in, d_llm, 2, stride=2)
+        self.linear = torch.nn.Linear(d_llm, d_llm, bias=False)
+        self.norm1 = torch.nn.LayerNorm(d_llm, eps=1e-5)
+        self.h_to_4h = torch.nn.Linear(d_llm, 2 * d_llm, bias=False)
+        self.gate = torch.nn.Linear(d_llm, 2 * d_llm, bias=False)
+        self.h4_to_h = torch.nn.Linear(2 * d_llm, d_llm, bias=False)
+
+    def forward(self, x, grid):
+        # x [P, d_in] row-major patches
+        g = grid
+        x = x.reshape(g, g, -1).permute(2, 0, 1)[None]  # [1, C, H, W]
+        x = self.conv(x)[0].permute(1, 2, 0).reshape(-1, self.conv.out_channels)
+        x = self.linear(x)
+        x = torch.nn.functional.gelu(self.norm1(x), approximate="tanh")
+        h = torch.nn.functional.silu(self.gate(x)) * self.h_to_4h(x)
+        return self.h4_to_h(h)
+
+
+def test_glmedge_adapter_matches_torch(tmp_path):
+    torch.manual_seed(21)
+    vcfg = transformers.SiglipVisionConfig(
+        hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        layer_norm_eps=1e-6, hidden_act="gelu_pytorch_tanh",
+    )
+    tower = transformers.SiglipVisionModel(vcfg).eval().vision_model
+    d_llm = 40
+    ad = TorchGlmAdapter(vcfg.hidden_size, d_llm).eval()
+    boi = torch.randn(d_llm) * 0.1
+    eoi = torch.randn(d_llm) * 0.1
+    adapter_sd = {
+        "adapter.conv.weight": ad.conv.weight,
+        "adapter.conv.bias": ad.conv.bias,
+        "adapter.linear.linear.weight": ad.linear.weight,
+        "adapter.linear.norm1.weight": ad.norm1.weight,
+        "adapter.linear.norm1.bias": ad.norm1.bias,
+        "adapter.linear.dense_h_to_4h.weight": ad.h_to_4h.weight,
+        "adapter.linear.gate.weight": ad.gate.weight,
+        "adapter.linear.dense_4h_to_h.weight": ad.h4_to_h.weight,
+        "adapter.boi": boi,
+        "adapter.eoi": eoi,
+    }
+    from eagle_tpu.models.clip import convert_glmedge_mmproj, encode_image_glmedge
+
+    vsd = {"vision_model." + k: v for k, v in tower.state_dict().items()}
+    path = tmp_path / "mmproj-glmedge.gguf"
+    convert_glmedge_mmproj(vsd, adapter_sd, vcfg, path)
+
+    params, ccfg = load_clip_params(path)
+    assert "adapter" in params and not ccfg.use_quick_gelu
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0, 255, (56, 56, 3)).astype(np.float32)
+    emb = np.asarray(encode_image_glmedge(params, ccfg, img))
+    # 4x4 grid -> 2x2 downsample = 4 rows, plus boi/eoi brackets
+    assert emb.shape == (1 + 4 + 1, d_llm)
+    np.testing.assert_allclose(emb[0], boi.numpy(), atol=1e-6)
+    np.testing.assert_allclose(emb[-1], eoi.numpy(), atol=1e-6)
+    pixels = preprocess_image(img, ccfg)
+    with torch.no_grad():
+        pt = torch.from_numpy(np.asarray(pixels).copy()).permute(2, 0, 1)[None]
+        hid = tower(pt).last_hidden_state[0]
+        ref = ad(hid, 4).numpy()
+    np.testing.assert_allclose(emb[1:-1], ref, atol=3e-4)
