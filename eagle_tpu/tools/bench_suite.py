@@ -129,16 +129,19 @@ def main(argv=None):
             jnp.tile(jnp.arange(8, dtype=jnp.int32), (b, 1)),
         )
 
-        # one read-bucket across the slope points (8 warmup + 8+tg measured)
-        lim = gen.kv_read_bucket(8 + 8 + 2 * (8 + tg))
+        # context-true read bucket: every slope run RESTARTS at the prompt
+        # position (bench.py's round-4 fix), so the attention-read bound
+        # matches the live 8+tg context instead of the runs' accumulated
+        # positions (the reference's tg graph also reads only live context)
+        lim = gen.kv_read_bucket(8 + tg + 2)
 
         def run_tg(n, gen=gen, b=b, lim=lim):
+            state["pos"] = 8  # restart at the prompt position
             toks, gen.kv, _ = gen._decode_jit(
                 gen.params, gen.kv, state["tok"], jnp.full((b,), state["pos"], jnp.int32),
                 jax.random.PRNGKey(0), SamplerConfig(greedy=True), n_steps=n,
                 kv_limit=lim,
             )
-            state["pos"] += n
             state["tok"] = toks[:, -1]
             int(state["tok"][0])
 

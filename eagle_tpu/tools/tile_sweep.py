@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=0,
                     help="prune to the kernel-time model's TOP ranked "
                     "candidates (+ whole-K variants); 0 = sweep everything")
+    ap.add_argument("--cand", action="append", default=[], metavar="TN,TK",
+                    help="sweep ONLY these explicit candidates (refinement "
+                    "runs around a previous sweep's winners); skipped for "
+                    "shapes they don't divide")
     args = ap.parse_args(argv)
 
     import jax
@@ -109,7 +113,15 @@ def main(argv=None):
                 if qb > 9_000_000 or qb < 250_000 or steps > 64:
                     continue
                 cands.append((tn, tk))
-        if args.top:
+        if args.cand:
+            want = [tuple(int(v) for v in c.split(",")) for c in args.cand]
+            cands = [
+                (tn, tk) for tn, tk in dict.fromkeys(want)
+                if N % tn == 0 and K % tk == 0 and tk % G == 0
+                and ((tk // G) % 8 == 0 or tk == K)
+                and (not args.coded or tk % 256 == 0 or tk == K)
+            ]
+        elif args.top:
             from ..ops.pallas_qmm import _score_tiles_2d
 
             ranked = [c for _, c in _score_tiles_2d(
