@@ -172,7 +172,17 @@ def _score_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
 #: measured overrides: (k, n, g, packed, b, coded, has_bias) -> (tn, tk).
 #: Filled from tools/tile_sweep.py runs where the calibrated model's pick
 #: measurably loses to a swept configuration on real hardware.
-_TILE_OVERRIDES: dict[tuple, tuple[int, int]] = {}
+#: 13B decode shapes (v5e, 2026-08-21, tile_sweep_13b_r5{,b}.log, coded
+#: serving layout, b=8): narrow-N/deep-K tiles beat the model's picks by
+#: 10-35% — qkv 73.5us vs 87.1, wo 22.9 vs 30.8, gate_up 131.6 vs 141.7,
+#: down 75.1 vs 93.2 (the model's 7B-calibrated ramp/step constants do not
+#: transfer to these shapes).
+_TILE_OVERRIDES: dict[tuple, tuple[int, int]] = {
+    (5120, 15360, 32, True, 8, True, True): (1024, 5120),   # 13B wqkv
+    (5120, 5120, 32, True, 8, True, True): (5120, 1280),    # 13B wo
+    (5120, 27648, 32, True, 8, True, True): (512, 5120),    # 13B gate_up
+    (13824, 5120, 32, True, 8, True, True): (512, 13824),   # 13B down
+}
 
 
 @functools.lru_cache(maxsize=None)
@@ -189,9 +199,10 @@ def _pick_tiles_2d(k: int, n: int, g: int, packed: bool, b: int = 8,
     dim), so large b (prefill) pushes toward wide tile_n; the ramp term pushes
     toward ~1-3 MB blocks instead of the budget-filling single-step grids the
     round-1 picker chose.  Measured sweep overrides take precedence."""
-    ov = _TILE_OVERRIDES.get((k, n, g, packed, b, coded, has_bias))
-    if ov is not None:
-        return ov
+    if os.environ.get("EAGLE_TPU_TILE_OVERRIDES", "1") not in ("0", "false"):
+        ov = _TILE_OVERRIDES.get((k, n, g, packed, b, coded, has_bias))
+        if ov is not None:
+            return ov
     return _score_tiles_2d(k, n, g, packed, b, coded, has_bias)[0][1]
 
 

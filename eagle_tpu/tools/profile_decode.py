@@ -88,6 +88,11 @@ def summarize(events, names, thread_names, top: int = 40):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--dim", type=int, default=None)
+    ap.add_argument("--heads", type=int, default=None)
+    ap.add_argument("--ff", type=int, default=None)
+    ap.add_argument("--coded", action="store_true",
+                    help="profile the coded-scales serving layout")
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--max-seq", type=int, default=1024)
@@ -125,10 +130,16 @@ def main(argv=None):
     from ..runtime.sampling import SamplerConfig
 
     cfg = dataclasses.replace(VICUNA_7B, n_layers=args.layers)
+    if args.dim:
+        cfg = dataclasses.replace(
+            cfg, n_embd=args.dim, n_heads=args.heads or args.dim // 128,
+            n_kv_heads=args.heads or args.dim // 128, n_ff=args.ff or 4 * args.dim,
+        )
     t0 = time.time()
     params = synth_llama_params(cfg, seed=0, on_device=True,
                                 packed=args.backend == "pallas",
-                                scale_dtype=jnp.bfloat16)
+                                scale_dtype=jnp.bfloat16,
+                                coded=args.coded and args.backend == "pallas")
     jax.block_until_ready(params["layers"]["wqkv"].q)
     print(f"# params on-device in {time.time()-t0:.1f}s", file=sys.stderr)
 
