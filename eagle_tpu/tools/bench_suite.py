@@ -61,6 +61,10 @@ def main(argv=None):
                     help="share the first P prompt tokens across all serve "
                     "requests (with --paged, later requests prefix-match "
                     "registered pages and skip those prefill chunks)")
+    ap.add_argument("--no-prefix-cache", action="store_true",
+                    help="paged serving without the prefix cache (clean "
+                    "zero-hit baseline: otherwise the warm run's identical "
+                    "prompts register pages the measured run reuses)")
     ap.add_argument("--serve-chunk", type=int, default=None,
                     help="prefill chunk for the paged batcher (multiple of "
                     "--page-size; default: the full prompt). Prefix reuse is "
@@ -246,6 +250,7 @@ def main(argv=None):
             batcher = PagedBatcher(
                 eng, n_pages=args.serve_pages or b * mp,
                 page_size=args.page_size, prefill_chunk=chunk,
+                prefix_cache=not args.no_prefix_cache,
             )
         else:
             batcher = ContinuousBatcher(eng, prefill_chunk=args.serve_pp)
