@@ -153,6 +153,16 @@ class EagleChainEngine:
             kv_limit=kv_limit,
             fast_greedy=all(self._row_greedy),
         )
+        self._multi_c = jax.jit(
+            self._multi_cycle,
+            static_argnames=("n_cycles", "kv_limit", "fast_greedy"),
+            donate_argnames=("state",),
+        )
+        self._multi_jit = lambda state, n_cycles, kv_limit=None: self._multi_c(
+            self.tp, self.dp, state, self.bsampler,
+            jnp.ones((self.batch,), bool), n_cycles=n_cycles,
+            kv_limit=kv_limit, fast_greedy=all(self._row_greedy),
+        )
 
     def set_row_sampler(self, i: int, cfg: SamplerConfig, spec_k: int | None = None):
         """Configure slot i's sampler (host-side). Keeps the all-greedy flag
@@ -164,6 +174,29 @@ class EagleChainEngine:
         """Static attention-read bound covering cache slots < slot_end (see
         llama_forward kv_limit); power-of-two buckets from 128."""
         return min(self.max_seq, pad_bucket(max(slot_end, 1), 128))
+
+    def _multi_cycle(self, tp, dp, state: SpecState, bs, active,
+                     n_cycles: int, kv_limit: int | None = None,
+                     fast_greedy: bool = False) -> CycleOutput:
+        """`n_cycles` chained speculative cycles in ONE compiled program
+        (lax.scan over _cycle). Single-stream serving through a remote link
+        pays one host<->device round trip per dispatch (25-40 ms on the TPU
+        relay) — at ~2 accepted tokens/cycle that sync dominates the 7B
+        cycle's ~10 ms of compute, so chaining C cycles cuts the per-token
+        link cost by C. Host-side stop conditions (eos, max_new) are checked
+        between DISPATCHES; overshoot cycles are computed and discarded
+        (identical tokens, wasted compute — the caller sizes C against its
+        stop horizon). kv_limit must bound the LAST cycle's reads."""
+
+        def body(st, _):
+            r = self._cycle(tp, dp, st, bs, active, kv_limit=kv_limit,
+                            fast_greedy=fast_greedy)
+            return r.state, (r.tokens, r.n_out, r.n_accepted)
+
+        st, (toks, n_out, n_acc) = jax.lax.scan(
+            body, state, None, length=n_cycles)
+        # [C, B, K+1] / [C, B] stacked per-cycle outputs
+        return CycleOutput(st, toks, n_out, n_acc)
 
     # ------------------------------------------------------------------
 
@@ -646,9 +679,16 @@ class EagleChainEngine:
         seed: int = 0,
         stop_at_eos: bool = True,
         on_token=None,
+        cycles_per_dispatch: int | None = None,
     ) -> tuple[list[int], dict]:
         """Returns (tokens, stats). Output is identical to non-speculative
-        decoding with the same sampler (the draft only changes *speed*)."""
+        decoding with the same sampler (the draft only changes *speed*).
+
+        `cycles_per_dispatch` > 1 chains that many speculative cycles inside
+        one compiled program (_multi_cycle): through a remote device link
+        every dispatch costs a round trip, so C cycles per dispatch cuts the
+        per-token link cost ~C-fold at the price of up to C-1 wasted cycles
+        after a stop condition."""
         state = self.fresh_state()
         state = dataclasses.replace(state, key=jax.random.PRNGKey(seed))
         prompt = np.asarray(prompt_tokens, dtype=np.int32)
@@ -664,10 +704,38 @@ class EagleChainEngine:
         n_cycles = 0
         n_drafted = 0
         n_accepted = 0
+        C = max(1, cycles_per_dispatch or getattr(self, "cycles_per_dispatch", 1))
         while len(out) < max_new_tokens and not (stop_at_eos and out[-1] == self.eos_id):
             n_past = int(np.asarray(state.n_past)[0])
             if n_past + self.K + 2 >= self.max_seq:
                 break
+            # full C only if the LAST chained cycle stays in range; otherwise
+            # wind down to single cycles (avoids compiling every c in [2, C))
+            c = C if n_past + C * (self.K + 2) < self.max_seq else 1
+            if c > 1:
+                res = self._multi_jit(
+                    state, n_cycles=c,
+                    kv_limit=self.kv_read_bucket(n_past + c * (self.K + 2)),
+                )
+                state = res.state
+                toks_c = np.asarray(res.tokens)[:, 0]  # [c, K+1]
+                nout_c = np.asarray(res.n_out)[:, 0]
+                nacc_c = np.asarray(res.n_accepted)[:, 0]
+                done = False
+                for ci in range(c):
+                    n_cycles += 1
+                    n_drafted += self.K
+                    n_accepted += int(nacc_c[ci])
+                    for tk in toks_c[ci][: int(nout_c[ci])]:
+                        out.append(int(tk))
+                        if on_token:
+                            on_token(int(tk))
+                        if (stop_at_eos and tk == self.eos_id) or len(out) >= max_new_tokens:
+                            done = True
+                            break
+                    if done:
+                        break
+                continue
             res = self._cycle_jit(state, kv_limit=self.kv_read_bucket(n_past + self.K + 2))
             state = res.state
             toks = np.asarray(res.tokens)[0]

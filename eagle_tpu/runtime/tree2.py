@@ -99,6 +99,29 @@ class EagleTree2Engine(EagleChainEngine):
             self.tp, self.dp, state, kv_limit=kv_limit
         )
 
+        # multi-cycle dispatch over the TREE cycle (generate()'s
+        # cycles_per_dispatch; see EagleChainEngine._multi_cycle)
+        def _tree2_multi(tp, dp, state, n_cycles: int, kv_limit=None):
+            import jax as _jax
+
+            def body(st, _):
+                r = self._tree2_cycle(tp, dp, st, kv_limit=kv_limit)
+                return r.state, (r.tokens, r.n_out, r.n_accepted)
+
+            st, (toks, n_out, n_acc) = _jax.lax.scan(
+                body, state, None, length=n_cycles)
+            from .speculative import CycleOutput
+
+            return CycleOutput(st, toks, n_out, n_acc)
+
+        self._multi_c = jax.jit(
+            _tree2_multi, static_argnames=("n_cycles", "kv_limit"),
+            donate_argnames=("state",),
+        )
+        self._multi_jit = lambda state, n_cycles, kv_limit=None: self._multi_c(
+            self.tp, self.dp, state, n_cycles=n_cycles, kv_limit=kv_limit
+        )
+
     # ------------------------------------------------------------------
 
     def _tree2_cycle(self, tp, dp, state: SpecState,

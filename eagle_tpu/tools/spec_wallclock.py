@@ -49,18 +49,30 @@ def run(args) -> dict:
     eng = Engine(cfg)
     rng = np.random.default_rng(args.seed)
     v = eng.model_cfg.vocab_size
-    prompts = [rng.integers(3, v, size=args.prompt_len).tolist()
-               for _ in range(args.reps)]
+    if args.prompt_source == "markov":
+        # in-distribution prompts for train_draft.py artifacts: the pair was
+        # trained on MarkovLang(vocab, seed=0) — uniform-random prompts are
+        # out-of-distribution and depress acceptance ~30%
+        from .train_draft import MarkovLang
+
+        lang = MarkovLang(vocab=v, seed=0)
+        prompts = [list(p) for p in lang.sample(rng, args.reps, args.prompt_len)]
+    else:
+        prompts = [rng.integers(3, v, size=args.prompt_len).tolist()
+                   for _ in range(args.reps)]
 
     # --- speculative path (the engine api.Engine serves with a draft) ------
     spec = eng.engine
+    gen_kw = dict(max_new_tokens=args.n, stop_at_eos=False)
+    if args.cycles > 1:
+        gen_kw["cycles_per_dispatch"] = args.cycles
     # full-length warmup: covers every kv-limit bucket the timed loop hits
-    spec.generate(prompts[0], max_new_tokens=args.n, stop_at_eos=False)
+    spec.generate(prompts[0], **gen_kw)
     t0 = time.time()
     n_spec = 0
     stats_agg = {"n_cycles": 0, "n_drafted": 0, "n_accepted": 0}
     for p in prompts:
-        out, st = spec.generate(p, max_new_tokens=args.n, stop_at_eos=False)
+        out, st = spec.generate(p, **gen_kw)
         n_spec += len(out)
         for k in stats_agg:
             stats_agg[k] += st.get(k, 0)
@@ -93,6 +105,7 @@ def run(args) -> dict:
         "accept_rate": round(
             stats_agg["n_accepted"] / max(1, stats_agg["n_drafted"]), 3),
         "n_draft": args.n_draft,
+        "cycles_per_dispatch": args.cycles,
         "temp": args.temp,
     }
     return res
@@ -114,6 +127,11 @@ def main(argv=None):
     ap.add_argument("--compute-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--temp", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--prompt-source", default="uniform",
+                    choices=["uniform", "markov"])
+    ap.add_argument("--cycles", type=int, default=1,
+                    help="speculative cycles chained per program dispatch "
+                    "(amortizes the per-dispatch link round trip)")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
     res = run(args)

@@ -128,3 +128,67 @@ def test_ngram_cache():
     c.update([1, 2, 3, 1, 2, 3, 1, 2])
     assert c.draft([1, 2], 1) == [3]
     assert c.draft([9, 9], 1) == []
+
+
+def test_multi_cycle_dispatch_token_identity(target, draft):
+    """cycles_per_dispatch chains C speculative cycles in one compiled
+    program (one host<->device round trip per C cycles through a remote
+    link); output must be token-identical to single-cycle dispatch,
+    including eos overshoot (extra chained cycles computed then discarded)
+    and the near-max_seq wind-down to single cycles."""
+    tparams, tcfg = target
+    dparams, dcfg = draft
+    rng2 = np.random.default_rng(7)
+    p = rng2.integers(0, tcfg.vocab_size, size=6).tolist()
+
+    def make(max_seq=128):
+        return EagleChainEngine(
+            tparams, dparams, tcfg, dcfg, n_draft=2, max_seq=max_seq,
+            compute_dtype=jnp.float32, kv_dtype=jnp.float32, eos_id=-1,
+        )
+
+    base, st1 = make().generate(p, max_new_tokens=40, stop_at_eos=False)
+    got, st4 = make().generate(p, max_new_tokens=40, stop_at_eos=False,
+                               cycles_per_dispatch=4)
+    assert got == base
+    # emitted-token accounting matches (overshoot cycles are not counted)
+    assert st4["n_accepted"] + st4["n_cycles"] >= len(got) - 1
+
+    # wind-down: max_seq small enough that chained dispatches stop fitting
+    base2, _ = make(max_seq=32).generate(p, max_new_tokens=64, stop_at_eos=False)
+    got2, _ = make(max_seq=32).generate(p, max_new_tokens=64, stop_at_eos=False,
+                                        cycles_per_dispatch=4)
+    assert got2 == base2
+
+    # eos mid-dispatch: pick an eos id the model actually emits
+    eos = base[2]
+    e1 = EagleChainEngine(tparams, dparams, tcfg, dcfg, n_draft=2, max_seq=128,
+                          compute_dtype=jnp.float32, kv_dtype=jnp.float32,
+                          eos_id=eos)
+    e4 = EagleChainEngine(tparams, dparams, tcfg, dcfg, n_draft=2, max_seq=128,
+                          compute_dtype=jnp.float32, kv_dtype=jnp.float32,
+                          eos_id=eos)
+    b_eos, _ = e1.generate(p, max_new_tokens=40)
+    g_eos, _ = e4.generate(p, max_new_tokens=40, cycles_per_dispatch=4)
+    assert g_eos == b_eos
+
+
+def test_multi_cycle_dispatch_tree2(target, draft):
+    from eagle_tpu.runtime.tree2 import EagleTree2Engine
+
+    tparams, tcfg = target
+    dparams, dcfg = draft
+    rng2 = np.random.default_rng(11)
+    p = rng2.integers(0, tcfg.vocab_size, size=6).tolist()
+
+    def make():
+        return EagleTree2Engine(
+            tparams, dparams, tcfg, dcfg, beam=3, depth=2, n_verify=6,
+            max_seq=128, compute_dtype=jnp.float32, kv_dtype=jnp.float32,
+            eos_id=-1,
+        )
+
+    base, _ = make().generate(p, max_new_tokens=32, stop_at_eos=False)
+    got, _ = make().generate(p, max_new_tokens=32, stop_at_eos=False,
+                             cycles_per_dispatch=3)
+    assert got == base
