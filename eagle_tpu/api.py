@@ -32,6 +32,11 @@ class EngineConfig:
     max_seq: int = 2048
     batch: int = 1  # >1 enables continuous-batching slots (needs draft_path)
     n_draft: int = 5  # chain draft length
+    #: speculative cycles chained per program dispatch (single-stream
+    #: generate): >1 amortizes the host<->device round trip per dispatch —
+    #: 25-40 ms on the TPU relay vs ~10 ms of 7B cycle compute — at the
+    #: price of up to C-1 discarded cycles after a stop condition
+    cycles_per_dispatch: int = 1
     tree_branching: tuple[int, ...] | None = None  # enables static tree mode
     tree2: tuple[int, int, int] | None = None  # (beam, depth, n_verify) — EAGLE-2 dynamic trees
     lookahead: tuple[int, int, int] | None = None  # (W, N, G) — model-free lookahead decoding
@@ -108,6 +113,10 @@ class Engine:
                     backend=cfg.backend, feature_source=cfg.feature_source,
                     sampler=cfg.sampler, eos_id=self.tokenizer.eos_id,
                 )
+            if cfg.cycles_per_dispatch > 1 and not cfg.tree_branching:
+                # chain + tree2 engines compile a multi-cycle program;
+                # generate() picks it up as the default dispatch width
+                self.engine.cycles_per_dispatch = int(cfg.cycles_per_dispatch)
             if cfg.batch > 1 and not cfg.tree_branching and not cfg.tree2:
                 if cfg.paged:
                     from .runtime.paged_batcher import PagedBatcher

@@ -67,6 +67,7 @@ def main(argv=None):
         lora_path=args.lora,
         lora_scale=args.lora_scale,
         n_draft=args.n_draft,
+        cycles_per_dispatch=args.cycles_per_dispatch,
         tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
         tree2=tuple(int(x) for x in args.tree2.split(",")) if args.tree2 else None,
         lookahead=tuple(int(x) for x in args.lookahead.split(",")) if args.lookahead else None,
