@@ -1,3 +1,10 @@
+"""Wall-clock multi-cycle-dispatch bench: ms/cycle including the
+per-dispatch host<->device round trip, at 7B synth scale (the measurement
+behind BENCHMARKS.md's multi-cycle table).
+
+Usage: python -m eagle_tpu.tools.multicycle_bench
+"""
+
 import dataclasses, pathlib, time
 import jax
 jax.config.update("jax_compilation_cache_dir", str(pathlib.Path("/root/repo/.jax_cache")))
