@@ -638,6 +638,7 @@ def main(argv=None):
         model_path=args.model,
         draft_path=args.draft,
         n_draft=args.n_draft,
+        cycles_per_dispatch=args.cycles_per_dispatch,
         tree_branching=tuple(int(x) for x in args.tree.split(",")) if args.tree else None,
         max_seq=args.ctx,
         batch=args.parallel,

@@ -97,7 +97,7 @@ REGISTRY: tuple[Opt, ...] = (
         tools=_t("cli", "server", "bench")),
     Opt(("--cycles-per-dispatch",), "speculative cycles chained per program "
         "dispatch (amortizes the host-device round trip over C cycles)",
-        type=int, default=1, tools=_t("cli",)),
+        type=int, default=1, tools=_t("cli", "server")),
     Opt(("--tree",), "tree branching factors, e.g. 4,2,2",
         tools=_t("cli", "server")),
     Opt(("--tree2",), "EAGLE-2 dynamic draft tree, e.g. 8,6,32",
