@@ -304,3 +304,26 @@ def test_paged_slot_save_restore_int8_kv(setup, rng, tmp_path):
     b2.resume_slot(s2.id, max_new_tokens=12)
     b2.run_until_done(max_steps=60)
     assert s2.generated[:12] == want
+
+
+def test_free_then_prefix_admit_same_slot_before_step(setup, rng):
+    """The deferred-flush edge: a slot finishes (its quarantine + table reset
+    pend), and the SAME slot is immediately reassigned to a prefix-hit
+    request before any step() runs — the single flush must apply the
+    quarantine and the new tags/feature to the same row without clobbering
+    each other, and the resumed request must still generate correctly."""
+    prompt = rng.integers(0, 128, size=3 * PS).tolist()  # 3 full pages
+    want = single_ref(setup, prompt, 8)
+
+    batcher = PagedBatcher(make_engine(setup, batch=1), n_pages=40,
+                           page_size=PS)
+    s1 = batcher.submit(prompt, max_new_tokens=4, stop_at_eos=False)
+    batcher.run_until_done(max_steps=60)
+    assert s1.state == "free"  # freed -> quarantine + table reset PENDING
+    # same slot id, same prompt -> prefix-hit admission queues tag presets
+    s2 = batcher.submit(prompt, max_new_tokens=8, stop_at_eos=False)
+    assert s2.id == s1.id
+    assert batcher.stats["prefix_hits"] == 1
+    assert s2.consumed >= 2 * PS  # shared pages skipped
+    batcher.run_until_done(max_steps=60)
+    assert list(s2.generated)[:8] == want
