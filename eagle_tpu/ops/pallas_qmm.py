@@ -89,7 +89,19 @@ _VMEM_BUDGET = 30_000_000
 _VMEM_LIMIT = 2 * _VMEM_BUDGET
 
 
+#: EAGLE_TPU_DIMSEM=1: declare the qmm grid's N dimension "parallel" (output
+#: tiles independent) and K "arbitrary" (accumulating) so Mosaic may
+#: reorder/overlap across N tiles — a calibrated experiment for the 13B
+#: in-situ-vs-isolated kernel gap (BENCHMARKS.md round-5 13B analysis)
+_DIMSEM = os.environ.get("EAGLE_TPU_DIMSEM", "0") not in ("0", "false")
+
+
 def _compiler_params():
+    if _DIMSEM:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel", "arbitrary"),
+        )
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
